@@ -1,0 +1,95 @@
+"""Distributed engine parity: the Spark pyramid must reproduce the
+reference goldens tile-for-tile, byte-identically."""
+
+import pytest
+
+from geojson_vt_spark import TileOptions
+from geojson_vt_spark.engine import SparkTileEngine
+
+from .util_fixtures import load_fixture
+
+
+def _gen_tiles_spark(spark, tmp_path, data, **opts):
+    merged = {"index_max_zoom": 0, "index_max_points": 10000}
+    merged.update(opts)
+    eng = SparkTileEngine(spark, TileOptions(**merged), workdir=str(tmp_path))
+    eng.build_from_geojson(data)
+    return eng
+
+
+@pytest.mark.parametrize("input_file,expected_file,opts", [
+    ("feature.json", "feature-tiles.json", {}),
+    ("collection.json", "collection-tiles.json", {}),
+    ("single-geom.json", "single-geom-tiles.json", {}),
+    ("dateline.json", "dateline-metrics-tiles.json", {"line_metrics": True}),
+    ("ids.json", "ids-promote-id-tiles.json", {"promote_id": "prop0"}),
+])
+def test_spark_full_tiling_small(spark, tmp_path, input_file, expected_file, opts):
+    eng = _gen_tiles_spark(spark, tmp_path, load_fixture(input_file), **opts)
+    assert eng.enumerate_tiles() == load_fixture(expected_file)
+
+
+@pytest.mark.slow
+def test_spark_full_tiling_us_states(spark, tmp_path):
+    eng = _gen_tiles_spark(spark, tmp_path, load_fixture("us-states.json"),
+                           index_max_zoom=7, index_max_points=200)
+    assert eng.enumerate_tiles() == load_fixture("us-states-tiles.json")
+
+
+def test_spark_get_tile_drilldown(spark, tmp_path):
+    eng = SparkTileEngine(spark, TileOptions(), workdir=str(tmp_path))
+    eng.build_from_geojson(load_fixture("us-states.json"))
+
+    expected = load_fixture("us-states-z7-37-48.json")
+    assert eng.get_tile(7, 37, 48)["features"] == expected
+    assert eng.get_tile("7", "37", "48")["features"] == expected
+
+    square = [{
+        "geometry": [[[-64, 4160], [-64, -64], [4160, -64],
+                      [4160, 4160], [-64, 4160]]],
+        "type": 3,
+        "tags": {"name": "Pennsylvania", "density": 284.3},
+        "id": "42",
+    }]
+    assert eng.get_tile(9, 148, 192)["features"] == square
+
+    assert eng.get_tile(11, 800, 400) is None
+    assert eng.get_tile(-5, 123, 400) is None
+    assert eng.get_tile(25, 200, 200) is None
+
+    assert eng.total_tiles() == 37
+
+
+def test_spark_resume_mid_pyramid(spark, tmp_path):
+    """Kill-and-resume: lineage checkpoints let a new engine continue
+    without recomputing finished zooms (north_rule requirement)."""
+    from geojson_vt_spark.pipeline import (features_from_json_df,
+                                           geojson_to_input_rows, wrap_df)
+    data = load_fixture("us-states.json")
+    opts = TileOptions(index_max_zoom=4, index_max_points=200)
+
+    full = SparkTileEngine(spark, opts, workdir=str(tmp_path / "full"))
+    full.build_from_geojson(data)
+
+    # simulate a killed run: copy checkpoints of zooms 0..2 only
+    import json as _json
+    import shutil
+    part_dir = tmp_path / "part"
+    for sub in ("frontier", "tiles", "tiles_meta", "sources"):
+        for zdir in sorted((tmp_path / "full" / sub).glob("z=*")):
+            zv = int(zdir.name.split("=")[1])
+            if zv <= 3 if sub == "frontier" else zv <= 2:
+                shutil.copytree(zdir, part_dir / sub / zdir.name)
+    lines = [_json.loads(ln) for ln in
+             (tmp_path / "full" / "lineage.json").read_text().splitlines()]
+    (part_dir / "lineage.json").write_text(
+        "\n".join(_json.dumps(r) for r in lines if r["zoom"] <= 2) + "\n")
+
+    resumed = SparkTileEngine(spark, opts, workdir=str(part_dir))
+    df = features_from_json_df(
+        spark.createDataFrame(geojson_to_input_rows(data),
+                              "input_ord long, gen_index long, feature_json string"),
+        opts)
+    resumed.build(wrap_df(df, opts), resume=True)
+
+    assert resumed.enumerate_tiles() == full.enumerate_tiles()
