@@ -1,0 +1,229 @@
+"""Deduplication suite for web-scale corpora.
+
+Five strategies, all shuffle-conscious:
+- exact:        hash group on the content column (one shuffle);
+- minhash-LSH:  shingle → K minhash slots → B bands → band-bucket
+                self-join → exact Jaccard verify (candidates only);
+- simhash:      64-bit sign-of-sum signature, banded hamming candidates;
+- ngram-Jaccard: exact token-shingle Jaccard on candidate pairs;
+- embedding:    cosine near-dup via random-hyperplane buckets.
+
+Signatures are built with pure Column expressions (xxhash64 + array
+HOFs) so the heavy per-token work stays inside whole-stage codegen —
+no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# Mersenne-31: keeps a·h + b within int64 under ANSI overflow checking
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per identical content (one hash shuffle,
+    map-side combine via min aggregation)."""
+    w = Window.partitionBy(content_col).orderBy(F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def shingles_col(text: Column, n: int = 3, words: bool = True) -> Column:
+    """Distinct n-gram shingles (word-level by default) as an array."""
+    if words:
+        toks = F.split(F.trim(F.lower(text)), r"\s+")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        sh = F.transform(idx, lambda i: F.concat_ws(
+            " ", F.slice(toks, i + 1, n)))
+    else:
+        idx = F.sequence(F.lit(1), F.greatest(
+            F.length(text) - (n - 1), F.lit(1)))
+        sh = F.transform(idx, lambda i: F.substring(text, i, n))
+    return F.array_distinct(sh)
+
+
+def _hash_params(num_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature_col(shingles: Column, num_hashes: int = 32,
+                          seed: int = 42) -> Column:
+    """K-slot minhash signature: min over shingles of (a·h(s)+b) mod M
+    per slot, h = xxhash64 — entirely array HOFs, JVM-side."""
+    a, b = _hash_params(num_hashes, seed)
+
+    def slot(ai: int, bi: int):
+        return F.array_min(F.transform(
+            shingles,
+            lambda s: F.pmod(
+                F.lit(ai) * F.pmod(F.xxhash64(s), F.lit(_MERSENNE)) + F.lit(bi),
+                F.lit(_MERSENNE))))
+
+    return F.array(*[slot(int(a[i]), int(b[i])) for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 32,
+                      bands: int = 8, shingle_n: int = 3,
+                      threshold: float = 0.5, seed: int = 42) -> DataFrame:
+    """Candidate near-duplicate pairs via banded minhash, verified with
+    exact shingle Jaccard.  Returns (id_a, id_b, jaccard), id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    sig = (df
+           .select(F.col(id_col).alias("id"),
+                   shingles_col(F.col(content_col), shingle_n).alias("sh"))
+           .where(F.size("sh") > 0)
+           .withColumn("sig", minhash_signature_col(F.col("sh"), num_hashes, seed)))
+
+    banded = sig.select(
+        "id", "sh",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bnd: F.struct(
+                bnd.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.slice("sig", bnd * rows_per_band + 1, rows_per_band)
+                )).alias("bucket")))).alias("bk"))
+
+    lhs = banded.select("id", "sh", F.col("bk.band").alias("band"),
+                        F.col("bk.bucket").alias("bucket"))
+    pairs = (lhs.alias("l")
+             .join(lhs.alias("r"), ["band", "bucket"])
+             .where(F.col("l.id") < F.col("r.id"))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                     F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (pairs
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_dedup(df: DataFrame, content_col: str = "text",
+                  id_col: str = "doc_id", **kw) -> DataFrame:
+    """Drop every row that is the higher id of a passing near-dup pair
+    (chain-collapsing keep-lowest rule, deterministic)."""
+    pairs = minhash_lsh_pairs(df, content_col, id_col, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(df: DataFrame, content_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.0,
+                        block_col: Column | None = None) -> DataFrame:
+    """Exact word-n-gram Jaccard over candidate pairs.  ``block_col``
+    limits the self-join (default: first token as the blocking key) —
+    the SQL-expressible exact counterpart of minhash, used as its
+    oracle."""
+    if block_col is None:
+        block_col = F.split(F.trim(F.lower(F.col(content_col))), r"\s+")[0]
+    g = df.select(F.col(id_col).alias("id"),
+                  shingles_col(F.col(content_col), n).alias("sh"),
+                  block_col.alias("blk"))
+    pairs = (g.alias("l").join(g.alias("r"), "blk")
+             .where(F.col("l.id") < F.col("r.id")))
+    inter = F.size(F.array_intersect("l.sh", "r.sh"))
+    union = F.size(F.array_union("l.sh", "r.sh"))
+    return (pairs.select(F.col("l.id").alias("id_a"),
+                         F.col("r.id").alias("id_b"),
+                         F.round(inter / union, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def simhash_col(text_expr: str, bits: int = 64) -> Column:
+    """Sign-of-weighted-sum simhash over whitespace tokens, built with
+    aggregate/transform HOFs (token hash = xxhash64).
+
+    ``text_expr`` is a SQL expression string (the Python shiftright
+    wrapper can't take a Column bit index; the SQL form can)."""
+    n1 = bits - 1
+    return F.expr(f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              split(trim(lower({text_expr})), '\\\\s+'),
+              array_repeat(CAST(0 AS BIGINT), {bits}),
+              (acc, t) -> zip_with(acc,
+                 transform(sequence(0, {n1}),
+                           i -> IF((shiftright(xxhash64(t), i) & 1) = 1,
+                                   CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
+                 (a, b) -> a + b)),
+            sequence(0, {n1}),
+            (s, i) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), i),
+                         CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (acc, v) -> acc | v)
+    """)
+
+
+def simhash_pairs(df: DataFrame, content_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 8,
+                  bands: int = 4) -> DataFrame:
+    """Near-dup candidates where any 16-bit simhash band matches,
+    verified by exact hamming distance (bit_count of xor)."""
+    width = 64 // bands
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash_col(content_col).alias("sim"))
+    banded = sh.withColumn("bk", F.explode(F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> struct(b AS band, "
+        f"shiftright(sim, b * {width}) & {(1 << width) - 1} AS bucket))")))
+    lhs = banded.select("id", "sim", F.col("bk.band").alias("band"),
+                        F.col("bk.bucket").alias("bucket"))
+    return (lhs.alias("l").join(lhs.alias("r"), ["band", "bucket"])
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim")))
+                    .alias("hamming"))
+            .dropDuplicates(["id_a", "id_b"])
+            .where(F.col("hamming") <= max_hamming))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id", threshold: float = 0.95,
+                             n_planes: int = 12, seed: int = 42,
+                             dim: int = 64) -> DataFrame:
+    """Cosine near-duplicates via random-hyperplane LSH buckets, exact
+    cosine verify inside buckets."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    vec = F.col(vec_col).cast("array<double>")
+
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
+        sig = sig.bitwiseOR(
+            F.when(_dot(vec, plane) > 0,
+                   F.shiftleft(F.lit(1).cast("long"), p))
+            .otherwise(F.lit(0).cast("long")))
+
+    b = df.select(F.col(id_col).alias("id"), vec.alias("v"),
+                  sig.alias("bucket"))
+    return (b.alias("l").join(b.alias("r"), "bucket")
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    F.round(cosine_col("l.v", "r.v"), 6).alias("cosine"))
+            .where(F.col("cosine") >= threshold))

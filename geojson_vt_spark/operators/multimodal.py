@@ -1,0 +1,116 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media assets ride as opaque ``binary`` columns with typed metadata;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+pandas UDFs over ``mapInPandas``.  The actual codecs are NOT available
+in this environment, so the decode step is stubbed: ``decode_media``
+raises ``NotImplementedError`` unless a deterministic fake decoder is
+requested — but the Spark-side plumbing (schema, batch shape,
+partitioning, UDF signatures) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image|audio|video
+    T.StructField("payload", T.BinaryType(), False),    # opaque encoded bytes
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.IntegerType(), True),
+    T.StructField("mime", T.StringType(), True),
+])
+
+FEATURE_DIM = 16
+
+
+def real_decode(payload: bytes, kind: str):
+    """Real decode would go through PIL / libav — not present in this
+    container.  Kept as the integration point."""
+    raise NotImplementedError(
+        "media codecs (PIL/libav) are not available in this environment; "
+        "use fake=True for the deterministic stand-in decoder")
+
+
+def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in: 'pixels' derived from sha256(payload),
+    stable across partitionings — exercises the same batch shapes the
+    real decoder would produce."""
+    h = hashlib.sha256(payload).digest()
+    arr = np.frombuffer((h * 8)[:128], dtype=np.uint8)
+    return arr.reshape(8, 16)
+
+
+def assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic asset table from the documents corpus
+    (payload = utf-8 text bytes; metadata from simple expressions)."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.col("doc_id") % 640 + 1).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 1).cast("int").alias("height"),
+        (F.col("doc_id") % 10000 + 1).cast("int").alias("duration_ms"),
+        F.lit("application/x-fake").alias("mime"),
+    )
+
+
+def extract_features_df(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode + pool a FEATURE_DIM-float feature vector per asset.
+    Arrow-batched; one numpy pass per batch, no per-row Python work
+    beyond the decode call itself."""
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            feats = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                px = (_fake_decode(bytes(payload), kind) if fake
+                      else real_decode(bytes(payload), kind))
+                pooled = px.reshape(-1, FEATURE_DIM).mean(axis=0) / 255.0
+                feats.append(pooled.astype(np.float64).tolist())
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "kind": pdf["kind"],
+                "features": feats,
+            })
+
+    return assets.mapInPandas(
+        run, "asset_id long, kind string, features array<double>")
+
+
+def frame_sample_df(assets: DataFrame, every_ms: int = 1000,
+                    fake: bool = True) -> DataFrame:
+    """Video frame sampling: one output row per sampled timestamp —
+    pure-Column explode of the sample grid, then batch decode."""
+    sampled = (assets
+               .where(F.col("kind") == "video")
+               .withColumn("frame_ts", F.explode(F.sequence(
+                   F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms)))))
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            digests = []
+            for payload, ts in zip(pdf["payload"], pdf["frame_ts"]):
+                px = (_fake_decode(bytes(payload) + int(ts).to_bytes(4, "big"),
+                                   "video") if fake
+                      else real_decode(bytes(payload), "video"))
+                digests.append(int(px.sum()))
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "frame_ts": pdf["frame_ts"],
+                "frame_digest": digests,
+            })
+
+    return sampled.mapInPandas(
+        run, "asset_id long, frame_ts long, frame_digest long")

@@ -1,0 +1,198 @@
+"""Distributed spatial joins over the quadtree cell grid.
+
+The reference has no joins (single-dataset pipeline); the north_rule
+adds a cell-indexed spatial-join suite.  Design (SURVEY.md §2.8):
+
+1. assign each geometry a set of grid cells (Web-Mercator quadtree
+   tiles at a chosen resolution — pure Column arithmetic, see
+   functions/geo.py);
+2. equi-join on cell id — Catalyst picks broadcast vs sort-merge, AQE
+   handles runtime skew; an explicit salt is available for known-hot
+   cells (dense metros);
+3. exact refine in a vectorized numpy kernel (ray-cast point-in-ring)
+   over the surviving candidate pairs only.
+
+At 1000-executor scale the cell join is the only shuffle; its key space
+(cells) is dense and uniform at adequate resolution, and `salt_n`
+splits any residual hot cell across reducers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.geo import (bbox_cells_col, cell_col, cell_xy_cols,
+                             project_x_col, project_y_col, tile_id_col)
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray,
+                   xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray cast: which of the points fall inside the
+    ring (xs, ys)?  O(ring_vertices) numpy passes over all points."""
+    inside = np.zeros(px.shape[0], dtype=bool)
+    n = xs.shape[0]
+    j = n - 1
+    for i in range(n):
+        yi, yj = ys[i], ys[j]
+        xi, xj = xs[i], xs[j]
+        denom = yj - yi
+        if denom != 0:
+            cross = (yi > py) != (yj > py)
+            with np.errstate(invalid="ignore"):
+                xint = (xj - xi) * (py - yi) / denom + xi
+            inside ^= cross & (px < xint)
+        j = i
+    return inside
+
+
+def _poly_bbox_cells(polys: DataFrame, res: int) -> DataFrame:
+    """Explode polygons (poly_id, pxs, pys in projected space) into
+    (cell, poly...) build rows."""
+    return (polys
+            .withColumn("cell", F.explode(bbox_cells_col(
+                F.array_min("pxs"), F.array_min("pys"),
+                F.array_max("pxs"), F.array_max("pys"), res))))
+
+
+def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int = 7,
+                          salt_n: int = 0,
+                          broadcast_polys: bool | None = None) -> DataFrame:
+    """points(point_id, lon, lat) ⨝ polys(poly_id, pxs, pys projected)
+    → (point_id, poly_id) pairs with the point inside the polygon ring.
+
+    salt_n > 0 replicates build rows across salt buckets so one hot
+    cell spreads over salt_n reducers."""
+    pts = (points
+           .withColumn("px", project_x_col(F.col("lon")))
+           .withColumn("py", project_y_col(F.col("lat")))
+           .withColumn("cell", cell_col(F.col("lon"), F.col("lat"), res))
+           .select("point_id", "px", "py", "cell"))
+
+    build = _poly_bbox_cells(polys, res).select("poly_id", "pxs", "pys", "cell")
+
+    if salt_n > 0:
+        build = build.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))))
+        pts = pts.withColumn("salt", F.pmod(F.xxhash64("point_id"), F.lit(salt_n)))
+        keys = ["cell", "salt"]
+    else:
+        keys = ["cell"]
+
+    if broadcast_polys:
+        build = F.broadcast(build)
+    cand = pts.join(build, keys)
+
+    def refine(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_pid, out_poly = [], []
+            # group candidates by polygon so each ring scans its points once
+            for poly_id, grp in pdf.groupby("poly_id", sort=False):
+                xs = np.asarray(grp["pxs"].iloc[0], dtype=np.float64)
+                ys = np.asarray(grp["pys"].iloc[0], dtype=np.float64)
+                px = grp["px"].to_numpy(dtype=np.float64)
+                py = grp["py"].to_numpy(dtype=np.float64)
+                mask = points_in_ring(px, py, xs, ys)
+                ids = grp["point_id"].to_numpy()[mask]
+                out_pid.extend(ids.tolist())
+                out_poly.extend([poly_id] * len(ids))
+            yield pd.DataFrame({"point_id": out_pid, "poly_id": out_poly})
+
+    return (cand.select("point_id", "poly_id", "px", "py", "pxs", "pys")
+            .mapInPandas(refine, "point_id long, poly_id long")
+            .dropDuplicates(["point_id", "poly_id"]))
+
+
+def knn_join(points: DataFrame, queries: DataFrame, k: int, res: int = 6,
+             max_ring: int | None = None) -> DataFrame:
+    """For each query(query_id, lon, lat), the k nearest
+    points(point_id, lon, lat) by planar distance in projected space.
+
+    Iterative cell-ring expansion: search the (2r+1)² cell block around
+    each query, keep queries whose kth hit is provably closer than any
+    unexplored cell (Chebyshev bound r·cellsize), double r for the rest.
+    Output: (query_id, point_id, dist, rank), deterministic tie-break on
+    point_id.
+    """
+    n = 1 << res
+    cell_size = 1.0 / n
+    if max_ring is None:
+        max_ring = n
+
+    pts = (points
+           .withColumn("px", project_x_col(F.col("lon")))
+           .withColumn("py", project_y_col(F.col("lat"))))
+    pxy = pts.select(
+        "point_id", "px", "py",
+        *[c.alias(a) for c, a in zip(
+            cell_xy_cols(F.col("lon"), F.col("lat"), res), ("cx", "cy"))])
+
+    remaining = (queries
+                 .withColumn("qx", project_x_col(F.col("lon")))
+                 .withColumn("qy", project_y_col(F.col("lat")))
+                 .select("query_id", "qx", "qy",
+                         *[c.alias(a) for c, a in zip(
+                             cell_xy_cols(F.col("lon"), F.col("lat"), res),
+                             ("cx", "cy"))]))
+
+    results = None
+    r = 1
+    while True:
+        # candidate cells: Chebyshev ring of radius r around the query cell
+        qcells = (remaining
+                  .withColumn("dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+                  .withColumn("dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+                  .withColumn("ncx", F.col("cx") + F.col("dx"))
+                  .withColumn("ncy", F.col("cy") + F.col("dy"))
+                  .where((F.col("ncx") >= 0) & (F.col("ncx") < n) &
+                         (F.col("ncy") >= 0) & (F.col("ncy") < n))
+                  .select("query_id", "qx", "qy",
+                          F.col("ncx").alias("cx"), F.col("ncy").alias("cy")))
+
+        cand = (qcells.join(pxy, ["cx", "cy"])
+                .withColumn("dist", F.sqrt(
+                    (F.col("px") - F.col("qx")) ** 2 +
+                    (F.col("py") - F.col("qy")) ** 2)))
+        w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("point_id"))
+        topk = (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "point_id", "dist", "rank"))
+
+        # a query is settled if it has k hits and the kth is inside the
+        # guaranteed-complete radius (or the ring already spans the grid)
+        guarantee = r * cell_size
+        kth = (topk.groupBy("query_id")
+               .agg(F.max("rank").alias("nhits"), F.max("dist").alias("kth")))
+        done_ids = kth.where(
+            ((F.col("nhits") == k) & (F.col("kth") < guarantee)) |
+            F.lit(r >= max_ring)).select("query_id")
+
+        settled = topk.join(done_ids, "query_id")
+        results = settled if results is None else results.unionByName(settled)
+
+        # cut lineage before the next round (iterative-plan blowup trap)
+        remaining = remaining.join(done_ids, "query_id", "left_anti").localCheckpoint()
+        if r >= max_ring or remaining.isEmpty():
+            break
+        r *= 2
+
+    return results
+
+
+def raster_vector_overlay(raster: DataFrame, vectors: DataFrame,
+                          res: int) -> DataFrame:
+    """Raster-tile ↔ vector overlay: join a raster grid (z=res, x, y,
+    plus value columns) against vector features' cell assignments —
+    the tiling pyramid reused as the join index.
+
+    vectors: (vec_id, pxs, pys) projected rings → bbox cell cover.
+    Returns one row per (raster tile, vector) intersection candidate."""
+    vcells = (_poly_bbox_cells(
+        vectors.select(F.col("vec_id").alias("poly_id"), "pxs", "pys"), res)
+        .select(F.col("poly_id").alias("vec_id"), "cell"))
+    rast = raster.withColumn(
+        "cell", tile_id_col(res, F.col("x").cast("long"), F.col("y").cast("long")))
+    return rast.join(vcells, "cell").drop("cell")

@@ -1,0 +1,193 @@
+"""Operator suite correctness: spatial joins vs naive oracles, dedup
+behaviors on planted duplicates, ANN vs brute force, corpus invariants."""
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from geojson_vt_spark.functions import project_x_col, project_y_col
+from geojson_vt_spark.operators import (cosine_topk, exact_dedup, ivf_topk,
+                                        knn_join, minhash_lsh_pairs,
+                                        ngram_jaccard_pairs,
+                                        point_in_polygon_join,
+                                        raster_vector_overlay, simhash_pairs)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def points(spark):
+    # 0.037/0.013 offsets keep every point off polygon boundaries
+    return spark.range(2000).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") * 7919 % 3600) / 10.0 - 180.0 + 0.037).alias("lon"),
+        ((F.col("id") * 104729 % 1400) / 10.0 - 70.0 + 0.013).alias("lat"))
+
+
+@pytest.fixture()
+def rects(spark):
+    rows = [(i, -170.0 + i * 16, -60.0 + (i * 7 % 120),
+             -170.0 + i * 16 + 14, min(-60.0 + (i * 7 % 120) + 10, 70.0))
+            for i in range(20)]
+    return spark.createDataFrame(
+        rows, "poly_id long, lon0 double, lat0 double, lon1 double, lat1 double")
+
+
+def _rect_polys(rects):
+    return rects.select(
+        "poly_id",
+        F.array(project_x_col(F.col("lon0")), project_x_col(F.col("lon1")),
+                project_x_col(F.col("lon1")), project_x_col(F.col("lon0")),
+                project_x_col(F.col("lon0"))).alias("pxs"),
+        F.array(project_y_col(F.col("lat0")), project_y_col(F.col("lat0")),
+                project_y_col(F.col("lat1")), project_y_col(F.col("lat1")),
+                project_y_col(F.col("lat0"))).alias("pys"))
+
+
+def _naive_pip(points, rects):
+    return (points.crossJoin(rects)
+            .where((F.col("lon") > F.col("lon0")) & (F.col("lon") < F.col("lon1")) &
+                   (F.col("lat") > F.col("lat0")) & (F.col("lat") < F.col("lat1")))
+            .select("point_id", "poly_id"))
+
+
+def test_pip_join_matches_naive(spark, points, rects):
+    got = point_in_polygon_join(points, _rect_polys(rects), res=5)
+    want = _naive_pip(points, rects)
+    a = sorted((r.point_id, r.poly_id) for r in got.collect())
+    b = sorted((r.point_id, r.poly_id) for r in want.collect())
+    assert len(a) > 50
+    assert a == b
+
+
+def test_pip_join_salted_identical(spark, points, rects):
+    plain = point_in_polygon_join(points, _rect_polys(rects), res=5)
+    salted = point_in_polygon_join(points, _rect_polys(rects), res=5, salt_n=4)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_knn_join_matches_brute_force(spark, points):
+    qs = points.where(F.col("point_id") % 400 == 0).select(
+        F.col("point_id").alias("query_id"), "lon", "lat")
+    got = knn_join(points, qs, k=5, res=5)
+
+    px = project_x_col(F.col("lon"))
+    py = project_y_col(F.col("lat"))
+    p2 = points.select("point_id", px.alias("px"), py.alias("py"))
+    q2 = qs.select("query_id", px.alias("qx"), py.alias("qy"))
+    brute = (q2.crossJoin(p2)
+             .withColumn("dist", F.sqrt((F.col("px") - F.col("qx")) ** 2 +
+                                        (F.col("py") - F.col("qy")) ** 2))
+             .withColumn("rank", F.row_number().over(
+                 Window.partitionBy("query_id").orderBy("dist", "point_id")))
+             .where(F.col("rank") <= 5))
+    a = sorted((r.query_id, r.point_id, r.rank) for r in got.collect())
+    b = sorted((r.query_id, r.point_id, r.rank) for r in brute.collect())
+    assert a == b
+
+
+def test_raster_vector_overlay(spark, rects):
+    raster = spark.range(64).select(
+        (F.col("id") % 8).cast("int").alias("x"),
+        (F.col("id") / 8).cast("int").alias("y"))
+    polys = _rect_polys(rects).select(F.col("poly_id").alias("vec_id"),
+                                      "pxs", "pys")
+    ov = raster_vector_overlay(raster, polys, res=3)
+    assert ov.count() > 0
+    # every overlay pair's raster tile must intersect the vector bbox cover
+    assert ov.select("vec_id").distinct().count() <= 20
+
+
+@pytest.fixture()
+def docs_with_dups(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    clones = (docs.where(F.col("doc_id") < 20)
+              .withColumn("doc_id", F.col("doc_id") + 100000))
+    near = (docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 40))
+            .withColumn("doc_id", F.col("doc_id") + 200000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" tail tweak"))))
+    return docs.unionByName(clones).unionByName(near)
+
+
+def test_exact_dedup_removes_planted_clones(spark, docs_with_dups):
+    kept = exact_dedup(docs_with_dups)
+    assert kept.count() == docs_with_dups.count() - 20
+    assert kept.where(F.col("doc_id") >= 100000).where(
+        F.col("doc_id") < 200000).count() == 0
+
+
+def test_minhash_finds_planted_near_dups(spark, docs_with_dups):
+    pairs = minhash_lsh_pairs(docs_with_dups, threshold=0.5)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    exact_clones = {(i, i + 100000) for i in range(20)}
+    assert exact_clones <= found, "exact clones must be found (jaccard 1.0)"
+    near = [p for p in found if p[1] >= 200000 and p[0] == p[1] - 200000]
+    assert len(near) >= 15, f"most near-dup tails should pass LSH, got {len(near)}"
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, docs_with_dups):
+    """Every minhash-passing pair must truly have jaccard >= threshold
+    (the verify step is exact), cross-checked against the independent
+    exact n-gram path."""
+    pairs = minhash_lsh_pairs(docs_with_dups, threshold=0.5).collect()
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(
+                 docs_with_dups, threshold=0.0,
+                 block_col=F.lit(1)).collect()}
+    for r in pairs:
+        assert exact[(r.id_a, r.id_b)] == r.jaccard
+        assert r.jaccard >= 0.5
+
+
+def test_simhash_finds_planted_clones(spark, docs_with_dups):
+    pairs = simhash_pairs(docs_with_dups, max_hamming=4)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 100000) for i in range(20)} <= found
+
+
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    brute = cosine_topk(emb, qids, k=5)
+    ivf = ivf_topk(emb, qids, k=5, n_centroids=8, nprobe=4)
+    bt = {(r.query_id, r.nbr_id) for r in brute.collect()}
+    iv = {(r.query_id, r.nbr_id) for r in ivf.collect()}
+    recall = len(bt & iv) / len(bt)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_corpus_text_invariant_across_parallelism(spark):
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+    p1 = synth_pages_df(spark, 200, seed=42, n_partitions=1)
+    p8 = synth_pages_df(spark, 200, seed=42, n_partitions=8)
+    m1 = {r.url: r.text for r in p1.collect()}
+    m8 = {r.url: r.text for r in p8.collect()}
+    assert m1 == m8, "extracted text must be byte-identical per url"
+
+    f1 = {r.input_ord: r.feature_json
+          for r in extract_geo_features_df(p1).collect()}
+    f8 = {r.input_ord: r.feature_json
+          for r in extract_geo_features_df(p8).collect()}
+    assert f1 == f8
+    assert len(f1) == 200
+
+
+def test_multimodal_plumbing(spark):
+    from geojson_vt_spark.operators.multimodal import (assets_from_documents,
+                                                       extract_features_df,
+                                                       frame_sample_df,
+                                                       real_decode)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    assets = assets_from_documents(docs)
+    feats = extract_features_df(assets)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r.features) == 16 for r in rows)
+    # determinism across partitionings
+    feats2 = extract_features_df(assets.repartition(7)).collect()
+    assert {r.asset_id: r.features for r in rows} == \
+           {r.asset_id: r.features for r in feats2}
+    frames = frame_sample_df(assets, every_ms=2000)
+    assert frames.count() > 0
+    with pytest.raises(NotImplementedError):
+        real_decode(b"x", "image")
