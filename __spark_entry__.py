@@ -1,38 +1,622 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One ``queries()`` entry per implemented operator family from SURVEY.md
+§2 plus the engine additions (spatial joins, dedup, similarity, text,
+corpus).  SQL-expressible operators carry a DuckDB ``oracle_sql()``
+twin over the same parquet tables; geometry-kernel operators (G1-G4,
+U1/U2, C1-C3) are pinned by the golden-fixture pytest suite instead and
+appear here as rows-only checks.
+
+Float discipline: every float column either comes from pure-rational
+arithmetic (bit-identical in Spark and DuckDB) or is rounded after
+identical formulas; sin/ln-derived values are rounded to 6dp.
+Deterministic jitter breaks grid symmetry so rank tie-breaks never
+depend on cross-engine ulp differences.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+PI = repr(math.pi)
+
+
+# --------------------------------------------------------------- inputs
+
+def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic point cloud derived from the events table (jittered
+    off every tile/polygon boundary)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("event_id").alias("point_id"),
+        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0
+         + (F.col("event_id") % 97) / 9700.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 14000) / 100.0 - 70.0
+         + (F.col("event_id") % 89) / 8900.0).alias("lat"))
+
+
+_POINTS_SQL = """
+    SELECT event_id AS point_id,
+           (event_id * 7919 % 36000) / 100.0 - 180.0
+               + (event_id % 97) / 9700.0 AS lon,
+           (event_id * 104729 % 14000) / 100.0 - 70.0
+               + (event_id % 89) / 8900.0 AS lat
+    FROM events
+"""
+
+_PROJ_X_SQL = "({lon}) / 360 + 0.5"
+_PROJ_Y_SQL = ("least(greatest(0.5 - 0.25 * ln((1 + sin(({lat}) * " + PI +
+               " / 180)) / (1 - sin(({lat}) * " + PI + " / 180))) / " + PI +
+               ", 0.0), 1.0)")
+
+
+def _nation_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25 deterministic lon/lat rectangles keyed by nation (edges on
+    0.5-degree multiples, disjoint from the jittered points)."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey")
+    return n.select(
+        k.alias("poly_id"),
+        (-172.5 + (k % 13) * 26.0).alias("lon0"),
+        (-63.5 + (k * 7 % 120)).alias("lat0"),
+        (-172.5 + (k % 13) * 26.0 + 22.5).alias("lon1"),
+        F.least(-63.5 + (k * 7 % 120) + 21.0, F.lit(69.5)).alias("lat1"))
+
+
+_RECTS_SQL = """
+    SELECT n_nationkey AS poly_id,
+           CAST(-172.5 + (n_nationkey % 13) * 26.0 AS DOUBLE) AS lon0,
+           CAST(-63.5 + (n_nationkey * 7 % 120) AS DOUBLE) AS lat0,
+           CAST(-172.5 + (n_nationkey % 13) * 26.0 + 22.5 AS DOUBLE) AS lon1,
+           CAST(least(-63.5 + (n_nationkey * 7 % 120) + 21.0, 69.5) AS DOUBLE) AS lat1
+    FROM nation
+"""
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: slice the synthetic web corpus into the z0-z6 tile
+    pyramid (convert → wrap → split → assemble) and return per-tile
+    stats joined with a tile assignment of the events point cloud."""
+    import tempfile
+
+    from geojson_vt_spark import TileOptions
+    from geojson_vt_spark.engine import SparkTileEngine
+    from geojson_vt_spark.pipeline import features_from_json_df, wrap_df
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+
+    opts = TileOptions(index_max_zoom=4, index_max_points=200)
+    eng = SparkTileEngine(spark, opts, workdir=tempfile.mkdtemp(prefix="gvt_entry_"))
+    pages = synth_pages_df(spark, 400, seed=42)
+    feats = features_from_json_df(extract_geo_features_df(pages), opts)
+    eng.build(wrap_df(feats, opts))
+    return (eng.tiles()
+            .select("z", "x", "y", "tile_id", "num_features",
+                    "num_points", "num_simplified")
+            .orderBy("tile_id"))
+
+
+# --------------------------------------------------------------- queries
+
+def q_mercator_project(spark, sf_dir):
+    from geojson_vt_spark.functions import project_x_col, project_y_col
+    pts = _events_points(spark, sf_dir)
+    return pts.select(
+        "point_id",
+        F.round(project_x_col(F.col("lon")), 6).alias("px"),
+        F.round(project_y_col(F.col("lat")), 6).alias("py"))
+
+
+def q_tile_assign(spark, sf_dir):
+    from geojson_vt_spark.functions import cell_xy_cols
+    pts = _events_points(spark, sf_dir)
+    tx, ty = cell_xy_cols(F.col("lon"), F.col("lat"), 8)
+    return (pts.select(tx.alias("tx"), ty.alias("ty"))
+            .groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def q_tile_id_pack(spark, sf_dir):
+    from geojson_vt_spark.functions import cell_xy_cols, tile_id_col
+    pts = _events_points(spark, sf_dir)
+    tx, ty = cell_xy_cols(F.col("lon"), F.col("lat"), 8)
+    d = pts.select("point_id", tx.alias("tx"), ty.alias("ty"))
+    d = d.withColumn("tile_id", tile_id_col(8, F.col("tx"), F.col("ty")))
+    # unpack roundtrip: z from low 5 bits, xy from the quotient
+    return d.select(
+        "point_id", "tile_id",
+        (F.col("tile_id") % 32).alias("uz"),
+        F.floor(F.col("tile_id") / 32).__mod__(F.lit(256)).alias("ux"),
+        F.floor(F.floor(F.col("tile_id") / 32) / 256).alias("uy"))
+
+
+def q_wrap_x(spark, sf_dir):
+    from geojson_vt_spark.functions import wrap_x_col
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    x = (F.col("event_id") % 1000 - 500).cast("long")
+    return ev.select(F.col("event_id"), x.alias("x"),
+                     wrap_x_col(x, 6).alias("wrapped"))
+
+
+def q_bbox_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    x = F.col("l_extendedprice") / 100000.0
+    y = F.col("l_discount")
+    return (li.groupBy("l_orderkey")
+            .agg(F.round(F.min(x), 9).alias("minx"),
+                 F.round(F.min(y), 9).alias("miny"),
+                 F.round(F.max(x), 9).alias("maxx"),
+                 F.round(F.max(y), 9).alias("maxy"),
+                 F.count(F.lit(1)).alias("n_rings")))
+
+
+def q_tile_stats(spark, sf_dir):
+    from geojson_vt_spark.functions import cell_xy_cols
+    pts = _events_points(spark, sf_dir)
+    tx, ty = cell_xy_cols(F.col("lon"), F.col("lat"), 6)
+    return (pts
+            .select(tx.alias("tx"), ty.alias("ty"),
+                    (F.col("point_id") % 100 + 2).alias("n_verts"))
+            .groupBy("tx", "ty")
+            .agg(F.count(F.lit(1)).alias("num_features"),
+                 F.sum("n_verts").alias("num_points")))
+
+
+def q_tiny_ring_filter(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    size = F.col("l_quantity") / 50.0
+    is_poly = F.col("l_linenumber") % 2 == 0
+    tol = 0.5
+    keep = ~F.when(is_poly, size < tol * tol).otherwise(size < tol)
+    return (li.where(keep)
+            .select("l_orderkey", "l_linenumber",
+                    F.round(size, 9).alias("ring_size")))
+
+
+def q_stripe_classify(spark, sf_dir):
+    pts = _events_points(spark, sf_dir)
+    w = 0.25
+    minx = F.col("lon") / 360 + 0.5 - 0.01
+    maxx = F.col("lon") / 360 + 0.5 + 0.01
+    cls = (F.when((minx >= w) & (maxx < 1 - w), F.lit("accept"))
+           .when((maxx < w) | (minx >= 1 - w), F.lit("reject"))
+           .otherwise(F.lit("cross")))
+    return pts.select(cls.alias("cls")).groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+def q_zoom_tile_counts(spark, sf_dir):
+    from geojson_vt_spark.functions import cell_col
+    pts = _events_points(spark, sf_dir)
+    out = None
+    for z in (4, 6, 8):
+        d = (pts.select(cell_col(F.col("lon"), F.col("lat"), z).alias("cell"))
+             .agg(F.countDistinct("cell").alias("n_tiles"))
+             .select(F.lit(z).alias("z"), "n_tiles"))
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def q_pip_join(spark, sf_dir):
+    from geojson_vt_spark.functions import project_x_col, project_y_col
+    from geojson_vt_spark.operators import point_in_polygon_join
+    pts = _events_points(spark, sf_dir)
+    rects = _nation_rects(spark, sf_dir)
+    polys = rects.select(
+        "poly_id",
+        F.array(project_x_col(F.col("lon0")), project_x_col(F.col("lon1")),
+                project_x_col(F.col("lon1")), project_x_col(F.col("lon0")),
+                project_x_col(F.col("lon0"))).alias("pxs"),
+        F.array(project_y_col(F.col("lat0")), project_y_col(F.col("lat0")),
+                project_y_col(F.col("lat1")), project_y_col(F.col("lat1")),
+                project_y_col(F.col("lat0"))).alias("pys"))
+    return point_in_polygon_join(pts, polys, res=5, salt_n=4)
+
+
+def q_knn_join(spark, sf_dir):
+    from geojson_vt_spark.operators import knn_join
+    pts = _events_points(spark, sf_dir)
+    qs = (pts.where(F.col("point_id") % 500 == 0)
+          .select(F.col("point_id").alias("query_id"), "lon", "lat"))
+    res = knn_join(pts, qs, k=3, res=5)
+    # re-rank on rounded distance so cross-engine ulp noise can't flip order
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("dist", 6), F.col("point_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "point_id", "rank"))
+
+
+def q_raster_overlay(spark, sf_dir):
+    from geojson_vt_spark.functions import project_x_col, project_y_col
+    from geojson_vt_spark.operators import raster_vector_overlay
+    raster = (spark.range(256)
+              .select((F.col("id") % 16).cast("int").alias("x"),
+                      F.floor(F.col("id") / 16).cast("int").alias("y")))
+    rects = _nation_rects(spark, sf_dir)
+    vec = rects.select(
+        F.col("poly_id").alias("vec_id"),
+        F.array(project_x_col(F.col("lon0")), project_x_col(F.col("lon1"))).alias("pxs"),
+        F.array(project_y_col(F.col("lat0")), project_y_col(F.col("lat1"))).alias("pys"))
+    return (raster_vector_overlay(raster, vec, res=4)
+            .select("x", "y", "vec_id"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (d.groupBy(F.md5("text").alias("fp"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from geojson_vt_spark.operators import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.05)
+
+
+def q_token_count(spark, sf_dir):
+    from geojson_vt_spark.operators import token_count_col
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens"))
+
+
+def q_text_quality(spark, sf_dir):
+    from geojson_vt_spark.operators import quality_score_df
+    return quality_score_df(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from geojson_vt_spark.operators import lang_id_df
+    return lang_id_df(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from geojson_vt_spark.operators import fingerprint_df
+    return fingerprint_df(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark, sf_dir):
+    from geojson_vt_spark.operators import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, [0, 1, 2, 3, 4], k=5).select(
+        "query_id", "nbr_id", "rank")
+
+
+def q_embedding_pairs_exact(spark, sf_dir):
+    from geojson_vt_spark.operators.dedup import cosine_col
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .where(F.col("vec_id") < 100)
+           .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
+    return (emb.alias("a").join(emb.alias("b"),
+                                F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    F.round(cosine_col("a.v", "b.v"), 6).alias("cosine"))
+            .where(F.col("cosine") >= 0.25))
+
+
+def q_events_window(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                     "yyyy-MM-dd").alias("day"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 3).alias("total_value")))
+
+
+# rows-only checks (geometry kernels / hash-scheme ops not expressible
+# in portable SQL; pinned by the pytest golden suite instead)
+
+def q_pyramid_tiles(spark, sf_dir):
+    return entry(spark)
+
+
+def q_minhash_dedup(spark, sf_dir):
+    from geojson_vt_spark.operators import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from geojson_vt_spark.operators import simhash_pairs
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=10)
+
+
+def q_ann_ivf(spark, sf_dir):
+    from geojson_vt_spark.operators import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, [0, 1, 2, 3, 4], k=5)
+
+
+def q_corpus_extract(spark, sf_dir):
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+    pages = synth_pages_df(spark, 300, seed=42)
+    return extract_geo_features_df(pages).select("input_ord", "feature_json")
+
+
+def q_multimodal_features(spark, sf_dir):
+    from geojson_vt_spark.operators.multimodal import (assets_from_documents,
+                                                       extract_features_df)
+    return extract_features_df(assets_from_documents(_docs(spark, sf_dir)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "mercator_project": q_mercator_project,
+        "tile_assign": q_tile_assign,
+        "tile_id_pack": q_tile_id_pack,
+        "wrap_x": q_wrap_x,
+        "bbox_agg": q_bbox_agg,
+        "tile_stats": q_tile_stats,
+        "tiny_ring_filter": q_tiny_ring_filter,
+        "stripe_classify": q_stripe_classify,
+        "zoom_tile_counts": q_zoom_tile_counts,
+        "pip_join": q_pip_join,
+        "knn_join": q_knn_join,
+        "raster_overlay": q_raster_overlay,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "embedding_pairs_exact": q_embedding_pairs_exact,
+        "events_window": q_events_window,
+        # rows-only (geometry kernel / hash-scheme internals):
+        "pyramid_tiles": q_pyramid_tiles,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_ivf": q_ann_ivf,
+        "corpus_extract": q_corpus_extract,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracles
+
+_PX = _PROJ_X_SQL.format(lon="lon")
+_PY = _PROJ_Y_SQL.format(lat="lat")
+_TX8 = f"least(greatest(CAST(floor(({_PX}) * 256) AS BIGINT), 0), 255)"
+_TY8 = f"least(greatest(CAST(floor(({_PY}) * 256) AS BIGINT), 0), 255)"
+_TX6 = f"least(greatest(CAST(floor(({_PX}) * 64) AS BIGINT), 0), 63)"
+_TY6 = f"least(greatest(CAST(floor(({_PY}) * 64) AS BIGINT), 0), 63)"
+_TX5 = f"least(greatest(CAST(floor(({_PX}) * 32) AS BIGINT), 0), 31)"
+_TY5 = f"least(greatest(CAST(floor(({_PY}) * 32) AS BIGINT), 0), 31)"
+
+_EN_STOP = "'the','a','and','of','to','in','is','it','that','for'"
+_LANG_LISTS = {
+    "de": "'der','die','das','und','ist','ein','zu','mit','von','nicht'",
+    "en": _EN_STOP,
+    "es": "'el','la','de','que','y','en','un','por','con','para'",
+    "fr": "'le','la','et','les','des','est','un','une','dans','pour'",
+}
+
+
+def _lang_hits(lang: str) -> str:
+    return (f"len(list_filter(string_split(trim(lower(text)), ' '), "
+            f"t -> t IN ({_LANG_LISTS[lang]})))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    shingle_cte = """
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id, t[1] AS blk,
+                   t[gs.i] || ' ' || t[gs.i+1] || ' ' || t[gs.i+2] AS sh
+            FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i) gs
+        ), sizes AS (
+            SELECT doc_id, blk, count(*) AS n FROM g GROUP BY doc_id, blk
+        )
     """
-    return {}
+    return {
+        "mercator_project": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT point_id, round({_PX}, 6) AS px, round({_PY}, 6) AS py
+            FROM pts
+        """,
+        "tile_assign": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT {_TX8} AS tx, {_TY8} AS ty, count(*) AS cnt
+            FROM pts GROUP BY 1, 2
+        """,
+        "tile_id_pack": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            t AS (SELECT point_id, ((256 * {_TY8} + {_TX8}) * 32 + 8) AS tile_id
+                  FROM pts)
+            SELECT point_id, tile_id,
+                   tile_id % 32 AS uz,
+                   (tile_id // 32) % 256 AS ux,
+                   (tile_id // 32) // 256 AS uy
+            FROM t
+        """,
+        "wrap_x": """
+            SELECT event_id, (event_id % 1000 - 500) AS x,
+                   (((event_id % 1000 - 500) % 64) + 64) % 64 AS wrapped
+            FROM events
+        """,
+        "bbox_agg": """
+            SELECT l_orderkey,
+                   round(min(l_extendedprice / 100000.0), 9) AS minx,
+                   round(min(l_discount), 9) AS miny,
+                   round(max(l_extendedprice / 100000.0), 9) AS maxx,
+                   round(max(l_discount), 9) AS maxy,
+                   count(*) AS n_rings
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "tile_stats": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT {_TX6} AS tx, {_TY6} AS ty,
+                   count(*) AS num_features,
+                   sum(point_id % 100 + 2) AS num_points
+            FROM pts GROUP BY 1, 2
+        """,
+        "tiny_ring_filter": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_quantity / 50.0, 9) AS ring_size
+            FROM lineitem
+            WHERE NOT (CASE WHEN l_linenumber % 2 = 0
+                            THEN l_quantity / 50.0 < 0.25
+                            ELSE l_quantity / 50.0 < 0.5 END)
+        """,
+        "stripe_classify": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            c AS (SELECT CASE
+                WHEN lon / 360 + 0.5 - 0.01 >= 0.25
+                     AND lon / 360 + 0.5 + 0.01 < 0.75 THEN 'accept'
+                WHEN lon / 360 + 0.5 + 0.01 < 0.25
+                     OR lon / 360 + 0.5 - 0.01 >= 0.75 THEN 'reject'
+                ELSE 'cross' END AS cls FROM pts)
+            SELECT cls, count(*) AS n FROM c GROUP BY cls
+        """,
+        "zoom_tile_counts": f"""
+            WITH pts AS ({_POINTS_SQL})
+            SELECT 4 AS z, count(DISTINCT ((16 * least(greatest(CAST(floor(({_PY}) * 16) AS BIGINT), 0), 15)
+                   + least(greatest(CAST(floor(({_PX}) * 16) AS BIGINT), 0), 15)) * 32 + 4)) AS n_tiles FROM pts
+            UNION ALL
+            SELECT 6, count(DISTINCT ((64 * {_TY6} + {_TX6}) * 32 + 6)) FROM pts
+            UNION ALL
+            SELECT 8, count(DISTINCT ((256 * {_TY8} + {_TX8}) * 32 + 8)) FROM pts
+        """,
+        "pip_join": f"""
+            WITH pts AS ({_POINTS_SQL}), rects AS ({_RECTS_SQL})
+            SELECT point_id, poly_id
+            FROM pts, rects
+            WHERE lon > lon0 AND lon < lon1 AND lat > lat0 AND lat < lat1
+        """,
+        "knn_join": f"""
+            WITH pts AS (SELECT point_id, {_PX} AS px, {_PY} AS py
+                         FROM ({_POINTS_SQL})),
+            qs AS (SELECT point_id AS query_id, px AS qx, py AS qy
+                   FROM pts WHERE point_id % 500 = 0),
+            d AS (SELECT query_id, point_id,
+                         round(sqrt((px - qx) * (px - qx)
+                                    + (py - qy) * (py - qy)), 6) AS dist
+                  FROM qs, pts),
+            r AS (SELECT query_id, point_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY dist, point_id) AS rank
+                  FROM d)
+            SELECT query_id, point_id, rank FROM r WHERE rank <= 3
+        """,
+        "raster_overlay": f"""
+            WITH rects AS ({_RECTS_SQL}),
+            cover AS (
+                SELECT poly_id AS vec_id,
+                       least(greatest(CAST(floor(({_PROJ_X_SQL.format(lon='lon0')}) * 16) AS BIGINT), 0), 15) AS x0,
+                       least(greatest(CAST(floor(({_PROJ_X_SQL.format(lon='lon1')}) * 16) AS BIGINT), 0), 15) AS x1,
+                       least(greatest(CAST(floor(({_PROJ_Y_SQL.format(lat='lat0')}) * 16) AS BIGINT), 0), 15) AS y0,
+                       least(greatest(CAST(floor(({_PROJ_Y_SQL.format(lat='lat1')}) * 16) AS BIGINT), 0), 15) AS y1
+                FROM rects),
+            raster AS (SELECT CAST(r % 16 AS INT) AS x, CAST(r // 16 AS INT) AS y
+                       FROM range(256) t(r))
+            SELECT x, y, vec_id
+            FROM raster, cover
+            WHERE x BETWEEN least(x0, x1) AND greatest(x0, x1)
+              AND y BETWEEN least(y0, y1) AND greatest(y0, y1)
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard": shingle_cte + """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(count(*) FILTER (WHERE TRUE)
+                         / (sa.n + sb.n - count(*)), 6) AS jaccard
+            FROM g a JOIN g b ON a.sh = b.sh AND a.blk = b.blk
+                              AND a.doc_id < b.doc_id
+            JOIN sizes sa ON sa.doc_id = a.doc_id AND sa.blk = a.blk
+            JOIN sizes sb ON sb.doc_id = b.doc_id AND sb.blk = b.blk
+            GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+            HAVING round(count(*) / (sa.n + sb.n - count(*)), 6) >= 0.05
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(string_split(trim(text), ' ')) END AS n_tokens
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH t AS (
+                SELECT doc_id, len(text) AS n_chars,
+                       len(string_split(trim(text), ' ')) AS n_tokens,
+                       len(list_filter(string_split(trim(lower(text)), ' '),
+                           t -> t IN ({_EN_STOP}))) AS n_stopwords,
+                       len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                           AS n_punct
+                FROM documents)
+            SELECT doc_id, n_chars, n_tokens, n_stopwords, n_punct,
+                   round(n_stopwords / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+                   round(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS punct_ratio,
+                   round((n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 6)
+                       AS mean_token_len
+            FROM t
+        """,
+        "lang_id": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       {_lang_hits('de')} AS hits_de,
+                       {_lang_hits('en')} AS hits_en,
+                       {_lang_hits('es')} AS hits_es,
+                       {_lang_hits('fr')} AS hits_fr
+                FROM documents)
+            SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+                   CASE WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                        WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                        WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM h
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fingerprint
+            FROM documents
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+            s AS (SELECT query_id, e.vec_id AS nbr_id,
+                         round(list_dot_product(qv, e.embedding::DOUBLE[])
+                               / (sqrt(list_dot_product(qv, qv))
+                                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                          e.embedding::DOUBLE[]))), 6)
+                             AS cosine
+                  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+            r AS (SELECT query_id, nbr_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, nbr_id) AS rank
+                  FROM s)
+            SELECT query_id, nbr_id, rank FROM r WHERE rank <= 5
+        """,
+        "embedding_pairs_exact": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id < 100)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.25
+        """,
+        "events_window": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type, count(*) AS n,
+                   round(sum(value), 3) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+    }
