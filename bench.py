@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Headline benchmark: corpus→pyramid slicing + spatial joins + dedup/ANN.
+
+Env:
+  SPARK_GRAFT_SF_DIR  input tables dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_QUERIES       comma list to restrict (default: all)
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "throughput": {...rows|tiles per sec...}}
+
+`--scaling` runs the pyramid job in two fresh subprocesses at
+local[N] and local[4N] (sandbox proxy for N vs 4N executors, see
+BASELINE.md) and writes BENCH/SCALING.md with the efficiency ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(d: str) -> float:
+    name = os.path.basename(d.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = _sf_from_dir(SF_DIR)
+# corpus scale tracks sf: sf0.1 → 30k pages (~210k polygon vertices)
+N_PAGES = max(2000, int(300_000 * SF))
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder
+            .master(f"local[{cpus}]")
+            .appName("geojson-vt-spark-bench")
+            .config("spark.sql.shuffle.partitions", str(cpus))
+            .config("spark.default.parallelism", str(cpus))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+            .config("spark.driver.memory", "16g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def bench_pyramid(spark) -> tuple[float, dict]:
+    """Full first-pass pyramid over the synthetic web corpus."""
+    from geojson_vt_spark import TileOptions
+    from geojson_vt_spark.engine import SparkTileEngine
+    from geojson_vt_spark.pipeline import features_from_json_df, wrap_df
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+    opts = TileOptions(index_max_zoom=7, index_max_points=1000)
+    wd = tempfile.mkdtemp(prefix="gvt_bench_")
+    eng = SparkTileEngine(spark, opts, workdir=wd)
+    pages = synth_pages_df(spark, N_PAGES, seed=42)
+    feats = features_from_json_df(extract_geo_features_df(pages), opts)
+    wrapped = wrap_df(feats, opts)
+    t0 = time.monotonic()
+    eng.build(wrapped)
+    n_tiles = eng.tiles().count()
+    dt = time.monotonic() - t0
+    return dt, {"tiles": n_tiles, "tiles_per_sec": n_tiles / dt,
+                "pages": N_PAGES}
+
+
+def bench_pip(spark) -> tuple[float, dict]:
+    import __spark_entry__ as em
+    t0 = time.monotonic()
+    n = em.q_pip_join(spark, SF_DIR).count()
+    dt = time.monotonic() - t0
+    n_pts = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    return dt, {"pairs": n, "probe_rows_per_sec": n_pts / dt}
+
+
+def bench_knn(spark) -> tuple[float, dict]:
+    import __spark_entry__ as em
+    t0 = time.monotonic()
+    n = em.q_knn_join(spark, SF_DIR).count()
+    dt = time.monotonic() - t0
+    return dt, {"result_rows": n}
+
+
+def bench_raster(spark) -> tuple[float, dict]:
+    import __spark_entry__ as em
+    t0 = time.monotonic()
+    n = em.q_raster_overlay(spark, SF_DIR).count()
+    return time.monotonic() - t0, {"pairs": n}
+
+
+def bench_minhash(spark) -> tuple[float, dict]:
+    from geojson_vt_spark.operators import minhash_lsh_pairs
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    t0 = time.monotonic()
+    n = minhash_lsh_pairs(docs, threshold=0.3).count()
+    dt = time.monotonic() - t0
+    return dt, {"pairs": n, "docs_per_sec": n_docs / dt}
+
+
+def bench_dedup_exact(spark) -> tuple[float, dict]:
+    from geojson_vt_spark.operators import exact_dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    t0 = time.monotonic()
+    exact_dedup(docs).count()
+    dt = time.monotonic() - t0
+    return dt, {"docs_per_sec": n_docs / dt}
+
+
+def bench_ann(spark) -> tuple[float, dict]:
+    from geojson_vt_spark.operators import cosine_topk
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = list(range(0, 50))
+    t0 = time.monotonic()
+    n = cosine_topk(emb, qids, k=10).count()
+    dt = time.monotonic() - t0
+    return dt, {"result_rows": n}
+
+
+def bench_text(spark) -> tuple[float, dict]:
+    import __spark_entry__ as em
+    t0 = time.monotonic()
+    em.q_text_quality(spark, SF_DIR).count()
+    em.q_lang_id(spark, SF_DIR).count()
+    em.q_fingerprint(spark, SF_DIR).count()
+    return time.monotonic() - t0, {}
+
+
+BENCHES = {
+    "pyramid": bench_pyramid,
+    "pip_join": bench_pip,
+    "knn_join": bench_knn,
+    "raster_overlay": bench_raster,
+    "minhash_dedup": bench_minhash,
+    "dedup_exact": bench_dedup_exact,
+    "ann_cosine_topk": bench_ann,
+    "text_suite": bench_text,
+}
+
+
+def run(cpus: int, only: list[str] | None = None) -> dict:
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = {}
+    throughput = {}
+    names = only or list(BENCHES)
+    for name in names:
+        dt, extra = BENCHES[name](spark)
+        queries[name] = round(dt, 3)
+        for k, v in extra.items():
+            throughput[f"{name}.{k}"] = round(v, 2) if isinstance(v, float) else v
+    spark.stop()
+    return {
+        "metric": "pyramid tiles/sec + spatial-join and dedup throughput "
+                  f"over synthetic web corpus + sf tables (local[{cpus}])",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF,
+        "throughput": throughput,
+        "cpus": cpus,
+        "pages": N_PAGES,
+    }
+
+
+def run_scaling() -> None:
+    """North-rule scaling evidence: same job at local[N] and local[4N]."""
+    n = max(2, CPUS // 4)
+    results = {}
+    for cpus in (n, CPUS):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   BENCH_QUERIES="pyramid,pip_join,minhash_dedup")
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True)
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = results[n], results[CPUS]
+    lines = [
+        "# SCALING — local[N] vs local[4N] (proxy for N vs 4N executors)",
+        "",
+        f"Same job + input ({SF_DIR}, {N_PAGES} corpus pages), fresh JVM each.",
+        "",
+        "| queries | local[{}] sec | local[{}] sec | speedup | efficiency |".format(n, CPUS),
+        "|---|---|---|---|---|",
+    ]
+    total_eff = []
+    for q in lo["queries"]:
+        t_lo, t_hi = lo["queries"][q], hi["queries"][q]
+        speed = t_lo / t_hi if t_hi else float("inf")
+        eff = speed / (CPUS / n)
+        total_eff.append((q, t_lo, t_hi, speed, eff))
+        lines.append(f"| {q} | {t_lo} | {t_hi} | {speed:.2f}x | {eff:.2f} |")
+    speed = lo["value"] / hi["value"]
+    eff = speed / (CPUS / n)
+    lines.append(f"| **total** | {lo['value']} | {hi['value']} | "
+                 f"**{speed:.2f}x** | **{eff:.2f}** |")
+    lines.append("")
+    lines.append(f"Throughput at local[{CPUS}]: "
+                 f"{hi['throughput'].get('pyramid.tiles_per_sec')} tiles/sec, "
+                 f"{hi['throughput'].get('pip_join.probe_rows_per_sec')} PIP probe rows/sec.")
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/SCALING.md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(json.dumps({"scaling_efficiency_total": round(eff, 3),
+                      "results": {str(k): v for k, v in results.items()}}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        only = None
+        if os.environ.get("BENCH_QUERIES"):
+            only = [q.strip() for q in os.environ["BENCH_QUERIES"].split(",")]
+        print(json.dumps(run(CPUS, only)))

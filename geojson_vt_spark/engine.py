@@ -33,14 +33,7 @@ from .kernel.index import to_id
 from .model import TILED_COLUMNS
 from .options import TileOptions
 from .pipeline import (assemble_tiles_df, features_from_json_df,
-                       geojson_to_input_rows, split_children_df,
-                       tile_stats_df, wrap_df)
-
-_TILE_META_SCHEMA = ("z int, x int, y int, tile_id long, num_features long, "
-                     "num_points long, num_simplified long, features_json string, "
-                     "minx double, miny double, maxx double, maxy double, "
-                     "is_split boolean, has_source boolean")
-
+                       geojson_to_input_rows, split_children_df, wrap_df)
 
 class SparkTileEngine:
     def __init__(self, spark: SparkSession, options: TileOptions | None = None,
@@ -119,82 +112,87 @@ class SparkTileEngine:
             frontier.write.mode("overwrite").parquet(self._p("frontier", "z=0"))
 
         z = start_z
-        # empty children of split parents still become (empty) tiles
-        # (/root/reference/src/index.js:151-154 pushes `tl || []`)
         while True:
             t0 = time.monotonic()
             frontier = self.spark.read.parquet(self._p("frontier", f"z={z}"))
 
-            stats = tile_stats_df(frontier)
+            # assembly already yields per-tile stats + bbox (the kernel
+            # computes numPoints/numFeatures, tile.js:4-8), so no
+            # separate stats aggregation is needed
+            assembled = assemble_tiles_df(frontier, opts)
             if z > 0:
-                # all 4 children of every tile split at z-1 exist as tiles,
-                # including empty ones (index.js:151-154 pushes `tl || []`)
-                parents = (self.spark.read.parquet(self._p("tiles_meta", f"z={z-1}"))
-                           .where("is_split")
-                           .select("x", "y"))
+                # all 4 children of every tile split at z-1 exist as
+                # tiles, including empty ones (index.js:151-154 pushes
+                # `tl || []`); empty = no frontier rows for that key
+                parents = (self.spark.read.parquet(self._p("tiles", f"z={z-1}"))
+                           .where("is_split").select("x", "y"))
                 children = (parents
                             .select((F.col("x") * 2).alias("x2"),
                                     (F.col("y") * 2).alias("y2"))
                             .crossJoin(self.spark.range(4).select(
                                 (F.col("id") % 2).cast("int").alias("dx"),
                                 (F.col("id") / 2).cast("int").alias("dy")))
-                            .select(F.lit(z).alias("z"),
-                                    (F.col("x2") + F.col("dx")).cast("int").alias("x"),
+                            .select((F.col("x2") + F.col("dx")).cast("int").alias("x"),
                                     (F.col("y2") + F.col("dy")).cast("int").alias("y")))
-                stats = (children.join(stats, ["z", "x", "y"], "left")
-                         .fillna({"num_features": 0, "num_points": 0})
-                         .fillna({"minx": 2.0, "miny": 1.0, "maxx": -1.0, "maxy": 0.0}))
+                present = frontier.select("x", "y").distinct()
+                empties = (children.join(present, ["x", "y"], "left_anti")
+                           .select(F.lit(z).alias("z"), "x", "y",
+                                   F.lit(0).cast("long").alias("num_features"),
+                                   F.lit(0).cast("long").alias("num_points"),
+                                   F.lit(0).cast("long").alias("num_simplified"),
+                                   F.lit("[]").alias("features_json"),
+                                   F.lit(2.0).alias("minx"), F.lit(1.0).alias("miny"),
+                                   F.lit(-1.0).alias("maxx"), F.lit(0.0).alias("maxy")))
+                assembled = assembled.unionByName(empties)
 
             is_split = ~((F.lit(z) == opts.index_max_zoom) |
                          (F.col("num_points") <= opts.index_max_points))
-            meta = stats.withColumn("is_split", is_split)
             # drop z before writing into the z=N dir so partition
             # discovery over the parent dir doesn't see a duplicate column
-            meta.drop("z").write.mode("overwrite").parquet(
-                self._p("tiles_meta", f"z={z}"))
-            meta = (self.spark.read.parquet(self._p("tiles_meta", f"z={z}"))
-                    .withColumn("z", F.lit(z)))
-
-            # assembled (transformed) tiles for every tile at this zoom
-            assembled = assemble_tiles_df(frontier, opts)
-            empties = (meta.where(F.col("num_features") == 0)
-                       .select("z", "x", "y",
-                               F.lit(0).cast("long").alias("num_features"),
-                               F.lit(0).cast("long").alias("num_points"),
-                               F.lit(0).cast("long").alias("num_simplified"),
-                               F.lit("[]").alias("features_json"),
-                               F.lit(2.0).alias("minx"), F.lit(1.0).alias("miny"),
-                               F.lit(-1.0).alias("maxx"), F.lit(0.0).alias("maxy")))
-            (assembled.unionByName(empties)
-             .join(meta.select("z", "x", "y", "is_split"), ["z", "x", "y"])
-             .withColumn("has_source", ~F.col("is_split"))
+            (assembled
+             .withColumn("is_split", is_split)
+             .withColumn("has_source", ~is_split)
              .withColumn("tile_id", F.expr(
                  "(shiftleft(1L, z) * y + x) * CAST(32 AS BIGINT) + z"))
              .drop("z")
              .write.mode("overwrite").parquet(self._p("tiles", f"z={z}")))
 
-            # leaf tiles retain their source features for drill-down
-            leaf_keys = meta.where(~F.col("is_split")).select("z", "x", "y")
-            (frontier.join(leaf_keys, ["z", "x", "y"]).drop("z")
-             .write.mode("overwrite").parquet(self._p("sources", f"z={z}")))
+            tiles_z = self.spark.read.parquet(self._p("tiles", f"z={z}"))
+            agg = tiles_z.agg(
+                F.count(F.lit(1)).alias("n_tiles"),
+                F.sum(F.col("is_split").cast("long")).alias("n_split"),
+                F.sum("num_points").alias("n_points")).collect()[0]
+            n_tiles = int(agg["n_tiles"])
+            n_split = int(agg["n_split"] or 0)
+            n_points = int(agg["n_points"] or 0)
 
-            split_keys = meta.where(F.col("is_split")).select("z", "x", "y")
-            n_split = split_keys.count()
-            agg = stats.agg(F.sum("num_points"), F.count(F.lit(1))).collect()[0]
-            n_points = int(agg[0] or 0)
-            n_tiles = int(agg[1])
+            split_keys = (tiles_z.where("is_split")
+                          .select(F.lit(z).alias("z"), "x", "y"))
+
+            # leaf tiles retain their source features for drill-down
+            (frontier.join(split_keys, ["z", "x", "y"], "left_anti").drop("z")
+             .write.mode("overwrite").parquet(self._p("sources", f"z={z}")))
 
             final = n_split == 0
             if not final:
                 nxt = split_children_df(
-                    frontier.join(split_keys, ["z", "x", "y"]), z, opts)
+                    frontier.join(split_keys.hint("broadcast"),
+                                  ["z", "x", "y"]), z, opts)
+                # partition budget scales with measured vertex count;
+                # the passed∪clipped union doubles the partition list,
+                # so shrink narrowly (coalesce) unless real growth is
+                # needed — a shuffle only when tiles actually multiplied
+                cur_parts = frontier.rdd.getNumPartitions()
                 n_parts = max(self.spark.sparkContext.defaultParallelism,
                               min(4096, n_points // self.target_points_per_partition + 1))
-                (nxt.repartition(n_parts, "x", "y")
-                 .write.mode("overwrite").parquet(self._p("frontier", f"z={z+1}")))
+                if n_parts > cur_parts:
+                    nxt = nxt.repartition(n_parts, "x", "y")
+                else:
+                    nxt = nxt.coalesce(max(n_parts, cur_parts // 2 + 1))
+                nxt.write.mode("overwrite").parquet(self._p("frontier", f"z={z+1}"))
 
             self._append_lineage({
-                "zoom": z, "n_tiles": n_tiles, "n_split": int(n_split),
+                "zoom": z, "n_tiles": n_tiles, "n_split": n_split,
                 "n_points": n_points, "wall_sec": time.monotonic() - t0,
                 "complete": True, "final": final,
             })
@@ -203,9 +201,6 @@ class SparkTileEngine:
             z += 1
 
     # ------------------------------------------------------------ read side
-
-    def tiles_meta(self) -> DataFrame:
-        return self.spark.read.parquet(self._p("tiles_meta"))
 
     def tiles(self) -> DataFrame:
         return self.spark.read.parquet(self._p("tiles"))

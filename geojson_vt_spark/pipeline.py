@@ -23,9 +23,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .kernel.clip import clip_features
-from .kernel.convert import convert
-from .kernel.tile import create_tile
-from .kernel.transform import transform_tile
 from .model import (FEATURE_SCHEMA, TILED_COLUMNS, TILED_FEATURE_SCHEMA,
                     feature_to_record, pdf_rows, record_to_feature,
                     records_to_pdf)
@@ -181,7 +178,7 @@ def split_children_df(frontier: DataFrame, z: int,
     k4c = 1 + k1c
     lm = options.line_metrics
 
-    outputs = []
+    quad_exprs = []
     udf_mask = F.lit(0)
     for q in range(4):
         dx, dy = q & 1, q >> 1
@@ -194,17 +191,22 @@ def split_children_df(frontier: DataFrame, z: int,
         acc_y = (F.col("miny") >= ylo) & (F.col("maxy") < yhi)
         rej_y = (F.col("maxy") < ylo) | (F.col("miny") >= yhi)
 
-        passed = (frontier
-                  .where(acc_x & acc_y)
-                  .withColumn("z", F.lit(z + 1))
-                  .withColumn("x", F.col("x") * 2 + dx)
-                  .withColumn("y", F.col("y") * 2 + dy)
-                  .withColumn("ord_path", F.concat(
-                      F.col("ord_path"),
-                      F.array(F.lit(0).cast("long"), F.lit(0).cast("long")))))
-        outputs.append(passed.select(*TILED_COLUMNS))
+        quad_exprs.append(F.when(acc_x & acc_y, F.struct(
+            F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))))
         needs_udf = ~(acc_x & acc_y) & ~(rej_x | rej_y)
         udf_mask = udf_mask + F.when(needs_udf, F.lit(1 << q)).otherwise(F.lit(0))
+
+    # one scan emits all trivially-accepted (feature, quadrant) child rows
+    passed = (frontier
+              .withColumn("q", F.explode(
+                  F.filter(F.array(*quad_exprs), lambda s: s.isNotNull())))
+              .withColumn("z", F.lit(z + 1))
+              .withColumn("x", F.col("x") * 2 + F.col("q.dx"))
+              .withColumn("y", F.col("y") * 2 + F.col("q.dy"))
+              .withColumn("ord_path", F.concat(
+                  F.col("ord_path"),
+                  F.array(F.lit(0).cast("long"), F.lit(0).cast("long"))))
+              .select(*TILED_COLUMNS))
 
     crossing = (frontier
                 .withColumn("udf_mask", udf_mask)
@@ -242,10 +244,7 @@ def split_children_df(frontier: DataFrame, z: int,
             yield records_to_pdf(records, columns=TILED_COLUMNS)
 
     clipped = crossing.mapInPandas(run, TILED_FEATURE_SCHEMA)
-    out = outputs[0]
-    for p in outputs[1:]:
-        out = out.unionByName(p)
-    return out.unionByName(clipped.select(*TILED_COLUMNS))
+    return passed.unionByName(clipped.select(*TILED_COLUMNS))
 
 
 # ---------------------------------------------------------------- stats / assembly
@@ -266,31 +265,160 @@ ASSEMBLED_SCHEMA = ("z int, x int, y int, num_features long, num_points long, "
                     "num_simplified long, features_json string, "
                     "minx double, miny double, maxx double, maxy double")
 
+_MAPPED_SCHEMA = ("z int, x int, y int, ord_path array<long>, fjson string, "
+                  "n_points long, n_simplified long, "
+                  "minx double, miny double, maxx double, maxy double")
+
+
+def _assemble_record(rec, z, x, y, options: TileOptions):
+    """Lean single-feature assembly on raw SoA arrays — identical
+    semantics to kernel create_tile + transform (tile.js, transform.js)
+    without per-feature kernel-object construction.
+
+    Returns (feature_json | None, num_points_contrib, num_simplified)."""
+    gtype = rec["gtype"]
+    extent = options.extent
+    z2 = 1 << z
+    tolerance = 0.0 if z == options.max_zoom else (
+        options.tolerance / (z2 * extent))
+    sq_tol = tolerance * tolerance
+
+    coords = np.asarray(rec["coords"], dtype=np.float64)
+    pts = coords.reshape(-1, 3)
+    # one vectorized tile-space transform for the whole feature
+    # (JS Math.round == floor(v + 0.5))
+    txi = np.floor(extent * (pts[:, 0] * z2 - x) + 0.5).astype(np.int64)
+    tyi = np.floor(extent * (pts[:, 1] * z2 - y) + 0.5).astype(np.int64)
+
+    n_all = pts.shape[0]
+    if gtype in ("Point", "MultiPoint"):
+        if n_all == 0:
+            return None, 0, 0
+        geom = np.stack((txi, tyi), axis=1).tolist()
+        fjson = (f'{{"geometry":{json.dumps(geom, separators=(",", ":"))},'
+                 f'"type":1,"tags":{rec["tags_json"] or "null"}'
+                 + (f',"id":{rec["fid_json"]}' if rec["fid_json"] is not None else "")
+                 + "}")
+        return fjson, n_all, n_all
+
+    ring_lens = np.asarray(rec["ring_lens"], dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(ring_lens))) // 3
+    sizes = np.asarray(rec["ring_size"], dtype=np.float64)
+    is_poly = gtype in ("Polygon", "MultiPolygon")
+
+    # which rings are outer rings (index 0 within their polygon)
+    n_rings = len(ring_lens)
+    if gtype == "MultiPolygon":
+        outer = np.zeros(n_rings, dtype=bool)
+        at = 0
+        for pl in rec["poly_lens"]:
+            outer[at] = True
+            at += int(pl)
+    else:
+        outer = np.zeros(n_rings, dtype=bool)
+        if n_rings:
+            outer[0] = True  # Polygon: ring 0 is outer; lines: unused
+
+    if tolerance > 0:
+        keep_all = pts[:, 2] > sq_tol
+    else:
+        keep_all = np.ones(n_all, dtype=bool)
+
+    n_points = 0
+    n_simplified = 0
+    ring_jsons = []
+    threshold = sq_tol if is_poly else tolerance
+    for r in range(n_rings):
+        lo, hi = int(offs[r]), int(offs[r + 1])
+        nv = hi - lo
+        if tolerance > 0 and sizes[r] < threshold:
+            n_points += nv  # tiny ring dropped early (tile.js:88-91)
+            continue
+        mask = keep_all[lo:hi]
+        kx = txi[lo:hi][mask]
+        ky = tyi[lo:hi][mask]
+        k = kx.shape[0]
+        n_simplified += k
+        n_points += nv
+        if is_poly and k:
+            # rewind on projected floats (decision precedes transform;
+            # reversal commutes with the per-point transform)
+            fx = pts[lo:hi, 0][mask]
+            fy = pts[lo:hi, 1][mask]
+            terms = (fx - np.roll(fx, 1)) * (fy + np.roll(fy, 1))
+            area = float(np.cumsum(terms)[-1]) if k else 0.0
+            if (area > 0) == bool(outer[r]):
+                kx = kx[::-1]
+                ky = ky[::-1]
+        ring_jsons.append(json.dumps(
+            np.stack((kx, ky), axis=1).tolist(), separators=(",", ":")))
+
+    if not ring_jsons:
+        return None, n_points, n_simplified
+
+    tags_json = rec["tags_json"]
+    if gtype == "LineString" and options.line_metrics:
+        tags = json.loads(tags_json) if tags_json else {}
+        size = float(rec["ring_size"][0])
+        tags["mapbox_clip_start"] = float(rec["ring_start"][0]) / size
+        tags["mapbox_clip_end"] = float(rec["ring_end"][0]) / size
+        tags_json = json.dumps(tags)
+
+    type_code = 3 if is_poly else 2
+    fjson = (f'{{"geometry":[{",".join(ring_jsons)}],'
+             f'"type":{type_code},"tags":{tags_json or "null"}'
+             + (f',"id":{rec["fid_json"]}' if rec["fid_json"] is not None else "")
+             + "}")
+    return fjson, n_points, n_simplified
+
 
 def assemble_tiles_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
-    """Tile assembly + transform: groupBy(z,x,y) → per-group kernel
-    create_tile (tolerance filter, rewind, stats) and integer transform
-    (/root/reference/src/tile.js, /root/reference/src/transform.js).
+    """Tile assembly + transform (/root/reference/src/tile.js,
+    /root/reference/src/transform.js), restructured for scale:
 
-    Features are ordered inside the group by ord_path — Spark group
-    iterators guarantee no order, the reference guarantees insertion
-    order (SURVEY.md §2.6 A1)."""
-    def assemble(key, pdf: pd.DataFrame):
-        z, x, y = int(key[0]), int(key[1]), int(key[2])
-        feats = sorted((record_to_feature(rec) for rec in pdf_rows(pdf)),
-                       key=lambda t: t[0])
-        tile = create_tile([f for _, f in feats], z, x, y, options)
-        transformed = transform_tile(tile, options.extent)
-        return pd.DataFrame([{
-            "z": z, "x": x, "y": y,
-            "num_features": tile.num_features,
-            "num_points": tile.num_points,
-            "num_simplified": tile.num_simplified,
-            "features_json": json.dumps(transformed["features"]),
-            "minx": tile.minx, "miny": tile.miny,
-            "maxx": tile.maxx, "maxy": tile.maxy,
-        }])
+    addFeature is a strictly per-feature operation and the tile stats
+    are sums, so assembly = a *narrow* per-feature map (tolerance
+    filter, rewind, integer transform, JSON render) followed by a pure
+    SQL aggregation with map-side partial combine.  No grouped-map UDF:
+    the giant low-zoom tiles (z0 holds everything) never serialize into
+    a single Python task — the only single-point work left is the JVM
+    string concat of the final features array, ordered by the explicit
+    ord_path key (Spark guarantees no row order; the reference
+    guarantees insertion order, SURVEY.md §2.6 A1)."""
+    def per_feature(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("z", "x", "y", "ord_path", "fjson",
+                                    "n_points", "n_simplified",
+                                    "minx", "miny", "maxx", "maxy")}
+            for rec in pdf_rows(pdf):
+                z, x, y = int(rec["z"]), int(rec["x"]), int(rec["y"])
+                fjson, n_pts, n_simpl = _assemble_record(rec, z, x, y, options)
+                rows["z"].append(z)
+                rows["x"].append(x)
+                rows["y"].append(y)
+                rows["ord_path"].append(list(rec["ord_path"]))
+                rows["fjson"].append(fjson)
+                rows["n_points"].append(n_pts)
+                rows["n_simplified"].append(n_simpl)
+                rows["minx"].append(rec["minx"])
+                rows["miny"].append(rec["miny"])
+                rows["maxx"].append(rec["maxx"])
+                rows["maxy"].append(rec["maxy"])
+            yield pd.DataFrame(rows)
 
-    return (frontier
+    mapped = frontier.mapInPandas(per_feature, _MAPPED_SCHEMA)
+    kept = F.when(F.col("fjson").isNotNull(),
+                  F.struct(F.col("ord_path"), F.col("fjson")))
+    return (mapped
             .groupBy("z", "x", "y")
-            .applyInPandas(assemble, ASSEMBLED_SCHEMA))
+            .agg(F.count(F.lit(1)).alias("num_features"),
+                 F.sum("n_points").alias("num_points"),
+                 F.sum("n_simplified").alias("num_simplified"),
+                 F.concat(
+                     F.lit("["),
+                     F.array_join(F.transform(
+                         F.array_sort(F.collect_list(kept)),
+                         lambda s: s.getField("fjson")), ","),
+                     F.lit("]")).alias("features_json"),
+                 F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+                 F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy")))

@@ -1,0 +1,84 @@
+"""Structured Streaming surface.
+
+The reference is a bounded batch pipeline (SURVEY.md §2.8 — no
+streaming operators), but a web-scale ingestion deployment consumes the
+crawl as a stream.  This module provides the streaming twins of the
+batch stages that make sense incrementally:
+
+- ``streaming_synth_pages``   rate source → deterministic corpus pages
+                              (same splitmix64 generator as the batch
+                              source, so batch/stream results agree);
+- ``streaming_tile_counts``   per-tile rollup over event-time windows
+                              with a watermark for late pages;
+- ``streaming_dedup_by_url``  stateful exact dedup on url within the
+                              watermark horizon.
+
+Tile *slicing* itself stays batch (the pyramid is a bounded iterative
+job); the streaming side feeds/maintains the per-tile stats that
+schedule re-slicing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.geo import cell_col
+from ..sources.corpus import _gen_batch
+
+
+def streaming_synth_pages(spark: SparkSession, rows_per_second: int = 500,
+                          seed: int = 42) -> DataFrame:
+    """Rate source → corpus pages; page identity = rate value, so the
+    stream replays the exact batch corpus row-for-row."""
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second).load())
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["value"].to_numpy(dtype=np.int64)
+            out = _gen_batch(ids, seed, 6)
+            out["event_ts"] = pdf["timestamp"].to_numpy()
+            yield out
+
+    return rate.mapInPandas(
+        gen, "url string, warc_ts timestamp, html binary, text string, "
+             "lang string, event_ts timestamp")
+
+
+_GEO_FIRST = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
+
+
+def _page_centroids(pages: DataFrame) -> DataFrame:
+    lat = F.regexp_extract("text", _GEO_FIRST, 1).cast("double")
+    lon = F.regexp_extract("text", _GEO_FIRST, 2).cast("double")
+    return pages.withColumn("lat", lat).withColumn("lon", lon)
+
+
+def streaming_tile_counts(pages: DataFrame, res: int = 6,
+                          window: str = "10 seconds",
+                          watermark: str = "30 seconds",
+                          ts_col: str = "event_ts") -> DataFrame:
+    """Windowed per-tile page counts with late-data handling:
+    watermark bounds state, tumbling event-time windows roll up the
+    cell counts that drive re-slicing decisions."""
+    pts = _page_centroids(pages)
+    return (pts
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("win"),
+                     cell_col(F.col("lon"), F.col("lat"), res).alias("cell"))
+            .agg(F.count(F.lit(1)).alias("n_pages"))
+            .select(F.col("win.start").alias("win_start"),
+                    "cell", "n_pages"))
+
+
+def streaming_dedup_by_url(pages: DataFrame, watermark: str = "30 seconds",
+                           ts_col: str = "event_ts") -> DataFrame:
+    """Streaming exact dedup: first sighting of each url wins inside the
+    watermark horizon (state bounded by the watermark)."""
+    return (pages
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["url"]))
