@@ -39,7 +39,11 @@ def _sf_from_dir(d: str) -> float:
 
 SF = _sf_from_dir(SF_DIR)
 # corpus scale tracks sf: sf0.1 → 30k pages (~210k polygon vertices)
-N_PAGES = max(2000, int(300_000 * SF))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES",
+                             max(2000, int(300_000 * SF))))
+# scaling mode swaps the PIP probe side for a generated point cloud so
+# the join is compute-bound rather than driver-overhead-bound
+PIP_POINTS = int(os.environ.get("SPARK_GRAFT_PIP_POINTS", "0"))
 
 
 def make_spark(cpus: int):
@@ -81,6 +85,29 @@ def bench_pyramid(spark) -> tuple[float, dict]:
 
 def bench_pip(spark) -> tuple[float, dict]:
     import __spark_entry__ as em
+    from pyspark.sql import functions as F
+    if PIP_POINTS:
+        from geojson_vt_spark.functions import project_x_col, project_y_col
+        from geojson_vt_spark.operators import point_in_polygon_join
+        pts = spark.range(PIP_POINTS).select(
+            F.col("id").alias("point_id"),
+            ((F.col("id") * 7919 % 36000) / 100.0 - 180.0
+             + (F.col("id") % 97) / 9700.0).alias("lon"),
+            ((F.col("id") * 104729 % 14000) / 100.0 - 70.0
+             + (F.col("id") % 89) / 8900.0).alias("lat"))
+        rects = em._nation_rects(spark, SF_DIR)
+        polys = rects.select(
+            "poly_id",
+            F.array(project_x_col(F.col("lon0")), project_x_col(F.col("lon1")),
+                    project_x_col(F.col("lon1")), project_x_col(F.col("lon0")),
+                    project_x_col(F.col("lon0"))).alias("pxs"),
+            F.array(project_y_col(F.col("lat0")), project_y_col(F.col("lat0")),
+                    project_y_col(F.col("lat1")), project_y_col(F.col("lat1")),
+                    project_y_col(F.col("lat0"))).alias("pys"))
+        t0 = time.monotonic()
+        n = point_in_polygon_join(pts, polys, res=6, salt_n=8).count()
+        dt = time.monotonic() - t0
+        return dt, {"pairs": n, "probe_rows_per_sec": PIP_POINTS / dt}
     t0 = time.monotonic()
     n = em.q_pip_join(spark, SF_DIR).count()
     dt = time.monotonic() - t0
@@ -184,8 +211,14 @@ def run_scaling() -> None:
     n = max(2, CPUS // 4)
     results = {}
     for cpus in (n, CPUS):
+        # compute-bound sizes: at 100 TB the work:overhead ratio is what
+        # the partition strategy faces, so the proxy job must be big
+        # enough that parallel work dominates fixed per-job latency
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                   BENCH_QUERIES="pyramid,pip_join,minhash_dedup")
+                   SPARK_GRAFT_PAGES=os.environ.get("SPARK_GRAFT_PAGES", "120000"),
+                   SPARK_GRAFT_PIP_POINTS=os.environ.get(
+                       "SPARK_GRAFT_PIP_POINTS", "3000000"),
+                   BENCH_QUERIES="pyramid,pip_join")
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True)
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
@@ -194,7 +227,9 @@ def run_scaling() -> None:
     lines = [
         "# SCALING — local[N] vs local[4N] (proxy for N vs 4N executors)",
         "",
-        f"Same job + input ({SF_DIR}, {N_PAGES} corpus pages), fresh JVM each.",
+        f"Same job + input ({SF_DIR}, {hi['pages']} corpus pages, "
+        f"{os.environ.get('SPARK_GRAFT_PIP_POINTS', '3000000')} PIP probe "
+        "points), fresh JVM per level.",
         "",
         "| queries | local[{}] sec | local[{}] sec | speedup | efficiency |".format(n, CPUS),
         "|---|---|---|---|---|",

@@ -57,6 +57,9 @@ class SparkTileEngine:
     def _p(self, *parts) -> str:
         return os.path.join(self.workdir, *parts)
 
+    def _read_frontier(self, z: int) -> DataFrame:
+        return self.spark.read.parquet(self._p("frontier", f"z={z}"))
+
     def _lineage_path(self) -> str:
         return self._p("lineage.json")
 
@@ -111,10 +114,13 @@ class SparkTileEngine:
                         .select(*TILED_COLUMNS))
             frontier.write.mode("overwrite").parquet(self._p("frontier", "z=0"))
 
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=3)
+
         z = start_z
         while True:
             t0 = time.monotonic()
-            frontier = self.spark.read.parquet(self._p("frontier", f"z={z}"))
+            frontier = self._read_frontier(z)
 
             # assembly already yields per-tile stats + bbox (the kernel
             # computes numPoints/numFeatures, tile.js:4-8), so no
@@ -147,31 +153,40 @@ class SparkTileEngine:
 
             is_split = ~((F.lit(z) == opts.index_max_zoom) |
                          (F.col("num_points") <= opts.index_max_points))
+            assembled = (assembled
+                         .withColumn("is_split", is_split)
+                         .withColumn("has_source", ~is_split)
+                         .withColumn("tile_id", F.expr(
+                             "(shiftleft(1L, z) * y + x) * CAST(32 AS BIGINT) + z"))
+                         .persist())
+
             # drop z before writing into the z=N dir so partition
             # discovery over the parent dir doesn't see a duplicate column
-            (assembled
-             .withColumn("is_split", is_split)
-             .withColumn("has_source", ~is_split)
-             .withColumn("tile_id", F.expr(
-                 "(shiftleft(1L, z) * y + x) * CAST(32 AS BIGINT) + z"))
-             .drop("z")
-             .write.mode("overwrite").parquet(self._p("tiles", f"z={z}")))
-
-            tiles_z = self.spark.read.parquet(self._p("tiles", f"z={z}"))
-            agg = tiles_z.agg(
+            # (cached-partition locking lets the concurrent agg reuse the
+            # write job's assembly work instead of recomputing it)
+            t_assembled = time.monotonic()
+            fut_tiles = pool.submit(
+                lambda: assembled.drop("z").write.mode("overwrite")
+                .parquet(self._p("tiles", f"z={z}")))
+            agg = assembled.agg(
                 F.count(F.lit(1)).alias("n_tiles"),
                 F.sum(F.col("is_split").cast("long")).alias("n_split"),
                 F.sum("num_points").alias("n_points")).collect()[0]
             n_tiles = int(agg["n_tiles"])
             n_split = int(agg["n_split"] or 0)
             n_points = int(agg["n_points"] or 0)
+            fut_tiles.result()
+            t_tiles_done = time.monotonic()
 
-            split_keys = (tiles_z.where("is_split")
+            split_keys = (assembled.where("is_split")
                           .select(F.lit(z).alias("z"), "x", "y"))
 
-            # leaf tiles retain their source features for drill-down
-            (frontier.join(split_keys, ["z", "x", "y"], "left_anti").drop("z")
-             .write.mode("overwrite").parquet(self._p("sources", f"z={z}")))
+            # leaf tiles retain their source features for drill-down;
+            # runs concurrently with the next-frontier split write
+            fut_sources = pool.submit(
+                lambda: frontier.join(split_keys, ["z", "x", "y"], "left_anti")
+                .drop("z").write.mode("overwrite")
+                .parquet(self._p("sources", f"z={z}")))
 
             final = n_split == 0
             if not final:
@@ -190,15 +205,20 @@ class SparkTileEngine:
                 else:
                     nxt = nxt.coalesce(max(n_parts, cur_parts // 2 + 1))
                 nxt.write.mode("overwrite").parquet(self._p("frontier", f"z={z+1}"))
+            fut_sources.result()
+            assembled.unpersist()
 
             self._append_lineage({
                 "zoom": z, "n_tiles": n_tiles, "n_split": n_split,
                 "n_points": n_points, "wall_sec": time.monotonic() - t0,
+                "assemble_sec": t_tiles_done - t_assembled,
+                "split_sec": time.monotonic() - t_tiles_done,
                 "complete": True, "final": final,
             })
             if final:
                 break
             z += 1
+        pool.shutdown()
 
     # ------------------------------------------------------------ read side
 
