@@ -458,7 +458,7 @@ def oracle_sql() -> dict[str, str]:
             WITH pts AS ({_POINTS_SQL})
             SELECT {_TX6} AS tx, {_TY6} AS ty,
                    count(*) AS num_features,
-                   sum(point_id % 100 + 2) AS num_points
+                   CAST(sum(point_id % 100 + 2) AS BIGINT) AS num_points
             FROM pts GROUP BY 1, 2
         """,
         "tiny_ring_filter": """
