@@ -90,7 +90,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from geojson_vt_spark import TileOptions
     from geojson_vt_spark.engine import SparkTileEngine
-    from geojson_vt_spark.pipeline import features_from_json_df, wrap_df
+    from geojson_vt_spark.pipeline import features_from_json_df
     from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
                                                  synth_pages_df)
 
@@ -98,7 +98,7 @@ def entry(spark: SparkSession) -> DataFrame:
     eng = SparkTileEngine(spark, opts, workdir=tempfile.mkdtemp(prefix="gvt_entry_"))
     pages = synth_pages_df(spark, 400, seed=42)
     feats = features_from_json_df(extract_geo_features_df(pages), opts)
-    eng.build(wrap_df(feats, opts))
+    eng.build_from_converted(feats)
     return (eng.tiles()
             .select("z", "x", "y", "tile_id", "num_features",
                     "num_points", "num_simplified")

@@ -66,7 +66,7 @@ def bench_pyramid(spark) -> tuple[float, dict]:
     """Full first-pass pyramid over the synthetic web corpus."""
     from geojson_vt_spark import TileOptions
     from geojson_vt_spark.engine import SparkTileEngine
-    from geojson_vt_spark.pipeline import features_from_json_df, wrap_df
+    from geojson_vt_spark.pipeline import features_from_json_df
     from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
                                                  synth_pages_df)
     opts = TileOptions(index_max_zoom=7, index_max_points=1000)
@@ -74,9 +74,8 @@ def bench_pyramid(spark) -> tuple[float, dict]:
     eng = SparkTileEngine(spark, opts, workdir=wd)
     pages = synth_pages_df(spark, N_PAGES, seed=42)
     feats = features_from_json_df(extract_geo_features_df(pages), opts)
-    wrapped = wrap_df(feats, opts)
     t0 = time.monotonic()
-    eng.build(wrapped)
+    eng.build_from_converted(feats)
     n_tiles = eng.tiles().count()
     dt = time.monotonic() - t0
     return dt, {"tiles": n_tiles, "tiles_per_sec": n_tiles / dt,

@@ -1,22 +1,32 @@
 """SparkTileEngine — the distributed tile pyramid.
 
 Re-expresses the reference driver (/root/reference/src/index.js) as a
-bounded per-zoom DataFrame loop:
+bounded per-zoom DataFrame loop with a subtree handoff:
 
-    frontier(z)  --narrow split map-->  frontier(z+1)
-        |--SQL agg--> stop rules (indexMaxZoom / indexMaxPoints)
-        |--groupBy applyInPandas--> assembled tiles (parquet, partition z)
-        |--leaf filter--> retained sources (parquet, partition z)
-        '--lineage row (zoom, counts, wall) --> resumable checkpoints
+    frontier(z)  --narrow split map-->  frontier(z+1)      [heavy tiles]
+        |--per-feature map + SQL agg--> assembled tiles (parquet, z dir)
+        |--driver stop rules----------> heavy / light / leaf per tile
+        |--leaf filter----------------> retained sources (parquet)
+        |--light groupBy applyInPandas> whole descendant subtrees
+        '--lineage row (zoom, keys, counts, wall) --> resumable
 
 Scale design notes (SURVEY.md §4/§7):
-- the split is shuffle-free; the only shuffles are the tiny per-zoom
-  stats agg and tile assembly (keyed by tile, the natural output key);
-- every zoom's frontier is checkpointed to parquet, cutting lineage
+- the split and assembly maps are shuffle-free; the only shuffles are
+  the per-zoom tile aggregation (keyed by tile, the natural output key)
+  and the round-robin rebalance of the next frontier;
+- the driver loop runs only while tiles are HEAVY (num_points above an
+  adaptive threshold ~ total/4·parallelism).  Everything below is handed
+  off per-tile to a grouped Arrow task that builds the tile's entire
+  descendant pyramid with the parity-exact local kernel — tile counts
+  grow 4× per zoom, so parallelism comes free while per-task work stays
+  bounded by the threshold (no group outgrows executor memory);
+- per-zoom state (tile keys + stats) collected to the driver is
+  O(heavy tiles) = O(total_points / threshold) = O(parallelism) — it
+  does NOT grow with the 4^z tile count;
+- every zoom's frontier/tiles/sources land in parquet, cutting lineage
   (the iterative-DataFrame plan-blowup trap) and enabling mid-pyramid
-  resume: a killed build restarts from the last complete zoom;
-- frontier partition count is re-derived per zoom from the measured
-  vertex count, so partitions stay ~even as tiles multiply 4× per level;
+  resume: a killed build restarts from the last complete zoom, and
+  pending subtree batches are re-run from their recorded keys;
 - lazy drill-down (getTile miss) replays the same split stages over the
   retained source of the nearest ancestor, pruned to the target path.
 """
@@ -26,19 +36,52 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .kernel.index import to_id
-from .model import TILED_COLUMNS
+from .model import FEATURE_COLUMNS, TILED_COLUMNS
 from .options import TileOptions
 from .pipeline import (assemble_tiles_df, features_from_json_df,
-                       geojson_to_input_rows, split_children_df, wrap_df)
+                       geojson_to_input_rows, split_children_df,
+                       subtree_stage_df, wrap_df)
+
+TILE_COLUMNS = ["z", "x", "y", "tile_id", "num_features", "num_points",
+                "num_simplified", "features_json", "minx", "miny",
+                "maxx", "maxy", "is_split", "has_source"]
+
+_EMPTY_TILE_SCHEMA = T.StructType([
+    T.StructField("x", T.IntegerType(), False),
+    T.StructField("y", T.IntegerType(), False),
+    T.StructField("num_features", T.LongType(), False),
+    T.StructField("num_points", T.LongType(), False),
+    T.StructField("num_simplified", T.LongType(), False),
+    T.StructField("features_json", T.StringType(), False),
+    T.StructField("minx", T.DoubleType(), False),
+    T.StructField("miny", T.DoubleType(), False),
+    T.StructField("maxx", T.DoubleType(), False),
+    T.StructField("maxy", T.DoubleType(), False),
+    T.StructField("is_split", T.BooleanType(), False),
+    T.StructField("has_source", T.BooleanType(), False),
+    T.StructField("tile_id", T.LongType(), False),
+])
+
+
+def _pack_xy(x: int, y: int) -> int:
+    return (x << 25) | y
+
+
+def _pack_col():
+    return (F.shiftleft(F.col("x").cast("long"), 25)
+            + F.col("y").cast("long"))
+
 
 class SparkTileEngine:
     def __init__(self, spark: SparkSession, options: TileOptions | None = None,
                  workdir: str | None = None,
-                 target_points_per_partition: int = 2_000_000):
+                 target_points_per_partition: int = 2_000_000,
+                 subtree_max_points: int | None = None):
         self.spark = spark
         self.options = options or TileOptions()
         if workdir is None:
@@ -46,6 +89,7 @@ class SparkTileEngine:
             workdir = tempfile.mkdtemp(prefix="gvt_spark_")
         self.workdir = workdir
         self.target_points_per_partition = target_points_per_partition
+        self.subtree_max_points = subtree_max_points
         os.makedirs(workdir, exist_ok=True)
         # drill-down overlay: tiles/sources created by get_tile after build
         self._drill_tiles: dict[int, dict] = {}
@@ -87,6 +131,57 @@ class SparkTileEngine:
         features = wrap_df(features, self.options)
         self.build(features)
 
+    # measured local-kernel throughput: ~45k vertices/sec per zoom level
+    # per core (tests/prof); the handoff threshold targets ~2s tasks, so
+    # T(z) = budget / levels_remaining.  Small inputs hand off near the
+    # root (the whole pyramid is a few core-seconds); big inputs keep
+    # distributing until per-tile subtrees shrink to task size — the
+    # formula self-balances across scales.
+    _KERNEL_PTS_PER_TASK = 90_000
+
+    def _subtree_threshold(self, z: int) -> int:
+        if self.subtree_max_points is not None:
+            return self.subtree_max_points
+        levels_left = max(1, self.options.index_max_zoom - z)
+        return max(2000, self._KERNEL_PTS_PER_TASK // levels_left)
+
+    def _submit_subtree(self, pool, futures, z: int, keys: list) -> None:
+        """Async: build the whole descendant pyramid of each light tile."""
+        if not keys:
+            return
+        packed = [_pack_xy(int(x), int(y)) for x, y in keys]
+
+        def job(z=z, packed=packed):
+            sel = self._read_frontier(z).where(_pack_col().isin(packed))
+            (subtree_stage_df(sel, self.options)
+             .write.mode("overwrite").parquet(self._p("subtree", f"b={z}")))
+
+        futures.append(pool.submit(job))
+
+    def _ensure_subtrees(self, lineage_rows, pool, futures) -> None:
+        """Resume path: re-run any handoff batch whose output is missing
+        (killed mid-write) from its recorded keys — the frontier
+        checkpoint it reads is still on disk."""
+        for row in lineage_rows:
+            keys = row.get("handoff") or []
+            if not keys:
+                continue
+            marker = self._p("subtree", f"b={row['zoom']}", "_SUCCESS")
+            if not os.path.exists(marker):
+                self._submit_subtree(pool, futures, row["zoom"], keys)
+
+    def build_from_converted(self, features_df: DataFrame,
+                             resume: bool = False) -> None:
+        """Checkpoint the (expensive) converted-features stage to parquet
+        before the wrap decision, so ingest/convert executes exactly once
+        — wrap's candidate agg and the z0 frontier write both re-read the
+        checkpoint instead of re-running the whole upstream pipeline."""
+        path = self._p("features")
+        if not (resume and os.path.exists(os.path.join(path, "_SUCCESS"))):
+            features_df.write.mode("overwrite").parquet(path)
+        feats = self.spark.read.parquet(path)
+        self.build(wrap_df(feats, self.options), resume=resume)
+
     def build(self, features_df: DataFrame, resume: bool = False) -> None:
         """First-pass pyramid (cz == null path of splitTile).
 
@@ -95,14 +190,26 @@ class SparkTileEngine:
         is complete, reusing the checkpointed frontier.
         """
         opts = self.options
+        spark = self.spark
+        par = spark.sparkContext.defaultParallelism
+        pool = ThreadPoolExecutor(max_workers=4)
+        futures: list = []
+
         start_z = 0
+        heavy_prev: list | None = None
         if resume:
             done = [r for r in self._read_lineage() if r.get("complete")]
             if done:
+                self._ensure_subtrees(done, pool, futures)
                 last = max(r["zoom"] for r in done)
-                if any(r["zoom"] == last and r.get("final") for r in done):
+                last_row = [r for r in done if r["zoom"] == last][-1]
+                if last_row.get("final"):
+                    for f in futures:
+                        f.result()
+                    pool.shutdown()
                     return  # build already finished
                 start_z = last + 1
+                heavy_prev = [tuple(k) for k in last_row.get("heavy", [])]
         if not resume and os.path.exists(self._lineage_path()):
             os.remove(self._lineage_path())
 
@@ -114,116 +221,136 @@ class SparkTileEngine:
                         .select(*TILED_COLUMNS))
             frontier.write.mode("overwrite").parquet(self._p("frontier", "z=0"))
 
-        from concurrent.futures import ThreadPoolExecutor
-        pool = ThreadPoolExecutor(max_workers=3)
-
         z = start_z
         while True:
             t0 = time.monotonic()
             frontier = self._read_frontier(z)
 
-            # assembly already yields per-tile stats + bbox (the kernel
-            # computes numPoints/numFeatures, tile.js:4-8), so no
-            # separate stats aggregation is needed
-            assembled = assemble_tiles_df(frontier, opts)
-            if z > 0:
-                # all 4 children of every tile split at z-1 exist as
-                # tiles, including empty ones (index.js:151-154 pushes
-                # `tl || []`); empty = no frontier rows for that key
-                parents = (self.spark.read.parquet(self._p("tiles", f"z={z-1}"))
-                           .where("is_split").select("x", "y"))
-                children = (parents
-                            .select((F.col("x") * 2).alias("x2"),
-                                    (F.col("y") * 2).alias("y2"))
-                            .crossJoin(self.spark.range(4).select(
-                                (F.col("id") % 2).cast("int").alias("dx"),
-                                (F.col("id") / 2).cast("int").alias("dy")))
-                            .select((F.col("x2") + F.col("dx")).cast("int").alias("x"),
-                                    (F.col("y2") + F.col("dy")).cast("int").alias("y")))
-                present = frontier.select("x", "y").distinct()
-                empties = (children.join(present, ["x", "y"], "left_anti")
-                           .select(F.lit(z).alias("z"), "x", "y",
-                                   F.lit(0).cast("long").alias("num_features"),
-                                   F.lit(0).cast("long").alias("num_points"),
-                                   F.lit(0).cast("long").alias("num_simplified"),
-                                   F.lit("[]").alias("features_json"),
-                                   F.lit(2.0).alias("minx"), F.lit(1.0).alias("miny"),
-                                   F.lit(-1.0).alias("maxx"), F.lit(0.0).alias("maxy")))
-                assembled = assembled.unionByName(empties)
-
+            # assembly yields per-tile stats + bbox (the kernel computes
+            # numPoints/numFeatures, tile.js:4-8) and the stop-rule flag
+            # is a pure column expression
             is_split = ~((F.lit(z) == opts.index_max_zoom) |
                          (F.col("num_points") <= opts.index_max_points))
-            assembled = (assembled
+            assembled = (assemble_tiles_df(frontier, opts)
                          .withColumn("is_split", is_split)
-                         .withColumn("has_source", ~is_split)
+                         .withColumn("has_source", ~F.col("is_split"))
                          .withColumn("tile_id", F.expr(
-                             "(shiftleft(1L, z) * y + x) * CAST(32 AS BIGINT) + z"))
-                         .persist())
-
+                             "(shiftleft(1L, z) * y + x) * CAST(32 AS BIGINT) + z")))
             # drop z before writing into the z=N dir so partition
             # discovery over the parent dir doesn't see a duplicate column
-            # (cached-partition locking lets the concurrent agg reuse the
-            # write job's assembly work instead of recomputing it)
+            tiles_path = self._p("tiles", f"z={z}")
+            assembled.drop("z").write.mode("overwrite").parquet(tiles_path)
             t_assembled = time.monotonic()
-            fut_tiles = pool.submit(
-                lambda: assembled.drop("z").write.mode("overwrite")
-                .parquet(self._p("tiles", f"z={z}")))
-            agg = assembled.agg(
-                F.count(F.lit(1)).alias("n_tiles"),
-                F.sum(F.col("is_split").cast("long")).alias("n_split"),
-                F.sum("num_points").alias("n_points")).collect()[0]
-            n_tiles = int(agg["n_tiles"])
-            n_split = int(agg["n_split"] or 0)
-            n_points = int(agg["n_points"] or 0)
-            fut_tiles.result()
-            t_tiles_done = time.monotonic()
+            _tm = {"assemble": t_assembled - t0}
 
-            split_keys = (assembled.where("is_split")
-                          .select(F.lit(z).alias("z"), "x", "y"))
+            # per-tile stats read back from the column-pruned parquet —
+            # O(heavy_prev·4) rows, never the 4^z full tile count
+            stats = (spark.read.parquet(tiles_path)
+                     .select("x", "y", "num_points", "is_split").collect())
+            _tm["stats"] = time.monotonic() - t_assembled
+            present = {(r["x"], r["y"]) for r in stats}
+            n_points = sum(r["num_points"] for r in stats)
+            splits = [(r["x"], r["y"], r["num_points"])
+                      for r in stats if r["is_split"]]
+            threshold = self._subtree_threshold(z)
+            light = [(x, y) for x, y, np_ in splits if np_ <= threshold]
+            heavy = [(x, y) for x, y, np_ in splits if np_ > threshold]
+            heavy_points = sum(np_ for _, _, np_ in splits if np_ > threshold)
 
-            # leaf tiles retain their source features for drill-down;
-            # runs concurrently with the next-frontier split write
+            # all 4 children of every split tile at z-1 exist as tiles,
+            # even empty ones (index.js:151-154 pushes `tl || []`);
+            # children of light splits come from their subtree batch
+            n_empty = 0
+            if z > 0 and heavy_prev:
+                missing = [(cx, cy)
+                           for px, py in heavy_prev
+                           for cx in (2 * px, 2 * px + 1)
+                           for cy in (2 * py, 2 * py + 1)
+                           if (cx, cy) not in present]
+                n_empty = len(missing)
+                if missing:
+                    _t = time.monotonic()
+                    import pandas as pd
+                    pdf = pd.DataFrame({
+                        "x": pd.Series([c[0] for c in missing], dtype="int32"),
+                        "y": pd.Series([c[1] for c in missing], dtype="int32"),
+                        "num_features": 0, "num_points": 0,
+                        "num_simplified": 0, "features_json": "[]",
+                        "minx": 2.0, "miny": 1.0, "maxx": -1.0, "maxy": 0.0,
+                        "is_split": False, "has_source": True,
+                        "tile_id": pd.Series(
+                            [to_id(z, cx, cy) for cx, cy in missing],
+                            dtype="int64"),
+                    })
+                    # Arrow-path createDataFrame: data stays JVM-local, so
+                    # the single-task append never touches Python workers
+                    empties = spark.createDataFrame(pdf, _EMPTY_TILE_SCHEMA)
+                    empties.coalesce(1).write.mode("append").parquet(tiles_path)
+                    _tm["empties"] = time.monotonic() - _t
+
+            # leaf tiles retain their source features for drill-down
+            split_packed = [_pack_xy(x, y) for x, y, _ in splits]
             fut_sources = pool.submit(
-                lambda: frontier.join(split_keys, ["z", "x", "y"], "left_anti")
+                lambda z=z, sp=list(split_packed):
+                self._read_frontier(z).where(~_pack_col().isin(sp))
                 .drop("z").write.mode("overwrite")
                 .parquet(self._p("sources", f"z={z}")))
 
-            final = n_split == 0
+            _t = time.monotonic()
+            self._submit_subtree(pool, futures, z, light)
+
+            final = not heavy
             if not final:
+                heavy_packed = [_pack_xy(x, y) for x, y in heavy]
                 nxt = split_children_df(
-                    frontier.join(split_keys.hint("broadcast"),
-                                  ["z", "x", "y"]), z, opts)
-                # partition budget scales with measured vertex count;
-                # the passed∪clipped union doubles the partition list,
-                # so shrink narrowly (coalesce) unless real growth is
-                # needed — a shuffle only when tiles actually multiplied
-                cur_parts = frontier.rdd.getNumPartitions()
-                n_parts = max(self.spark.sparkContext.defaultParallelism,
-                              min(4096, n_points // self.target_points_per_partition + 1))
-                if n_parts > cur_parts:
-                    nxt = nxt.repartition(n_parts, "x", "y")
-                else:
-                    nxt = nxt.coalesce(max(n_parts, cur_parts // 2 + 1))
-                nxt.write.mode("overwrite").parquet(self._p("frontier", f"z={z+1}"))
+                    frontier.where(_pack_col().isin(heavy_packed)), z, opts)
+                # partition budget scales with the measured vertex count
+                # of the surviving heavy tiles; round-robin rebalance so
+                # no partition carries a whole hot tile (skew)
+                n_parts = max(par, min(
+                    4096, heavy_points // self.target_points_per_partition + 1))
+                nxt = nxt.repartition(n_parts)
+                nxt.write.mode("overwrite").parquet(
+                    self._p("frontier", f"z={z+1}"))
+                _tm["split"] = time.monotonic() - _t
+            _t = time.monotonic()
             fut_sources.result()
-            assembled.unpersist()
+            _tm["sources_wait"] = time.monotonic() - _t
 
             self._append_lineage({
-                "zoom": z, "n_tiles": n_tiles, "n_split": n_split,
-                "n_points": n_points, "wall_sec": time.monotonic() - t0,
-                "assemble_sec": t_tiles_done - t_assembled,
-                "split_sec": time.monotonic() - t_tiles_done,
+                "zoom": z, "n_tiles": len(stats) + n_empty,
+                "n_split": len(splits), "n_points": n_points,
+                "heavy": [list(k) for k in heavy],
+                "handoff": [list(k) for k in light],
+                "wall_sec": time.monotonic() - t0,
+                "steps": {k: round(v, 2) for k, v in _tm.items()},
                 "complete": True, "final": final,
             })
             if final:
                 break
+            heavy_prev = heavy
             z += 1
+
+        for f in futures:
+            f.result()
         pool.shutdown()
 
     # ------------------------------------------------------------ read side
 
+    def _subtree_df(self) -> DataFrame | None:
+        path = self._p("subtree")
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path)
+
     def tiles(self) -> DataFrame:
-        return self.spark.read.parquet(self._p("tiles"))
+        base = (self.spark.read.parquet(self._p("tiles"))
+                .select(*TILE_COLUMNS))
+        sub = self._subtree_df()
+        if sub is not None:
+            base = base.unionByName(
+                sub.where(F.col("kind") == "tile").select(*TILE_COLUMNS))
+        return base
 
     def enumerate_tiles(self) -> dict[str, list]:
         """genTiles equivalent (/root/reference/test/test-full.js:49-64):
@@ -284,6 +411,24 @@ class SparkTileEngine:
         return {"features": json.loads(rows[0]["features_json"]),
                 "z": z, "x": x, "y": y}
 
+    def _source_rows(self, z, x, y) -> list:
+        """Collect retained-source feature records for (z,x,y) from the
+        per-zoom sources store and the subtree batches."""
+        rows = []
+        p1 = self._p("sources", f"z={z}")
+        if os.path.isdir(p1):
+            rows.extend(
+                self.spark.read.parquet(p1)
+                .where((F.col("x") == x) & (F.col("y") == y))
+                .select(*FEATURE_COLUMNS).collect())
+        sub = self._subtree_df()
+        if sub is not None:
+            rows.extend(
+                sub.where((F.col("kind") == "source") & (F.col("z") == z) &
+                          (F.col("x") == x) & (F.col("y") == y))
+                .select(*FEATURE_COLUMNS).collect())
+        return rows
+
     def _lookup_source(self, z, x, y):
         """Return kernel features of the retained source for (z,x,y), or None."""
         tid = to_id(z, x, y)
@@ -301,10 +446,8 @@ class SparkTileEngine:
         if not exists:
             return None
         from .model import record_to_feature
-        rows = (self.spark.read.parquet(self._p("sources", f"z={z}"))
-                .where((F.col("x") == x) & (F.col("y") == y))
-                .collect())
-        feats = sorted((record_to_feature(r.asDict()) for r in rows),
+        feats = sorted((record_to_feature(r.asDict())
+                        for r in self._source_rows(z, x, y)),
                        key=lambda t: t[0])
         return feats if feats else None
 

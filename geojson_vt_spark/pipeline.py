@@ -20,7 +20,7 @@ import json
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from .kernel.clip import clip_features
 from .model import (FEATURE_SCHEMA, TILED_COLUMNS, TILED_FEATURE_SCHEMA,
@@ -133,20 +133,27 @@ def wrap_df(df: DataFrame, options: TileOptions) -> DataFrame:
     """Distributed dateline wrap (/root/reference/src/wrap.js:5-19).
 
     ord_path gains a [world, ..., slice] envelope; world 0/1/2 =
-    left/center/right reproduces the reference's concat order."""
+    left/center/right reproduces the reference's concat order.
+
+    One tiny agg decides whether side copies exist: the left clip
+    window is [-1-b, b] and projected x ≥ 0 > -1-b always, so the clip
+    output is non-empty iff some feature bbox reaches x ≤ b (point clip
+    keeps x == k2 inclusively, clip.js:92, hence <=); a candidate whose
+    clip comes out empty only adds an empty union branch — harmless —
+    so the bbox test errs exclusively on the safe side."""
     b = options.buffer / options.extent
 
-    left = _shift_df(_clip_df(df, -1 - b, b, 0, options, 0), 1.0)
-    right = _shift_df(_clip_df(df, 1 - b, 2 + b, 0, options, 2), -1.0)
-
-    # cheap candidate prefilter decides whether any side copies exist
-    has_left = not df.where(F.col("minx") < b).isEmpty() and not left.isEmpty()
-    has_right = (not df.where(F.col("maxx") >= 1 - b).isEmpty()
-                 and not right.isEmpty())
+    counts = df.agg(
+        F.sum((F.col("minx") <= b).cast("long")).alias("l"),
+        F.sum((F.col("maxx") >= 1 - b).cast("long")).alias("r")).first()
+    has_left = bool(counts["l"])
+    has_right = bool(counts["r"])
 
     if not has_left and not has_right:
         return df.withColumn("ord_path", _ord_extend(1, F.lit(0)))
 
+    left = _shift_df(_clip_df(df, -1 - b, b, 0, options, 0), 1.0)
+    right = _shift_df(_clip_df(df, 1 - b, 2 + b, 0, options, 2), -1.0)
     center = _clip_df(df, -b, 1 + b, 0, options, 1)
     parts = []
     if has_left:
@@ -422,3 +429,140 @@ def assemble_tiles_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
                      F.lit("]")).alias("features_json"),
                  F.min("minx").alias("minx"), F.min("miny").alias("miny"),
                  F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy")))
+
+
+# ---------------------------------------------------------------- subtree
+
+SUBTREE_SCHEMA = T.StructType([
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("z", T.IntegerType(), False),
+    T.StructField("x", T.IntegerType(), False),
+    T.StructField("y", T.IntegerType(), False),
+    T.StructField("tile_id", T.LongType(), True),
+    T.StructField("num_features", T.LongType(), True),
+    T.StructField("num_points", T.LongType(), True),
+    T.StructField("num_simplified", T.LongType(), True),
+    T.StructField("features_json", T.StringType(), True),
+    T.StructField("is_split", T.BooleanType(), True),
+    T.StructField("has_source", T.BooleanType(), True),
+    T.StructField("ord_path", T.ArrayType(T.LongType()), True),
+    T.StructField("fid_json", T.StringType(), True),
+    T.StructField("tags_json", T.StringType(), True),
+    T.StructField("gtype", T.StringType(), True),
+    T.StructField("coords", T.ArrayType(T.DoubleType()), True),
+    T.StructField("ring_lens", T.ArrayType(T.IntegerType()), True),
+    T.StructField("poly_lens", T.ArrayType(T.IntegerType()), True),
+    T.StructField("ring_size", T.ArrayType(T.DoubleType()), True),
+    T.StructField("ring_start", T.ArrayType(T.DoubleType()), True),
+    T.StructField("ring_end", T.ArrayType(T.DoubleType()), True),
+    T.StructField("minx", T.DoubleType(), True),
+    T.StructField("miny", T.DoubleType(), True),
+    T.StructField("maxx", T.DoubleType(), True),
+    T.StructField("maxy", T.DoubleType(), True),
+])
+
+_SUBTREE_COLUMNS = [f.name for f in SUBTREE_SCHEMA.fields]
+
+
+def split_subtree(features, z0: int, x0: int, y0: int, options: TileOptions):
+    """Run the reference split loop (/root/reference/src/index.js:66-156,
+    first-pass stop rules) over one tile's entire subtree in-process.
+
+    The root (z0,x0,y0) is a tile the distributed loop already assembled
+    and classified as splitting, so the root tile itself is NOT emitted;
+    returns (tiles, sources) for every descendant, where tiles is a list
+    of (Tile, is_split) and sources maps leaf (z,x,y) → feature list."""
+    from .kernel.clip import clip_features
+    from .kernel.tile import create_tile
+
+    tiles_out: list[tuple] = []
+    sources_out: list[tuple] = []
+    stack = [(features, z0, x0, y0)]
+    while stack:
+        feats, z, x, y = stack.pop()
+        tile = create_tile(feats, z, x, y, options)
+        is_root = z == z0
+        splits = not (z == options.index_max_zoom or
+                      tile.num_points <= options.index_max_points)
+        if is_root:
+            splits = True  # classified by the distributed stop rule
+        else:
+            tiles_out.append((tile, splits))
+        if not splits:
+            sources_out.append((z, x, y, feats))
+            continue
+        if not feats:
+            continue
+        z2 = 1 << z
+        k1 = 0.5 * options.buffer / options.extent
+        k2, k3, k4 = 0.5 - k1, 0.5 + k1, 1 + k1
+        lm = options.line_metrics
+        tl = bl = tr = br = None
+        left = clip_features(feats, z2, x - k1, x + k3, 0,
+                             tile.minx, tile.maxx, lm)
+        right = clip_features(feats, z2, x + k2, x + k4, 0,
+                              tile.minx, tile.maxx, lm)
+        if left:
+            tl = clip_features(left, z2, y - k1, y + k3, 1,
+                               tile.miny, tile.maxy, lm)
+            bl = clip_features(left, z2, y + k2, y + k4, 1,
+                               tile.miny, tile.maxy, lm)
+        if right:
+            tr = clip_features(right, z2, y - k1, y + k3, 1,
+                               tile.miny, tile.maxy, lm)
+            br = clip_features(right, z2, y + k2, y + k4, 1,
+                               tile.miny, tile.maxy, lm)
+        stack.append((tl or [], z + 1, x * 2, y * 2))
+        stack.append((bl or [], z + 1, x * 2, y * 2 + 1))
+        stack.append((tr or [], z + 1, x * 2 + 1, y * 2))
+        stack.append((br or [], z + 1, x * 2 + 1, y * 2 + 1))
+    return tiles_out, sources_out
+
+
+def subtree_stage_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
+    """Grouped-map handoff: each light splitting tile's features become
+    one Arrow batch; the whole descendant pyramid of that tile is built
+    inside the task with the parity-exact local kernel.
+
+    This is the scale hinge of the engine (SURVEY.md §4): the
+    distributed per-zoom loop runs only while tiles are heavy (few,
+    skewed), then 4^z-way tile parallelism takes over with zero further
+    driver coordination — per-task work is bounded by the handoff
+    threshold, so no group can exceed executor memory."""
+    from .kernel.index import to_id
+    from .kernel.transform import transform_tile
+
+    def run(key, pdf):
+        z0, x0, y0 = int(key[0]), int(key[1]), int(key[2])
+        recs = sorted((record_to_feature(r) for r in pdf_rows(pdf)),
+                      key=lambda t: t[0])
+        feats = [f for _, f in recs]
+        tiles_out, sources_out = split_subtree(feats, z0, x0, y0, options)
+
+        rows = {c: [] for c in _SUBTREE_COLUMNS}
+
+        def emit(vals: dict):
+            for c in _SUBTREE_COLUMNS:
+                rows[c].append(vals.get(c))
+
+        for tile, splits in tiles_out:
+            tf = transform_tile(tile, options.extent)
+            emit({
+                "kind": "tile", "z": tile.z, "x": tile.x, "y": tile.y,
+                "tile_id": to_id(tile.z, tile.x, tile.y),
+                "num_features": tile.num_features,
+                "num_points": tile.num_points,
+                "num_simplified": tile.num_simplified,
+                "features_json": json.dumps(tf["features"],
+                                            separators=(",", ":")),
+                "is_split": splits, "has_source": not splits,
+                "minx": tile.minx, "miny": tile.miny,
+                "maxx": tile.maxx, "maxy": tile.maxy,
+            })
+        for sz, sx, sy, sfeats in sources_out:
+            for i, f in enumerate(sfeats):
+                emit({"kind": "source", "z": sz, "x": sx, "y": sy,
+                      **feature_to_record((i,), f)})
+        return pd.DataFrame(rows, columns=_SUBTREE_COLUMNS)
+
+    return frontier.groupBy("z", "x", "y").applyInPandas(run, SUBTREE_SCHEMA)
