@@ -1,0 +1,1207 @@
+"""Batch-vectorized geometry kernel (SoA across features).
+
+The object kernel (convert.py / clip.py / tile.py) mirrors the
+reference 1:1 and serves as the parity oracle; this module re-expresses
+the same semantics over *ragged batches* — every vertex of every
+feature in one flat numpy array with ring/feature offset tables — so
+the per-call numpy overhead that dominates tiny geometries (web-corpus
+polygons are ~7 vertices) disappears.  This is the execution kernel the
+Spark stages and subtree tasks run on; single-digit-million vertices
+per Arrow batch stay in C the whole way.
+
+Float parity rules (see SURVEY.md §7 "hard parts"):
+- projections go through the fdlibm-exact js_sin/js_log, elementwise —
+  batched calls produce bit-identical values to per-feature calls;
+- per-ring running sums (shoelace area, polyline length) use
+  ``np.cumsum`` on the ring's slice — the same strictly-sequential
+  accumulation order as the reference's ``+=`` loop.  ``reduceat`` is
+  NOT order-safe (numpy pairwise summation) and is used only for
+  order-free reductions (min/max/integer counts);
+- Douglas-Peucker pivot selection compares float64s exactly; spans
+  where the max distance occurs more than once fall back to a scalar
+  tie-break replicating simplify.js:22-31 in raw-offset space.
+
+Layout
+------
+``Rags``: vertex arrays xs/ys/zs (float64, length V), ring offset table
+``roff`` (int64, R+1), per-ring feature index ``rfeat``, per-ring
+metrics size/start/end, per-ring ``rpoly`` (polygon ordinal within the
+feature, -1 for line/point rings) — rings of one feature are contiguous
+and ordered.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+
+from .jsmath import js_log, js_sin
+
+_BIG = np.int64(1 << 62)
+
+
+class Rags:
+    """Ragged ring batch: flat vertex SoA + ring/feature index tables."""
+    __slots__ = ("xs", "ys", "zs", "roff", "rfeat", "rsize", "rstart",
+                 "rend", "rpoly", "router", "n_feats")
+
+    def __init__(self, xs, ys, zs, roff, rfeat, rsize, rstart, rend,
+                 rpoly, n_feats):
+        self.xs = xs
+        self.ys = ys
+        self.zs = zs
+        self.roff = roff
+        self.rfeat = rfeat
+        self.rsize = rsize
+        self.rstart = rstart
+        self.rend = rend
+        self.rpoly = rpoly
+        self.n_feats = n_feats
+
+    @property
+    def n_rings(self) -> int:
+        return len(self.rfeat)
+
+    @property
+    def n_vertices(self) -> int:
+        return len(self.xs)
+
+    def ring_lens(self) -> np.ndarray:
+        return self.roff[1:] - self.roff[:-1]
+
+
+def ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (standard cumsum trick)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def seg_first_true(mask: np.ndarray, starts: np.ndarray,
+                   idx: np.ndarray) -> np.ndarray:
+    """Per segment, the smallest idx where mask holds (BIG if none)."""
+    vals = np.where(mask, idx, _BIG)
+    return np.minimum.reduceat(vals, starts)
+
+
+# ---------------------------------------------------------------- project
+
+def project_x_arr(lon: np.ndarray) -> np.ndarray:
+    return lon / 360 + 0.5
+
+
+def project_y_arr(lat: np.ndarray) -> np.ndarray:
+    s = js_sin(lat * np.pi / 180)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        y = 0.5 - 0.25 * js_log((1 + s) / (1 - s)) / np.pi
+    return np.where(y < 0, 0.0, np.where(y > 1, 1.0, y))
+
+
+# ---------------------------------------------------------------- simplify
+
+def batch_simplify(xs, ys, zs, first_v, last_v, sq_tolerance: float) -> None:
+    """Wave-parallel Douglas-Peucker importance scoring, in place.
+
+    first_v/last_v: per-ring global vertex indices of ring start/end.
+    Reproduces simplify.js exactly: each wave evaluates every active
+    span's interior point→segment distances at once; spans split at
+    their pivot and re-enter the next wave.  Max depth ~ log(ring len)
+    for real data; every wave is O(total interior vertices) in C.
+    """
+    first = np.asarray(first_v, dtype=np.int64)
+    last = np.asarray(last_v, dtype=np.int64)
+    keep = last - first >= 2  # interior vertex exists
+    first, last = first[keep], last[keep]
+
+    while len(first):
+        counts = last - first - 1
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        idx = np.repeat(first + 1, counts) + ragged_arange(counts)
+
+        px, py = xs[idx], ys[idx]
+        ax = np.repeat(xs[first], counts)
+        ay = np.repeat(ys[first], counts)
+        bx = np.repeat(xs[last], counts)
+        by = np.repeat(ys[last], counts)
+
+        dx = bx - ax
+        dy = by - ay
+        denom = dx * dx + dy * dy
+        degen = denom == 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = ((px - ax) * dx + (py - ay) * dy) / denom
+        qx = np.where(t > 1, bx, np.where(t > 0, ax + dx * t, ax))
+        qy = np.where(t > 1, by, np.where(t > 0, ay + dy * t, ay))
+        qx = np.where(degen, ax, qx)
+        qy = np.where(degen, ay, qy)
+        ddx = px - qx
+        ddy = py - qy
+        d = ddx * ddx + ddy * ddy
+
+        dmax = np.maximum.reduceat(d, starts)
+        active = dmax > sq_tolerance
+        if not active.any():
+            return
+
+        dmax_rep = np.repeat(dmax, counts)
+        is_max = d == dmax_rep
+        occ1 = seg_first_true(is_max, starts, idx)
+        n_occ = np.add.reduceat(is_max.astype(np.int64), starts)
+
+        pivot = occ1.copy()
+        multi = active & (n_occ > 1)
+        if multi.any():
+            # scalar tie-break in raw-offset space (simplify.js:22-31):
+            # the first occurrence wins only via the strict '>' branch;
+            # later equal hits compete on |i - mid| (earlier wins ties)
+            ends = np.concatenate((starts[1:], [len(d)]))
+            for s in np.nonzero(multi)[0]:
+                occs = idx[starts[s]:ends[s]][is_max[starts[s]:ends[s]]]
+                raw = occs * 3
+                f_raw = first[s] * 3
+                l_raw = last[s] * 3
+                mid = f_raw + ((l_raw - f_raw) >> 1)
+                rest = raw[1:]
+                best = rest[np.argmin(np.abs(rest - mid))]
+                pivot[s] = best // 3
+
+        piv = pivot[active]
+        zs[piv] = dmax[active]
+
+        f_act, l_act = first[active], last[active]
+        lefts = piv - f_act > 1
+        rights = l_act - piv > 1
+        first = np.concatenate((f_act[lefts], piv[rights]))
+        last = np.concatenate((piv[lefts], l_act[rights]))
+
+
+# ---------------------------------------------------------------- convert
+
+GTYPES = ("Point", "MultiPoint", "LineString", "MultiLineString",
+          "Polygon", "MultiPolygon")
+GT_POINT, GT_MPOINT, GT_LINE, GT_MLINE, GT_POLY, GT_MPOLY = range(6)
+GT_CODE = {name: code for code, name in enumerate(GTYPES)}
+
+INVALID_GEOJSON_MSG = "Input data is not a valid GeoJSON object."
+
+
+def parse_feature_rows(rows, options):
+    """Python-side parse/dispatch of (input_ord, gen_index, feature_json)
+    rows (convert.js:7-39): id promotion/generation, null-geometry and
+    empty-coordinate drops, GeometryCollection recursion, invalid-type
+    raise, lineMetrics MultiLineString explosion.
+
+    Returns parallel lists: ord_path tuples, gtype codes, fid_json,
+    tags_json, and per-feature raw lon/lat ring lists (list of (poly_idx,
+    [[lon,lat],...]) with poly_idx = -1 for non-polygon rings).
+    """
+    ords, gcodes, fids, tagss, ringss = [], [], [], [], []
+
+    def emit(ordv, ci, gtype, fid, props, coords):
+        if gtype == "Point":
+            rings = [(-1, False, [coords])]
+        elif gtype == "MultiPoint":
+            if not coords:
+                return ci
+            rings = [(-1, False, list(coords))]
+        elif gtype == "LineString":
+            rings = [(-1, False, list(coords))]
+        elif gtype == "MultiLineString":
+            if options.line_metrics:
+                for line in coords:
+                    ci = emit(ordv, ci, "LineString", fid, props, line)
+                return ci
+            rings = [(-1, False, list(line)) for line in coords]
+        elif gtype == "Polygon":
+            rings = [(0, ri == 0, list(r)) for ri, r in enumerate(coords)]
+        elif gtype == "MultiPolygon":
+            rings = [(pi, ri == 0, list(r))
+                     for pi, poly in enumerate(coords)
+                     for ri, r in enumerate(poly)]
+        else:
+            raise ValueError(INVALID_GEOJSON_MSG)
+        ords.append((ordv, ci))
+        gcodes.append(GT_CODE[gtype])
+        fids.append(None if fid is None else json.dumps(fid))
+        tagss.append(None if props is None else json.dumps(props))
+        ringss.append(rings)
+        return ci + 1
+
+    def one(ordv, ci, geojson, gen_index):
+        geometry = geojson.get("geometry")
+        if not geometry:
+            return ci  # drop null-geometry features (convert.js:26)
+        coords = geometry.get("coordinates")
+        if coords is not None and len(coords) == 0:
+            return ci  # drop empty-coordinate features (convert.js:29)
+        fid = geojson.get("id")
+        if options.promote_id:
+            fid = (geojson.get("properties") or {}).get(options.promote_id)
+        elif options.generate_id:
+            fid = gen_index if gen_index else 0  # quirk: `id = index || 0`
+        gtype = geometry.get("type")
+        if gtype == "GeometryCollection":
+            for single in geometry["geometries"]:
+                ci = one(ordv, ci, {"id": fid, "geometry": single,
+                                    "properties": geojson.get("properties")},
+                         gen_index)
+            return ci
+        return emit(ordv, ci, gtype, fid, geojson.get("properties"), coords)
+
+    for input_ord, gen_index, fjson in rows:
+        one(int(input_ord), 0, json.loads(fjson), gen_index)
+    return ords, gcodes, fids, tagss, ringss
+
+
+def build_rags(gcodes, ringss, options) -> Rags:
+    """Project + metrics + DP importances for parsed features, batched
+    (convert.js:92-121 semantics across the whole batch at once)."""
+    rfeat, rpoly, router, rlens, flat = [], [], [], [], []
+    for fi, rings in enumerate(ringss):
+        for pi, outer, ring in rings:
+            rfeat.append(fi)
+            rpoly.append(pi)
+            router.append(outer)
+            rlens.append(len(ring))
+            flat.extend(ring)
+
+    rfeat = np.asarray(rfeat, dtype=np.int64)
+    rpoly = np.asarray(rpoly, dtype=np.int64)
+    router = np.asarray(router, dtype=bool)
+    rlens = np.asarray(rlens, dtype=np.int64)
+    roff = np.zeros(len(rlens) + 1, dtype=np.int64)
+    np.cumsum(rlens, out=roff[1:])
+
+    pts = (np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+           if flat else np.empty((0, 2)))
+    xs = project_x_arr(pts[:, 0])
+    ys = project_y_arr(pts[:, 1])
+    zs = np.zeros(len(xs))
+
+    gcodes = np.asarray(gcodes, dtype=np.int64)
+    is_line_or_poly = gcodes[rfeat] >= GT_LINE if len(rfeat) else \
+        np.zeros(0, dtype=bool)
+    is_poly_ring = rpoly >= 0
+
+    # per-ring size metric: sequential per-ring accumulation (parity
+    # with the JS += loop; reduceat would change float order)
+    rsize = np.zeros(len(rlens))
+    for r in np.nonzero(is_line_or_poly & (rlens > 1))[0]:
+        lo, hi = roff[r], roff[r + 1]
+        x = xs[lo:hi]
+        y = ys[lo:hi]
+        if is_poly_ring[r]:
+            terms = (x[:-1] * y[1:] - x[1:] * y[:-1]) / 2
+        else:
+            terms = np.sqrt((x[1:] - x[:-1]) ** 2 + (y[1:] - y[:-1]) ** 2)
+        rsize[r] = math.fabs(float(np.cumsum(terms)[-1]))
+
+    # DP importances for line/polygon rings; endpoints forced to 1
+    line_rings = np.nonzero(is_line_or_poly & (rlens > 0))[0]
+    if len(line_rings):
+        first_v = roff[line_rings]
+        last_v = roff[line_rings + 1] - 1
+        sq_tol = (options.tolerance /
+                  ((1 << options.max_zoom) * options.extent)) ** 2
+        batch_simplify(xs, ys, zs, first_v, last_v, sq_tol)
+        zs[first_v] = 1.0
+        zs[last_v] = 1.0
+
+    # point rings carry no metrics (Ring(size=None) in the object path,
+    # no .size in the reference) — NaN is the record encoding of None
+    if len(rfeat):
+        point_rings = ~is_line_or_poly
+        rsize[point_rings] = np.nan
+    rstart = np.where(np.isnan(rsize), np.nan, 0.0)
+    rend = rsize.copy()
+    rags = Rags(xs, ys, zs, roff, rfeat, rsize, rstart, rend, rpoly,
+                len(ringss))
+    rags_router = router
+    rags.router = rags_router
+    return rags
+
+
+def ring_reduce_minmax(rags: Rags, nonempty: np.ndarray):
+    """Exact per-ring min/max of xs/ys over the selected nonempty rings.
+
+    Uses reduceat over interleaved [start, end) boundaries: even output
+    positions reduce exactly one ring's slice, odd positions cover the
+    (possibly empty) gaps and are discarded.  Every vertex belongs to a
+    ring and empty rings contribute none, so the final nonempty ring
+    always ends at the array end — the trailing end index is dropped to
+    keep all reduceat indices in-bounds (its segment runs to the end,
+    which is exactly that ring)."""
+    starts = rags.roff[:-1][nonempty]
+    ends = rags.roff[1:][nonempty]
+    bounds = np.empty(2 * len(starts), dtype=np.int64)
+    bounds[0::2] = starts
+    bounds[1::2] = ends
+    if bounds[-1] == len(rags.xs):
+        bounds = bounds[:-1]
+    rminx = np.minimum.reduceat(rags.xs, bounds)[0::2]
+    rminy = np.minimum.reduceat(rags.ys, bounds)[0::2]
+    rmaxx = np.maximum.reduceat(rags.xs, bounds)[0::2]
+    rmaxy = np.maximum.reduceat(rags.ys, bounds)[0::2]
+    return rminx, rminy, rmaxx, rmaxy
+
+
+def feature_bboxes(rags: Rags, gcodes: np.ndarray):
+    """Per-feature bbox; (Multi)Polygon uses outer rings only
+    (feature.js:17-30).  min/max are order-free -> reduceat is safe."""
+    n = rags.n_feats
+    minx = np.full(n, np.inf)
+    miny = np.full(n, np.inf)
+    maxx = np.full(n, -np.inf)
+    maxy = np.full(n, -np.inf)
+    lens = rags.ring_lens()
+    nonempty = lens > 0
+    if nonempty.any():
+        rminx, rminy, rmaxx, rmaxy = ring_reduce_minmax(rags, nonempty)
+        feat = rags.rfeat[nonempty]
+        use = (gcodes[feat] < GT_POLY) | rags.router[nonempty]
+        feat = feat[use]
+        np.minimum.at(minx, feat, rminx[use])
+        np.minimum.at(miny, feat, rminy[use])
+        np.maximum.at(maxx, feat, rmaxx[use])
+        np.maximum.at(maxy, feat, rmaxy[use])
+    return minx, miny, maxx, maxy
+
+
+# ---------------------------------------------------------------- clip
+
+class ClipResult:
+    """Batched clip output: a Rags plus per-output-feature metadata."""
+    __slots__ = ("rags", "gcodes", "src", "sub_ord",
+                 "minx", "miny", "maxx", "maxy")
+
+    def __init__(self, rags, gcodes, src, sub_ord, minx, miny, maxx, maxy):
+        self.rags = rags
+        self.gcodes = gcodes
+        self.src = src          # input feature index per output feature
+        self.sub_ord = sub_ord  # ordinal among the input feature's outputs
+        self.minx = minx
+        self.miny = miny
+        self.maxx = maxx
+        self.maxy = maxy
+
+    @property
+    def n_feats(self) -> int:
+        return len(self.gcodes)
+
+
+def batch_clip(rags: Rags, gcodes, fminx, fminy, fmaxx, fmaxy,
+               k1f, k2f, axis: int, line_metrics: bool) -> ClipResult:
+    """Vectorized axis stripe clip of a whole feature batch
+    (clip.js:14-200 semantics, including trivial accept/reject,
+    interpolated crossings with importance 1, line slicing on exit,
+    polygon re-closing, type demotion and metrics tracking).
+
+    k1f/k2f are PER-FEATURE window bounds (already divided by scale) so
+    one call serves many tiles at once.  All per-vertex work happens in
+    flat numpy; only the per-output-feature regrouping is Python.
+    """
+    gcodes = np.asarray(gcodes, dtype=np.int64)
+    k1f = np.asarray(k1f, dtype=np.float64)
+    k2f = np.asarray(k2f, dtype=np.float64)
+    fmin = fminx if axis == 0 else fminy
+    fmax = fmaxx if axis == 0 else fmaxy
+
+    ta = (fmin >= k1f) & (fmax < k2f)          # trivial accept
+    tr = (fmax < k1f) | (fmin >= k2f)          # trivial reject
+    cross = ~(ta | tr)
+
+    n_in = len(gcodes)
+    f_nrings = (np.bincount(rags.rfeat, minlength=n_in).astype(np.int64)
+                if rags.n_rings else np.zeros(n_in, dtype=np.int64))
+    f_roff = np.zeros(n_in + 1, dtype=np.int64)
+    np.cumsum(f_nrings, out=f_roff[1:])
+    # --- per-input-feature output collection (built below) ---
+    out_feats: list[list | None] = [None] * n_in
+    # each entry: list of (gcode, [(poly, outer, x, y, z, size, start, end)…])
+    # represented compactly as dicts to avoid churn; assembled at the end
+
+    # ---- trivially accepted features: pass through unchanged
+    ta_idx = np.nonzero(ta)[0]
+
+    # ---- crossing features
+    cr_idx = np.nonzero(cross)[0]
+    cr_set_rings = np.isin(rags.rfeat, cr_idx) if len(cr_idx) else \
+        np.zeros(rags.n_rings, dtype=bool)
+
+    coord = rags.xs if axis == 0 else rags.ys
+
+    # ======== point-type features (clip.js:88-96: inclusive both ends)
+    pt_feats = cr_idx[gcodes[cr_idx] <= GT_MPOINT] if len(cr_idx) else \
+        np.empty(0, dtype=np.int64)
+    pt_out = {}
+    if len(pt_feats):
+        pt_rings = np.nonzero(np.isin(rags.rfeat, pt_feats))[0]
+        for r in pt_rings:
+            lo, hi = int(rags.roff[r]), int(rags.roff[r + 1])
+            fi = int(rags.rfeat[r])
+            a = coord[lo:hi]
+            keep = (a >= k1f[fi]) & (a <= k2f[fi])
+            if keep.any():
+                pt_out[fi] = (rags.xs[lo:hi][keep], rags.ys[lo:hi][keep],
+                              rags.zs[lo:hi][keep])
+
+    # ======== line/polygon rings of crossing features
+    lp_rings = np.nonzero(cr_set_rings & (rags.rpoly >= -1) &
+                          np.isin(rags.rfeat, cr_idx[gcodes[cr_idx] >= GT_LINE])
+                          )[0] if len(cr_idx) else np.empty(0, dtype=np.int64)
+
+    ring_slices = {}   # ring index -> list of slice dicts
+    if len(lp_rings):
+        ring_slices = _clip_line_rings(rags, gcodes, lp_rings, k1f, k2f,
+                                       axis, line_metrics, coord)
+
+    # ======== assemble output features in input order
+    o_gcodes, o_src, o_sub = [], [], []
+    o_rings = []       # per out-feature: list of (poly, outer, xyz…meta)
+    for fi in range(n_in):
+        if ta[fi]:
+            o_gcodes.append(int(gcodes[fi]))
+            o_src.append(fi)
+            o_sub.append(0)
+            o_rings.append(("ta", fi))
+            continue
+        if tr[fi]:
+            continue
+        code = int(gcodes[fi])
+        if code <= GT_MPOINT:
+            if fi not in pt_out:
+                continue
+            xs_, ys_, zs_ = pt_out[fi]
+            o_gcodes.append(GT_POINT if len(xs_) == 1 else GT_MPOINT)
+            o_src.append(fi)
+            o_sub.append(0)
+            o_rings.append(("pts", xs_, ys_, zs_))
+            continue
+
+        # ring ids of this feature, in order
+        r0, r1 = int(f_roff[fi]), int(f_roff[fi + 1])
+        rids = range(r0, r1)
+        if code == GT_LINE and line_metrics:
+            slices = []
+            for r in rids:
+                slices.extend(ring_slices.get(r, []))
+            for si, s in enumerate(slices):
+                o_gcodes.append(GT_LINE)
+                o_src.append(fi)
+                o_sub.append(si)
+                o_rings.append(("rings", [(0, False, s)]))
+        elif code in (GT_LINE, GT_MLINE):
+            slices = []
+            for r in rids:
+                slices.extend(ring_slices.get(r, []))
+            if not slices:
+                continue
+            o_gcodes.append(GT_LINE if len(slices) == 1 else GT_MLINE)
+            o_src.append(fi)
+            o_sub.append(0)
+            o_rings.append(("rings", [(0, False, s) for s in slices]))
+        elif code == GT_POLY:
+            new_rings = []
+            for r in rids:
+                for s in ring_slices.get(r, []):
+                    new_rings.append((0, len(new_rings) == 0, s))
+            if not new_rings:
+                continue
+            o_gcodes.append(GT_POLY)
+            o_src.append(fi)
+            o_sub.append(0)
+            o_rings.append(("rings", new_rings))
+        else:  # GT_MPOLY
+            new_rings = []
+            n_out_poly = 0
+            cur_poly = None
+            poly_started = False
+            for r in rids:
+                pi = int(rags.rpoly[r])
+                if pi != cur_poly:
+                    cur_poly = pi
+                    poly_started = False
+                for s in ring_slices.get(r, []):
+                    if not poly_started:
+                        poly_started = True
+                        n_out_poly += 1
+                    new_rings.append((n_out_poly - 1, False, s))
+            if not new_rings:
+                continue
+            # mark first ring of each surviving output polygon as outer
+            seen = set()
+            marked = []
+            for pi, _, s in new_rings:
+                outer = pi not in seen
+                seen.add(pi)
+                marked.append((pi, outer, s))
+            o_gcodes.append(GT_MPOLY)
+            o_src.append(fi)
+            o_sub.append(0)
+            o_rings.append(("rings", marked))
+
+    return _build_clip_result(rags, gcodes, fminx, fminy, fmaxx, fmaxy,
+                              o_gcodes, o_src, o_sub, o_rings, f_roff)
+
+
+def _feat_ring_span(rags: Rags, fi: int):
+    """[r0, r1) ring-index span of feature fi (rings are contiguous)."""
+    r0 = int(np.searchsorted(rags.rfeat, fi, side="left"))
+    r1 = int(np.searchsorted(rags.rfeat, fi, side="right"))
+    return r0, r1
+
+
+def _clip_line_rings(rags, gcodes, lp_rings, k1f, k2f, axis,
+                     line_metrics, coord):
+    """Vectorized Sutherland walk over the selected rings.
+
+    Returns {ring index: [slice dict, …]} where each slice dict has
+    xs/ys/zs arrays and size/start/end metrics, in emission order."""
+    roff = rags.roff
+    xs, ys, zs = rags.xs, rags.ys, rags.zs
+
+    lens = (roff[1:] - roff[:-1])[lp_rings]
+    nz = lens > 0
+    lp_rings = lp_rings[nz]
+    lens = lens[nz]
+    if len(lp_rings) == 0:
+        return {}
+
+    starts = roff[lp_rings]
+    n_v = int(lens.sum())
+    # gather the selected rings' vertices into a compact block
+    g = np.repeat(starts, lens) + ragged_arange(lens)
+    cxs, cys, czs = xs[g], ys[g], zs[g]
+    ca = coord[g]
+    c_roff = np.zeros(len(lp_rings) + 1, dtype=np.int64)
+    np.cumsum(lens, out=c_roff[1:])
+
+    rfi = rags.rfeat[lp_rings]
+    k1r = k1f[rfi]
+    k2r = k2f[rfi]
+    k1v = np.repeat(k1r, lens)
+    k2v = np.repeat(k2r, lens)
+
+    is_poly_ring = (gcodes[rfi] >= GT_POLY)
+    poly_v = np.repeat(is_poly_ring, lens)
+    if line_metrics:
+        track_ring = gcodes[rfi] == GT_LINE
+    else:
+        track_ring = np.zeros(len(lp_rings), dtype=bool)
+
+    low = ca < k1v
+    high = ca > k2v
+    inside = ~(low | high)
+
+    is_last = np.zeros(n_v, dtype=bool)
+    is_last[c_roff[1:] - 1] = True
+    is_seg = ~is_last  # vertex starts a segment
+
+    # neighbor (b) values for segment starts
+    nxt = np.arange(1, n_v + 1)
+    b_a = np.empty(n_v)
+    b_a[:-1] = ca[1:]
+    b_a[-1] = ca[-1]
+    b_low = np.empty(n_v, dtype=bool)
+    b_high = np.empty(n_v, dtype=bool)
+    b_low[:-1] = low[1:]
+    b_high[:-1] = high[1:]
+    b_low[-1] = b_high[-1] = False
+
+    enter_lo = is_seg & low & (b_a > k1v)
+    enter_hi = is_seg & high & (b_a < k2v)
+    enter = enter_lo | enter_hi
+    exit_lo = is_seg & b_low & ~low
+    exit_hi = is_seg & b_high & ~high
+    exit_ = exit_lo | exit_hi
+
+    emit_v = (is_seg & inside) | (is_last & inside)
+    cnt = emit_v.astype(np.int64) + enter + exit_
+    epos = np.zeros(n_v, dtype=np.int64)
+    np.cumsum(cnt[:-1], out=epos[1:])
+    n_e = int(cnt.sum())
+
+    ox = np.empty(n_e)
+    oy = np.empty(n_e)
+    oz = np.empty(n_e)
+
+    vsel = np.nonzero(emit_v)[0]
+    vpos = epos[vsel]
+    ox[vpos] = cxs[vsel]
+    oy[vpos] = cys[vsel]
+    oz[vpos] = czs[vsel]
+
+    # crossing interpolation (clip.js:190-200): importance forced to 1
+    def cross_pts(sel, k_at):
+        ax_, ay_ = cxs[sel], cys[sel]
+        bx_, by_ = cxs[sel + 1], cys[sel + 1]
+        k = k_at
+        if axis == 0:
+            t = (k - ax_) / (bx_ - ax_)
+            px, py = k, ay_ + (by_ - ay_) * t
+        else:
+            t = (k - ay_) / (by_ - ay_)
+            px, py = ax_ + (bx_ - ax_) * t, k
+        return t, px, py
+
+    en_sel = np.nonzero(enter)[0]
+    t_en = np.empty(0)
+    if len(en_sel):
+        k_at = np.where(enter_lo[en_sel], k1v[en_sel], k2v[en_sel])
+        t_en, pxe, pye = cross_pts(en_sel, k_at)
+        pe = epos[en_sel] + emit_v[en_sel]
+        ox[pe] = np.broadcast_to(pxe, pe.shape)
+        oy[pe] = np.broadcast_to(pye, pe.shape)
+        oz[pe] = 1.0
+
+    ex_sel = np.nonzero(exit_)[0]
+    t_ex = np.empty(0)
+    if len(ex_sel):
+        k_at = np.where(exit_lo[ex_sel], k1v[ex_sel], k2v[ex_sel])
+        t_ex, pxx, pyx = cross_pts(ex_sel, k_at)
+        px_ = epos[ex_sel] + emit_v[ex_sel] + enter[ex_sel]
+        ox[px_] = np.broadcast_to(pxx, px_.shape)
+        oy[px_] = np.broadcast_to(pyx, px_.shape)
+        oz[px_] = 1.0
+
+    # slice ids: lines flush after each exit; polygons never flush
+    flush = exit_ & ~poly_v
+    cumflush = np.cumsum(flush.astype(np.int64))
+    ring_flush_base = np.zeros(n_v, dtype=np.int64)
+    ring_flush_base = np.repeat(
+        np.concatenate(([0], cumflush[c_roff[1:] - 1][:-1])), lens)
+    exits_before = cumflush - flush.astype(np.int64) - ring_flush_base
+
+    # per-emission slice ordinal within its ring
+    slice_of_v = np.empty(n_e, dtype=np.int64)
+    slice_of_v[vpos] = exits_before[vsel]
+    if len(en_sel):
+        slice_of_v[epos[en_sel] + emit_v[en_sel]] = exits_before[en_sel]
+    if len(ex_sel):
+        slice_of_v[epos[ex_sel] + emit_v[ex_sel] + enter[ex_sel]] = \
+            exits_before[ex_sel]
+
+    # ring id per emission
+    ring_of_e = np.empty(n_e, dtype=np.int64)
+    e_ring_start = epos[c_roff[:-1]]
+    seg_bounds = np.concatenate((e_ring_start, [n_e]))
+    ring_of_e_counts = seg_bounds[1:] - seg_bounds[:-1]
+    ring_of_e = np.repeat(np.arange(len(lp_rings)), ring_of_e_counts)
+
+    # metrics: cumulative lengths must accumulate per ring in the exact
+    # sequential order of the reference's += loop (clip.js:103,115,149),
+    # so track rings get their own np.cumsum over [start, seg_len...]
+    start_val = end_val = None
+    if track_ring.any():
+        seg_len = np.zeros(n_v)
+        cum_v = np.zeros(n_v)
+        for ci in np.nonzero(track_ring)[0]:
+            lo, hi = int(c_roff[ci]), int(c_roff[ci + 1])
+            if hi - lo < 2:
+                continue
+            ddx = cxs[lo:hi - 1] - cxs[lo + 1:hi]
+            ddy = cys[lo:hi - 1] - cys[lo + 1:hi]
+            sl = np.sqrt(ddx * ddx + ddy * ddy)
+            seg_len[lo:hi - 1] = sl
+            cum_v[lo:hi] = np.cumsum(
+                np.concatenate(([rags.rstart[lp_rings[ci]]], sl)))
+
+        start_val = {}
+        end_val = {}
+        track_v = np.repeat(track_ring, lens)
+        if len(en_sel):
+            m = track_v[en_sel]
+            for v, t in zip(en_sel[m], t_en[m]):
+                key = (int(ring_of_e[epos[v]]), int(exits_before[v]))
+                start_val[key] = cum_v[v] + seg_len[v] * t
+        if len(ex_sel):
+            m = track_v[ex_sel]
+            for v, t in zip(ex_sel[m], t_ex[m]):
+                key = (int(ring_of_e[epos[v]]), int(exits_before[v]))
+                end_val[key] = cum_v[v] + seg_len[v] * t
+
+    # ---- split emissions into (ring, slice) runs; close polygons
+    out = {}
+    for ci in range(len(lp_rings)):
+        e0, e1 = int(seg_bounds[ci]), int(seg_bounds[ci + 1])
+        if e0 == e1:
+            continue
+        rid = int(lp_rings[ci])
+        r_sl = slice_of_v[e0:e1]
+        rx = ox[e0:e1]
+        ry = oy[e0:e1]
+        rz = oz[e0:e1]
+        size = rags.rsize[rid]
+        sstart = rags.rstart[rid]
+        send = rags.rend[rid]
+        slices = []
+        if is_poly_ring[ci]:
+            # single output ring; close if endpoints diverged
+            if len(rx) >= 2 and (rx[-1] != rx[0] or ry[-1] != ry[0]):
+                rx = np.concatenate((rx, rx[:1]))
+                ry = np.concatenate((ry, ry[:1]))
+                rz = np.concatenate((rz, rz[:1]))
+            slices.append({"x": rx, "y": ry, "z": rz, "size": size,
+                           "start": sstart, "end": send})
+        else:
+            # contiguous runs of equal slice id
+            brk = np.nonzero(r_sl[1:] != r_sl[:-1])[0] + 1
+            pieces = np.split(np.arange(e1 - e0), brk)
+            for pc in pieces:
+                if len(pc) == 0:
+                    continue
+                sl = int(r_sl[pc[0]])
+                st = sstart
+                en = send
+                if start_val is not None:
+                    st = start_val.get((ci, sl), sstart)
+                    en = end_val.get((ci, sl), send)
+                slices.append({"x": rx[pc], "y": ry[pc], "z": rz[pc],
+                               "size": size, "start": st, "end": en})
+        out[rid] = slices
+    return out
+
+
+def _build_clip_result(rags, gcodes_in, fminx, fminy, fmaxx, fmaxy,
+                       o_gcodes, o_src, o_sub, o_rings,
+                       f_roff=None) -> ClipResult:
+    """Materialize output features into a new Rags + bboxes."""
+    xs_parts, ys_parts, zs_parts = [], [], []
+    roff_l = [0]
+    rfeat_l, rpoly_l, router_l = [], [], []
+    rsize_l, rstart_l, rend_l = [], [], []
+    minx = np.empty(len(o_gcodes))
+    miny = np.empty(len(o_gcodes))
+    maxx = np.empty(len(o_gcodes))
+    maxy = np.empty(len(o_gcodes))
+    total = 0
+
+    for oi, spec in enumerate(o_rings):
+        fminx_ = np.inf
+        fminy_ = np.inf
+        fmaxx_ = -np.inf
+        fmaxy_ = -np.inf
+        kind = spec[0]
+        if kind == "ta":
+            fi = spec[1]
+            if f_roff is not None:
+                r0, r1 = int(f_roff[fi]), int(f_roff[fi + 1])
+            else:
+                r0, r1 = _feat_ring_span(rags, fi)
+            for r in range(r0, r1):
+                lo, hi = int(rags.roff[r]), int(rags.roff[r + 1])
+                xs_parts.append(rags.xs[lo:hi])
+                ys_parts.append(rags.ys[lo:hi])
+                zs_parts.append(rags.zs[lo:hi])
+                total += hi - lo
+                roff_l.append(total)
+                rfeat_l.append(oi)
+                rpoly_l.append(int(rags.rpoly[r]))
+                router_l.append(bool(rags.router[r]))
+                rsize_l.append(float(rags.rsize[r]))
+                rstart_l.append(float(rags.rstart[r]))
+                rend_l.append(float(rags.rend[r]))
+            minx[oi] = fminx[fi]
+            miny[oi] = fminy[fi]
+            maxx[oi] = fmaxx[fi]
+            maxy[oi] = fmaxy[fi]
+            continue
+        if kind == "pts":
+            _, xs_, ys_, zs_ = spec
+            xs_parts.append(xs_)
+            ys_parts.append(ys_)
+            zs_parts.append(zs_)
+            total += len(xs_)
+            roff_l.append(total)
+            rfeat_l.append(oi)
+            rpoly_l.append(-1)
+            router_l.append(False)
+            rsize_l.append(np.nan)
+            rstart_l.append(np.nan)
+            rend_l.append(np.nan)
+            minx[oi] = float(xs_.min())
+            miny[oi] = float(ys_.min())
+            maxx[oi] = float(xs_.max())
+            maxy[oi] = float(ys_.max())
+            continue
+        # kind == "rings"
+        code = o_gcodes[oi]
+        is_poly_t = code >= GT_POLY
+        for pi, outer, s in spec[1]:
+            xs_, ys_, zs_ = s["x"], s["y"], s["z"]
+            xs_parts.append(xs_)
+            ys_parts.append(ys_)
+            zs_parts.append(zs_)
+            total += len(xs_)
+            roff_l.append(total)
+            rfeat_l.append(oi)
+            rpoly_l.append(pi if is_poly_t else -1)
+            router_l.append(bool(outer))
+            rsize_l.append(float(s["size"]))
+            rstart_l.append(float(s["start"]) if s["start"] is not None
+                            else np.nan)
+            rend_l.append(float(s["end"]) if s["end"] is not None
+                          else np.nan)
+            # bbox: lines use all rings, polygons outer rings only
+            if (not is_poly_t) or outer:
+                if len(xs_):
+                    fminx_ = min(fminx_, float(xs_.min()))
+                    fminy_ = min(fminy_, float(ys_.min()))
+                    fmaxx_ = max(fmaxx_, float(xs_.max()))
+                    fmaxy_ = max(fmaxy_, float(ys_.max()))
+        minx[oi] = fminx_
+        miny[oi] = fminy_
+        maxx[oi] = fmaxx_
+        maxy[oi] = fmaxy_
+
+    new = Rags(
+        np.concatenate(xs_parts) if xs_parts else np.empty(0),
+        np.concatenate(ys_parts) if ys_parts else np.empty(0),
+        np.concatenate(zs_parts) if zs_parts else np.empty(0),
+        np.asarray(roff_l, dtype=np.int64),
+        np.asarray(rfeat_l, dtype=np.int64),
+        np.asarray(rsize_l, dtype=np.float64),
+        np.asarray(rstart_l, dtype=np.float64),
+        np.asarray(rend_l, dtype=np.float64),
+        np.asarray(rpoly_l, dtype=np.int64),
+        len(o_gcodes))
+    new.router = np.asarray(router_l, dtype=bool)
+    return ClipResult(new, np.asarray(o_gcodes, dtype=np.int64),
+                      np.asarray(o_src, dtype=np.int64),
+                      np.asarray(o_sub, dtype=np.int64),
+                      minx, miny, maxx, maxy)
+
+
+# ---------------------------------------------------------------- records
+
+def records_to_rags(recs):
+    """FEATURE_SCHEMA record dicts → (Rags, gcodes, minx, miny, maxx,
+    maxy).  Inverse of the per-feature slicing in convert_rows_to_records."""
+    xs, ys, zs = [], [], []
+    roff = [0]
+    rfeat, rpoly, router = [], [], []
+    rsize, rstart, rend = [], [], []
+    gcodes = []
+    minx, miny, maxx, maxy = [], [], [], []
+    tot = 0
+    for fi, r in enumerate(recs):
+        gt = r["gtype"]
+        gcodes.append(GT_CODE[gt])
+        minx.append(r["minx"])
+        miny.append(r["miny"])
+        maxx.append(r["maxx"])
+        maxy.append(r["maxy"])
+        c = np.asarray(r["coords"], dtype=np.float64)
+        lens = np.asarray(r["ring_lens"], dtype=np.int64) // 3
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        if gt == "MultiPolygon":
+            rp, ro = [], []
+            for pi, n in enumerate(r["poly_lens"]):
+                for ri in range(int(n)):
+                    rp.append(pi)
+                    ro.append(ri == 0)
+        elif gt == "Polygon":
+            rp = [0] * len(lens)
+            ro = [ri == 0 for ri in range(len(lens))]
+        else:
+            rp = [-1] * len(lens)
+            ro = [False] * len(lens)
+        for ri in range(len(lens)):
+            lo, hi = int(offs[ri]) * 3, int(offs[ri + 1]) * 3
+            seg = c[lo:hi]
+            xs.append(seg[0::3])
+            ys.append(seg[1::3])
+            zs.append(seg[2::3])
+            tot += len(seg) // 3
+            roff.append(tot)
+            rfeat.append(fi)
+            rpoly.append(rp[ri])
+            router.append(ro[ri])
+            rsize.append(float(r["ring_size"][ri]))
+            rstart.append(float(r["ring_start"][ri]))
+            rend.append(float(r["ring_end"][ri]))
+    rags = Rags(
+        np.concatenate(xs) if xs else np.empty(0),
+        np.concatenate(ys) if ys else np.empty(0),
+        np.concatenate(zs) if zs else np.empty(0),
+        np.asarray(roff, dtype=np.int64),
+        np.asarray(rfeat, dtype=np.int64),
+        np.asarray(rsize, dtype=np.float64),
+        np.asarray(rstart, dtype=np.float64),
+        np.asarray(rend, dtype=np.float64),
+        np.asarray(rpoly, dtype=np.int64),
+        len(recs))
+    rags.router = np.asarray(router, dtype=bool)
+    return (rags, np.asarray(gcodes, dtype=np.int64),
+            np.asarray(minx), np.asarray(miny),
+            np.asarray(maxx), np.asarray(maxy))
+
+
+def rags_to_feature_arrays(rags: Rags):
+    """Per-feature slicing helpers: returns (f_roff over rings, xyz3)."""
+    n_feats = rags.n_feats
+    f_nrings = (np.bincount(rags.rfeat, minlength=n_feats).astype(np.int64)
+                if rags.n_rings else np.zeros(n_feats, dtype=np.int64))
+    f_roff = np.zeros(n_feats + 1, dtype=np.int64)
+    np.cumsum(f_nrings, out=f_roff[1:])
+    xyz = np.empty(3 * rags.n_vertices)
+    xyz[0::3] = rags.xs
+    xyz[1::3] = rags.ys
+    xyz[2::3] = rags.zs
+    return f_roff, xyz
+
+
+def take_features(rags: Rags, sel: np.ndarray) -> Rags:
+    """New Rags containing only features ``sel`` (sorted), renumbered —
+    pure index arithmetic, no per-feature Python."""
+    sel = np.asarray(sel, dtype=np.int64)
+    rmask = np.isin(rags.rfeat, sel)
+    rsel = np.nonzero(rmask)[0]
+    lens = rags.ring_lens()[rsel]
+    starts = rags.roff[rsel]
+    g = (np.repeat(starts, lens) + ragged_arange(lens)
+         if len(rsel) else np.empty(0, dtype=np.int64))
+    roff = np.zeros(len(rsel) + 1, dtype=np.int64)
+    np.cumsum(lens, out=roff[1:])
+    out = Rags(rags.xs[g], rags.ys[g], rags.zs[g], roff,
+               np.searchsorted(sel, rags.rfeat[rsel]),
+               rags.rsize[rsel], rags.rstart[rsel], rags.rend[rsel],
+               rags.rpoly[rsel], len(sel))
+    out.router = rags.router[rsel]
+    return out
+
+
+def concat_rags(parts: list[Rags]) -> Rags:
+    """Concatenate feature batches (features renumbered sequentially)."""
+    if len(parts) == 1:
+        return parts[0]
+    xs = np.concatenate([p.xs for p in parts])
+    ys = np.concatenate([p.ys for p in parts])
+    zs = np.concatenate([p.zs for p in parts])
+    lens = np.concatenate([p.ring_lens() for p in parts])
+    roff = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=roff[1:])
+    fbase = np.cumsum([0] + [p.n_feats for p in parts])
+    rfeat = np.concatenate([p.rfeat + fbase[i]
+                            for i, p in enumerate(parts)])
+    out = Rags(xs, ys, zs, roff, rfeat,
+               np.concatenate([p.rsize for p in parts]),
+               np.concatenate([p.rstart for p in parts]),
+               np.concatenate([p.rend for p in parts]),
+               np.concatenate([p.rpoly for p in parts]),
+               int(fbase[-1]))
+    out.router = np.concatenate([p.router for p in parts])
+    return out
+
+
+# ---------------------------------------------------------------- assemble
+
+def batch_assemble(rags: Rags, gcodes, tz, tx, ty, options):
+    """Per-feature tile assembly + transform + JSON render, batched
+    (tile.js addFeature + transform.js, identical to the object path).
+
+    tz/tx/ty: per-feature tile coordinates (arrays).  Returns
+    (fjsons list[str|None], n_points int64[], n_simplified int64[]) —
+    the caller groups by tile and joins in feature order.
+
+    All vertex math (tolerance masks, integer transform) is flat numpy;
+    the per-ring rewind uses a sequential per-ring cumsum for exact sign
+    parity; rendering is Python string work per surviving ring.
+    """
+    gcodes = np.asarray(gcodes, dtype=np.int64)
+    tz = np.asarray(tz, dtype=np.int64)
+    tx = np.asarray(tx, dtype=np.int64)
+    ty = np.asarray(ty, dtype=np.int64)
+    extent = options.extent
+
+    n_feats = rags.n_feats
+    z2f = np.left_shift(np.int64(1), tz)
+    tolf = np.where(tz == options.max_zoom, 0.0,
+                    options.tolerance / (z2f * extent))
+    sqtolf = tolf * tolf
+
+    lens = rags.ring_lens()
+    vfeat = np.repeat(rags.rfeat, lens)
+    z2v = z2f[vfeat].astype(np.float64)
+    txv = tx[vfeat].astype(np.float64)
+    tyv = ty[vfeat].astype(np.float64)
+    # JS Math.round == floor(v + 0.5)
+    txi = np.floor(extent * (rags.xs * z2v - txv) + 0.5).astype(np.int64)
+    tyi = np.floor(extent * (rags.ys * z2v - tyv) + 0.5).astype(np.int64)
+
+    rf = rags.rfeat
+    r_is_lp = gcodes[rf] >= GT_LINE if len(rf) else np.zeros(0, dtype=bool)
+    r_is_poly = gcodes[rf] >= GT_POLY if len(rf) else np.zeros(0, dtype=bool)
+    r_tol = tolf[rf]
+    r_sqtol = sqtolf[rf]
+    threshold = np.where(r_is_poly, r_sqtol, r_tol)
+    drop_tiny = r_is_lp & (r_tol > 0) & (rags.rsize < threshold)
+
+    keep_v = np.repeat(r_tol, lens) <= 0
+    keep_v |= rags.zs > np.repeat(r_sqtol, lens)
+    keep_v &= ~np.repeat(drop_tiny, lens)
+    pt_ring = ~r_is_lp
+    if pt_ring.any():
+        keep_v |= np.repeat(pt_ring, lens)
+
+    kept_per_ring = np.zeros(rags.n_rings, dtype=np.int64)
+    if rags.n_vertices:
+        nonempty = lens > 0
+        starts = rags.roff[:-1][nonempty]
+        ends = rags.roff[1:][nonempty]
+        bounds = np.empty(2 * len(starts), dtype=np.int64)
+        bounds[0::2] = starts
+        bounds[1::2] = ends
+        if len(bounds) and bounds[-1] == rags.n_vertices:
+            bounds = bounds[:-1]
+        kept_per_ring[nonempty] = np.add.reduceat(
+            keep_v.astype(np.int64), bounds)[0::2]
+
+    n_points = (np.bincount(rf, weights=lens, minlength=n_feats)
+                .astype(np.int64) if rags.n_rings else
+                np.zeros(n_feats, dtype=np.int64))
+    simpl_rings = np.where(drop_tiny, 0, kept_per_ring)
+    n_simplified = (np.bincount(rf, weights=simpl_rings, minlength=n_feats)
+                    .astype(np.int64) if rags.n_rings else
+                    np.zeros(n_feats, dtype=np.int64))
+
+    # ---- rewind decisions, globally vectorized: signed area of every
+    # kept polygon-ring vertex run in one pass.  The reduceat (pairwise)
+    # sum can differ from the reference's sequential sum by ~n·eps·|term|
+    # ≲ 1e-11, which only matters for near-degenerate areas — those few
+    # rings are recomputed with the exact sequential cumsum.
+    reverse_ring = np.zeros(rags.n_rings, dtype=bool)
+    rw_rings = np.nonzero(r_is_poly & ~drop_tiny & (kept_per_ring > 0))[0] \
+        if rags.n_rings else np.empty(0, dtype=np.int64)
+    if len(rw_rings):
+        klens = kept_per_ring[rw_rings]
+        kept_idx = np.nonzero(keep_v)[0]
+        # kept vertices are ordered by ring already; select those of
+        # rw_rings via ring id per kept vertex
+        ring_of_v = np.repeat(np.arange(rags.n_rings), lens)
+        kring = ring_of_v[kept_idx]
+        sel_mask = np.isin(kring, rw_rings)
+        kv = kept_idx[sel_mask]
+        run_starts = np.zeros(len(rw_rings), dtype=np.int64)
+        np.cumsum(klens[:-1], out=run_starts[1:])
+        fx = rags.xs[kv]
+        fy = rags.ys[kv]
+        # prev index within each run, wrapping to the run's last element
+        prev = np.arange(len(kv)) - 1
+        run_ends = run_starts + klens - 1
+        prev[run_starts] = run_ends
+        terms = (fx - fx[prev]) * (fy + fy[prev])
+        areas = np.add.reduceat(terms, run_starts)
+        # threshold scales with run length: pairwise error is bounded by
+        # ~eps·log2(n)·n·max|term| ≈ 3e-14·n, far under 1e-12·n
+        near0 = np.abs(areas) < 1e-12 * np.maximum(klens, 64)
+        if near0.any():
+            for j in np.nonzero(near0)[0]:
+                lo = int(run_starts[j])
+                hi = lo + int(klens[j])
+                areas[j] = float(np.cumsum(terms[lo:hi])[-1])
+        reverse_ring[rw_rings] = (areas > 0) == rags.router[rw_rings]
+
+    # ---- render
+    fjsons: list = [None] * n_feats
+    f_nrings = (np.bincount(rf, minlength=n_feats).astype(np.int64)
+                if rags.n_rings else np.zeros(n_feats, dtype=np.int64))
+    f_roff = np.zeros(n_feats + 1, dtype=np.int64)
+    np.cumsum(f_nrings, out=f_roff[1:])
+
+    for fi in range(n_feats):
+        code = int(gcodes[fi])
+        r0, r1 = int(f_roff[fi]), int(f_roff[fi + 1])
+        if code <= GT_MPOINT:
+            lo, hi = int(rags.roff[r0]), int(rags.roff[r1])
+            if hi == lo:
+                continue
+            pair = np.empty((hi - lo, 2), dtype=np.int64)
+            pair[:, 0] = txi[lo:hi]
+            pair[:, 1] = tyi[lo:hi]
+            fjsons[fi] = (1, json.dumps(pair.tolist(),
+                                        separators=(",", ":")))
+            continue
+        ring_jsons = []
+        for r in range(r0, r1):
+            if drop_tiny[r]:
+                continue
+            lo, hi = int(rags.roff[r]), int(rags.roff[r + 1])
+            m = keep_v[lo:hi]
+            kx = txi[lo:hi][m]
+            ky = tyi[lo:hi][m]
+            k = kx.shape[0]
+            if reverse_ring[r]:
+                kx = kx[::-1]
+                ky = ky[::-1]
+            pair = np.empty((k, 2), dtype=np.int64)
+            pair[:, 0] = kx
+            pair[:, 1] = ky
+            ring_jsons.append(json.dumps(pair.tolist(),
+                                         separators=(",", ":")))
+        if ring_jsons:
+            type_code = 3 if code >= GT_POLY else 2
+            fjsons[fi] = (type_code,
+                          "[" + ",".join(ring_jsons) + "]")
+    return fjsons, n_points, n_simplified
+
+
+def render_feature_json(type_code: int, geom_json: str, tags_json,
+                        fid_json) -> str:
+    return (f'{{"geometry":{geom_json},'
+            f'"type":{type_code},"tags":{tags_json or "null"}'
+            + (f',"id":{fid_json}' if fid_json is not None else "")
+            + "}")
+
+
+def convert_rows_to_records(rows, options) -> list[dict]:
+    """Full batch convert: ingest rows → FEATURE_SCHEMA record dicts
+    (the batched equivalent of kernel.convert + model.feature_to_record,
+    bit-identical output)."""
+    ords, gcodes_l, fids, tagss, ringss = parse_feature_rows(rows, options)
+    gcodes = np.asarray(gcodes_l, dtype=np.int64)
+    rags = build_rags(gcodes_l, ringss, options)
+    minx, miny, maxx, maxy = feature_bboxes(rags, gcodes)
+
+    xyz = np.empty(3 * rags.n_vertices)
+    xyz[0::3] = rags.xs
+    xyz[1::3] = rags.ys
+    xyz[2::3] = rags.zs
+
+    rlens = rags.ring_lens()
+    n_feats = rags.n_feats
+    f_nrings = np.bincount(rags.rfeat, minlength=n_feats).astype(np.int64) \
+        if rags.n_rings else np.zeros(n_feats, dtype=np.int64)
+    f_roff = np.zeros(n_feats + 1, dtype=np.int64)
+    np.cumsum(f_nrings, out=f_roff[1:])
+
+    records = []
+    for fi in range(n_feats):
+        r0, r1 = int(f_roff[fi]), int(f_roff[fi + 1])
+        v0, v1 = int(rags.roff[r0]), int(rags.roff[r1])
+        code = int(gcodes[fi])
+        poly_lens = None
+        if code == GT_MPOLY:
+            poly_lens = np.bincount(rags.rpoly[r0:r1]).astype(np.int32)
+        records.append({
+            "ord_path": [int(v) for v in ords[fi]],
+            "fid_json": fids[fi],
+            "tags_json": tagss[fi],
+            "gtype": GTYPES[code],
+            "coords": xyz[3 * v0:3 * v1],
+            "ring_lens": (rlens[r0:r1] * 3).astype(np.int32),
+            "poly_lens": poly_lens,
+            "ring_size": rags.rsize[r0:r1],
+            "ring_start": rags.rstart[r0:r1],
+            "ring_end": rags.rend[r0:r1],
+            "minx": float(minx[fi]), "miny": float(miny[fi]),
+            "maxx": float(maxx[fi]), "maxy": float(maxy[fi]),
+        })
+    return records

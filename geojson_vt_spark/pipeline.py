@@ -39,18 +39,15 @@ def features_from_json_df(df: DataFrame, options: TileOptions) -> DataFrame:
     {"geometry": ...}); gen_index feeds generateId (null for non-collection
     inputs, matching /root/reference/src/convert.js:11,15,19).
     """
+    from .kernel.vec import convert_rows_to_records
+
     def run(batches):
         for pdf in batches:
-            records = []
-            for ordv, gen_index, fjson in zip(
-                    pdf["input_ord"].to_numpy(),
-                    pdf["gen_index"].to_numpy(),
-                    pdf["feature_json"].to_numpy()):
-                gi = None if gen_index is None or pd.isna(gen_index) else int(gen_index)
-                feats = convert_single(json.loads(fjson), options, gi)
-                for ci, f in enumerate(feats):
-                    records.append(feature_to_record((int(ordv), ci), f))
-            yield records_to_pdf(records)
+            rows = [(int(o), None if g is None or pd.isna(g) else int(g), j)
+                    for o, g, j in zip(pdf["input_ord"].to_numpy(),
+                                       pdf["gen_index"].to_numpy(),
+                                       pdf["feature_json"].to_numpy())]
+            yield records_to_pdf(convert_rows_to_records(rows, options))
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
@@ -103,19 +100,55 @@ def _clip_df(df: DataFrame, k1: float, k2: float, axis: int,
     lm = options.line_metrics
 
     def run(batches):
+        from .kernel.vec import batch_clip, records_to_rags
         for pdf in batches:
-            records = []
-            for rec in pdf_rows(pdf):
-                ord_path, f = record_to_feature(rec)
-                res = clip_features([f], 1, k1, k2, axis, rec["minx"] if axis == 0 else rec["miny"],
-                                    rec["maxx"] if axis == 0 else rec["maxy"], lm)
-                for i, nf in enumerate(res or []):
-                    records.append(feature_to_record(
-                        (world, *ord_path, i), nf))
-            yield records_to_pdf(records)
+            recs = [dict(r) for r in pdf_rows(pdf)]
+            rags, gcodes, mnx, mny, mxx, mxy = records_to_rags(recs)
+            res = batch_clip(rags, gcodes, mnx, mny, mxx, mxy,
+                             np.full(len(recs), k1), np.full(len(recs), k2),
+                             axis, lm)
+            ords = [(world, *recs[int(s)]["ord_path"], int(i))
+                    for s, i in zip(res.src, res.sub_ord)]
+            srcs = [recs[int(s)] for s in res.src]
+            yield records_to_pdf(clip_result_records(res, srcs, ords))
 
     clipped = crossing.mapInPandas(run, FEATURE_SCHEMA)
     return passed.unionByName(clipped)
+
+
+def clip_result_records(res, srcs_by_out, ords) -> list[dict]:
+    """Materialize a ClipResult into FEATURE records; fid/tags come from
+    the per-output source records (aligned with output features),
+    ord_path from the caller's bookkeeping."""
+    from .kernel.vec import GT_MPOLY, GTYPES, rags_to_feature_arrays
+    rg = res.rags
+    f_roff, xyz = rags_to_feature_arrays(rg)
+    lens3 = (rg.ring_lens() * 3).astype(np.int32)
+    out = []
+    for oi in range(res.n_feats):
+        r0, r1 = int(f_roff[oi]), int(f_roff[oi + 1])
+        v0 = int(rg.roff[r0])
+        v1 = int(rg.roff[r1])
+        src = srcs_by_out[oi]
+        code = int(res.gcodes[oi])
+        poly_lens = None
+        if code == GT_MPOLY:
+            poly_lens = np.bincount(rg.rpoly[r0:r1]).astype(np.int32)
+        out.append({
+            "ord_path": [int(v) for v in ords[oi]],
+            "fid_json": src["fid_json"],
+            "tags_json": src["tags_json"],
+            "gtype": GTYPES[code],
+            "coords": xyz[3 * v0:3 * v1],
+            "ring_lens": lens3[r0:r1],
+            "poly_lens": poly_lens,
+            "ring_size": rg.rsize[r0:r1],
+            "ring_start": rg.rstart[r0:r1],
+            "ring_end": rg.rend[r0:r1],
+            "minx": float(res.minx[oi]), "miny": float(res.miny[oi]),
+            "maxx": float(res.maxx[oi]), "maxy": float(res.maxy[oi]),
+        })
+    return out
 
 
 def _shift_df(df: DataFrame, offset: float) -> DataFrame:
@@ -220,34 +253,52 @@ def split_children_df(frontier: DataFrame, z: int,
                 .where(F.col("udf_mask") > 0))
 
     def run(batches):
+        from .kernel.vec import batch_clip, records_to_rags, take_features
         for pdf in batches:
+            recs = [dict(r) for r in pdf_rows(pdf)]
+            rags, gcodes, mnx, mny, mxx, mxy = records_to_rags(recs)
+            tx = np.asarray([int(r["x"]) for r in recs], dtype=np.int64)
+            ty = np.asarray([int(r["y"]) for r in recs], dtype=np.int64)
+            mask = np.asarray([int(r["udf_mask"]) for r in recs],
+                              dtype=np.int64)
             records = []
-            for rec in pdf_rows(pdf):
-                ord_path, f = record_to_feature(rec)
-                x, y = int(rec["x"]), int(rec["y"])
-                mask = int(rec["udf_mask"])
-                xclips = {}
-                for q in range(4):
-                    if not mask & (1 << q):
+            for dx in (0, 1):
+                selx = np.nonzero(mask & ((1 << dx) | (1 << (dx + 2))))[0]
+                if not len(selx):
+                    continue
+                xk1 = (tx[selx] + (k2c if dx else -k1c)) / z2
+                xk2 = (tx[selx] + (k4c if dx else k3c)) / z2
+                side = batch_clip(take_features(rags, selx), gcodes[selx],
+                                  mnx[selx], mny[selx], mxx[selx], mxy[selx],
+                                  xk1, xk2, 0, lm)
+                if side.n_feats == 0:
+                    continue
+                side_orig = selx[side.src]  # original record index
+                for dy in (0, 1):
+                    q = dy * 2 + dx
+                    keep = np.nonzero(mask[side_orig] & (1 << q))[0]
+                    if not len(keep):
                         continue
-                    dx, dy = q & 1, q >> 1
-                    if dx not in xclips:
-                        xk1 = (x + k2c) if dx else (x - k1c)
-                        xk2 = (x + k4c) if dx else (x + k3c)
-                        xclips[dx] = clip_features(
-                            [f], z2, xk1, xk2, 0, f.minx, f.maxx, lm)
-                    side = xclips[dx]
-                    if not side:
+                    sub = take_features(side.rags, keep)
+                    yk1 = (ty[side_orig[keep]] + (k2c if dy else -k1c)) / z2
+                    yk2 = (ty[side_orig[keep]] + (k4c if dy else k3c)) / z2
+                    resq = batch_clip(sub, side.gcodes[keep],
+                                      side.minx[keep], side.miny[keep],
+                                      side.maxx[keep], side.maxy[keep],
+                                      yk1, yk2, 1, lm)
+                    if resq.n_feats == 0:
                         continue
-                    yk1 = (y + k2c) if dy else (y - k1c)
-                    yk2 = (y + k4c) if dy else (y + k3c)
-                    for i, sf in enumerate(side):
-                        res = clip_features([sf], z2, yk1, yk2, 1,
-                                            sf.miny, sf.maxy, lm)
-                        for j, nf in enumerate(res or []):
-                            records.append({
-                                "z": z + 1, "x": x * 2 + dx, "y": y * 2 + dy,
-                                **feature_to_record((*ord_path, i, j), nf)})
+                    orig = side_orig[keep][resq.src]
+                    xi = side.sub_ord[keep][resq.src]
+                    src_list = [recs[int(i)] for i in orig]
+                    ords = [(*recs[int(o)]["ord_path"], int(i), int(j))
+                            for o, i, j in zip(orig, xi, resq.sub_ord)]
+                    frecs = clip_result_records(resq, src_list, ords)
+                    for rr, o in zip(frecs, orig):
+                        rr["z"] = z + 1
+                        rr["x"] = int(tx[o]) * 2 + dx
+                        rr["y"] = int(ty[o]) * 2 + dy
+                        records.append(rr)
             yield records_to_pdf(records, columns=TILED_COLUMNS)
 
     clipped = crossing.mapInPandas(run, TILED_FEATURE_SCHEMA)
@@ -519,6 +570,245 @@ def split_subtree(features, z0: int, x0: int, y0: int, options: TileOptions):
     return tiles_out, sources_out
 
 
+def batch_split_subtree(records, z0: int, x0: int, y0: int,
+                        options: TileOptions):
+    """Vectorized subtree build: one batch_clip / batch_assemble pass per
+    LEVEL covering every tile at that level at once — the per-feature
+    clip windows come from each feature's tile assignment, so the whole
+    level's 4-way split costs six flat-numpy clips regardless of tile
+    count.  Output semantics identical to split_subtree (index.js
+    splitTile, first-pass stop rules).
+
+    Returns (tile_rows, sources) where tile_rows are dicts of the
+    subtree 'tile' kind and sources maps (z,x,y) → FEATURE record list.
+    """
+    import numpy as np
+
+    from .kernel.index import to_id
+    from .kernel.vec import (GT_LINE, batch_assemble, batch_clip,
+                             concat_rags, records_to_rags,
+                             render_feature_json, take_features)
+
+    rags, gcodes, fminx, fminy, fmaxx, fmaxy = records_to_rags(records)
+    fids = [r["fid_json"] for r in records]
+    tagss = [r["tags_json"] for r in records]
+    n = len(records)
+    tilex = np.full(n, x0, dtype=np.int64)
+    tiley = np.full(n, y0, dtype=np.int64)
+
+    k1c = 0.5 * options.buffer / options.extent
+    k2c, k3c, k4c = 0.5 - k1c, 0.5 + k1c, 1 + k1c
+    lm = options.line_metrics
+
+    tile_rows = []
+    sources = {}
+    pending = [(x0, y0)]  # tiles existing at the current level
+    z = z0
+
+    level_arrays = {}
+
+    def feature_record(fi):
+        """Slice feature fi back into a FEATURE record (ord assigned by
+        caller) using per-level precomputed offset arrays."""
+        from .kernel.vec import GT_MPOLY, GTYPES, rags_to_feature_arrays
+        if "f_roff" not in level_arrays:
+            f_roff_, xyz_ = rags_to_feature_arrays(rags)
+            level_arrays["f_roff"] = f_roff_
+            level_arrays["xyz"] = xyz_
+            level_arrays["lens3"] = (rags.ring_lens() * 3).astype(np.int32)
+        f_roff_ = level_arrays["f_roff"]
+        r0, r1 = int(f_roff_[fi]), int(f_roff_[fi + 1])
+        v0 = int(rags.roff[r0]) if r0 < rags.n_rings else 0
+        v1 = int(rags.roff[r1]) if r0 < rags.n_rings else v0
+        xyz = level_arrays["xyz"][3 * v0:3 * v1]
+        code = int(gcodes[fi])
+        poly_lens = None
+        if code == GT_MPOLY:
+            poly_lens = np.bincount(rags.rpoly[r0:r1]).astype(np.int32)
+        return {
+            "fid_json": fids[fi], "tags_json": tagss[fi],
+            "gtype": GTYPES[code],
+            "coords": xyz,
+            "ring_lens": level_arrays["lens3"][r0:r1],
+            "poly_lens": poly_lens,
+            "ring_size": rags.rsize[r0:r1].copy(),
+            "ring_start": rags.rstart[r0:r1].copy(),
+            "ring_end": rags.rend[r0:r1].copy(),
+            "minx": float(fminx[fi]), "miny": float(fminy[fi]),
+            "maxx": float(fmaxx[fi]), "maxy": float(fmaxy[fi]),
+        }
+
+    while pending:
+        level_arrays.clear()
+        z2 = 1 << z
+        fjsons, n_pts, n_simpl = batch_assemble(
+            rags, gcodes, np.full(len(gcodes), z), tilex, tiley, options)
+
+        # group features per tile, preserving feature order
+        groups = {key: [] for key in pending}
+        for fi in range(len(gcodes)):
+            groups[(int(tilex[fi]), int(tiley[fi]))].append(fi)
+
+        split_keys = []
+        for (gx, gy) in pending:
+            idxs = groups[(gx, gy)]
+            npts = int(sum(int(n_pts[fi]) for fi in idxs))
+            nsim = int(sum(int(n_simpl[fi]) for fi in idxs))
+            parts = []
+            bb = [2.0, 1.0, -1.0, 0.0]
+            for fi in idxs:
+                bb[0] = min(bb[0], float(fminx[fi]))
+                bb[1] = min(bb[1], float(fminy[fi]))
+                bb[2] = max(bb[2], float(fmaxx[fi]))
+                bb[3] = max(bb[3], float(fmaxy[fi]))
+                fj = fjsons[fi]
+                if fj is None:
+                    continue
+                type_code, geom_json = fj
+                tags_json = tagss[fi]
+                if (type_code == 2 and int(gcodes[fi]) == GT_LINE and lm):
+                    tags = json.loads(tags_json) if tags_json else {}
+                    r0 = int(np.searchsorted(rags.rfeat, fi, side="left"))
+                    size = float(rags.rsize[r0])
+                    tags["mapbox_clip_start"] = float(rags.rstart[r0]) / size
+                    tags["mapbox_clip_end"] = float(rags.rend[r0]) / size
+                    tags_json = json.dumps(tags)
+                parts.append(render_feature_json(
+                    type_code, geom_json, tags_json, fids[fi]))
+            splits = not (z == options.index_max_zoom or
+                          npts <= options.index_max_points)
+            if z == z0:
+                splits = True  # root: classified upstream; not re-emitted
+            else:
+                tile_rows.append({
+                    "z": z, "x": gx, "y": gy,
+                    "tile_id": to_id(z, gx, gy),
+                    "num_features": len(idxs),
+                    "num_points": npts, "num_simplified": nsim,
+                    "features_json": "[" + ",".join(parts) + "]",
+                    "is_split": splits, "has_source": not splits,
+                    "minx": bb[0], "miny": bb[1],
+                    "maxx": bb[2], "maxy": bb[3],
+                })
+            if splits:
+                split_keys.append((gx, gy))
+            else:
+                sources[(z, gx, gy)] = [feature_record(fi) for fi in idxs]
+
+        if not split_keys:
+            break
+
+        split_set = set(split_keys)
+        sel = np.asarray([fi for fi in range(len(gcodes))
+                          if (int(tilex[fi]), int(tiley[fi])) in split_set],
+                         dtype=np.int64)
+        next_pending = [(2 * gx + dx, 2 * gy + dy)
+                        for gx, gy in split_keys
+                        for dx, dy in ((0, 0), (0, 1), (1, 0), (1, 1))]
+
+        out_states = []
+        if len(sel):
+            s_rags = take_features(rags, sel)
+            s_g = gcodes[sel]
+            s_mnx, s_mny = fminx[sel], fminy[sel]
+            s_mxx, s_mxy = fmaxx[sel], fmaxy[sel]
+            s_fids = [fids[int(i)] for i in sel]
+            s_tags = [tagss[int(i)] for i in sel]
+            s_tx = tilex[sel]
+            s_ty = tiley[sel]
+
+            for dx in (0, 1):
+                xk1 = (s_tx + (k2c if dx else -k1c)) / z2
+                xk2 = (s_tx + (k4c if dx else k3c)) / z2
+                side = batch_clip(s_rags, s_g, s_mnx, s_mny, s_mxx, s_mxy,
+                                  xk1, xk2, 0, lm)
+                if side.n_feats == 0:
+                    continue
+                side_tx = s_tx[side.src]
+                side_ty = s_ty[side.src]
+                side_fids = [s_fids[int(i)] for i in side.src]
+                side_tags = [s_tags[int(i)] for i in side.src]
+                for dy in (0, 1):
+                    yk1 = (side_ty + (k2c if dy else -k1c)) / z2
+                    yk2 = (side_ty + (k4c if dy else k3c)) / z2
+                    q = batch_clip(side.rags, side.gcodes, side.minx,
+                                   side.miny, side.maxx, side.maxy,
+                                   yk1, yk2, 1, lm)
+                    if q.n_feats == 0:
+                        continue
+                    out_states.append((
+                        q,
+                        [side_fids[int(i)] for i in q.src],
+                        [side_tags[int(i)] for i in q.src],
+                        side_tx[q.src] * 2 + dx,
+                        side_ty[q.src] * 2 + dy,
+                    ))
+
+        pending = next_pending
+        z += 1
+        if not out_states:
+            rags, gcodes = _empty_state()
+            fids, tagss = [], []
+            fminx = fminy = fmaxx = fmaxy = np.empty(0)
+            tilex = tiley = np.empty(0, dtype=np.int64)
+            continue
+        rags = concat_rags([q.rags for q, *_ in out_states])
+        gcodes = np.concatenate([q.gcodes for q, *_ in out_states])
+        fminx = np.concatenate([q.minx for q, *_ in out_states])
+        fminy = np.concatenate([q.miny for q, *_ in out_states])
+        fmaxx = np.concatenate([q.maxx for q, *_ in out_states])
+        fmaxy = np.concatenate([q.maxy for q, *_ in out_states])
+        fids = [f for _, fd, _, _, _ in out_states for f in fd]
+        tagss = [t for _, _, tg, _, _ in out_states for t in tg]
+        tilex = np.concatenate([tx for *_, tx, _ in out_states])
+        tiley = np.concatenate([ty for *_, ty in out_states])
+
+    return tile_rows, sources
+
+
+def _empty_state():
+    import numpy as np
+
+    from .kernel.vec import Rags
+    rags = Rags(np.empty(0), np.empty(0), np.empty(0),
+                np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.int64),
+                np.empty(0), np.empty(0), np.empty(0),
+                np.empty(0, dtype=np.int64), 0)
+    rags.router = np.empty(0, dtype=bool)
+    return rags, np.empty(0, dtype=np.int64)
+
+
+def _state_feature_record(rg, g, mnx, mny, mxx, mxy, fids, tagss, fi):
+    import numpy as np
+
+    from .kernel.vec import GT_MPOLY, GTYPES
+    r0 = int(np.searchsorted(rg.rfeat, fi, side="left"))
+    r1 = int(np.searchsorted(rg.rfeat, fi, side="right"))
+    v0 = int(rg.roff[r0]) if r0 < rg.n_rings else 0
+    v1 = int(rg.roff[r1]) if r0 < rg.n_rings else 0
+    xyz = np.empty(3 * (v1 - v0))
+    xyz[0::3] = rg.xs[v0:v1]
+    xyz[1::3] = rg.ys[v0:v1]
+    xyz[2::3] = rg.zs[v0:v1]
+    code = int(g[fi])
+    poly_lens = None
+    if code == GT_MPOLY:
+        poly_lens = np.bincount(rg.rpoly[r0:r1]).astype(np.int32)
+    return {
+        "fid_json": fids[fi], "tags_json": tagss[fi],
+        "gtype": GTYPES[code],
+        "coords": xyz,
+        "ring_lens": ((rg.roff[r0 + 1:r1 + 1] - rg.roff[r0:r1]) * 3
+                      ).astype(np.int32),
+        "poly_lens": poly_lens,
+        "ring_size": rg.rsize[r0:r1].copy(),
+        "ring_start": rg.rstart[r0:r1].copy(),
+        "ring_end": rg.rend[r0:r1].copy(),
+        "minx": float(mnx[fi]), "miny": float(mny[fi]),
+        "maxx": float(mxx[fi]), "maxy": float(mxy[fi]),
+    }
+
+
 def subtree_stage_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
     """Grouped-map handoff: each light splitting tile's features become
     one Arrow batch; the whole descendant pyramid of that tile is built
@@ -529,15 +819,11 @@ def subtree_stage_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
     skewed), then 4^z-way tile parallelism takes over with zero further
     driver coordination — per-task work is bounded by the handoff
     threshold, so no group can exceed executor memory."""
-    from .kernel.index import to_id
-    from .kernel.transform import transform_tile
-
     def run(key, pdf):
         z0, x0, y0 = int(key[0]), int(key[1]), int(key[2])
-        recs = sorted((record_to_feature(r) for r in pdf_rows(pdf)),
-                      key=lambda t: t[0])
-        feats = [f for _, f in recs]
-        tiles_out, sources_out = split_subtree(feats, z0, x0, y0, options)
+        recs = sorted((dict(r) for r in pdf_rows(pdf)),
+                      key=lambda r: tuple(r["ord_path"]))
+        tile_rows, sources = batch_split_subtree(recs, z0, x0, y0, options)
 
         rows = {c: [] for c in _SUBTREE_COLUMNS}
 
@@ -545,24 +831,12 @@ def subtree_stage_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
             for c in _SUBTREE_COLUMNS:
                 rows[c].append(vals.get(c))
 
-        for tile, splits in tiles_out:
-            tf = transform_tile(tile, options.extent)
-            emit({
-                "kind": "tile", "z": tile.z, "x": tile.x, "y": tile.y,
-                "tile_id": to_id(tile.z, tile.x, tile.y),
-                "num_features": tile.num_features,
-                "num_points": tile.num_points,
-                "num_simplified": tile.num_simplified,
-                "features_json": json.dumps(tf["features"],
-                                            separators=(",", ":")),
-                "is_split": splits, "has_source": not splits,
-                "minx": tile.minx, "miny": tile.miny,
-                "maxx": tile.maxx, "maxy": tile.maxy,
-            })
-        for sz, sx, sy, sfeats in sources_out:
-            for i, f in enumerate(sfeats):
-                emit({"kind": "source", "z": sz, "x": sx, "y": sy,
-                      **feature_to_record((i,), f)})
+        for t in tile_rows:
+            emit({"kind": "tile", **t})
+        for (sz, sx, sy), srecs in sources.items():
+            for i, rec in enumerate(srecs):
+                rec["ord_path"] = [i]
+                emit({"kind": "source", "z": sz, "x": sx, "y": sy, **rec})
         return pd.DataFrame(rows, columns=_SUBTREE_COLUMNS)
 
     return frontier.groupBy("z", "x", "y").applyInPandas(run, SUBTREE_SCHEMA)
