@@ -131,13 +131,13 @@ class SparkTileEngine:
         features = wrap_df(features, self.options)
         self.build(features)
 
-    # measured local-kernel throughput: ~45k vertices/sec per zoom level
-    # per core (tests/prof); the handoff threshold targets ~2s tasks, so
-    # T(z) = budget / levels_remaining.  Small inputs hand off near the
-    # root (the whole pyramid is a few core-seconds); big inputs keep
-    # distributing until per-tile subtrees shrink to task size — the
-    # formula self-balances across scales.
-    _KERNEL_PTS_PER_TASK = 90_000
+    # measured batch-kernel throughput: ~90k vertex-levels/sec per core
+    # (full pipeline incl. source materialization); the handoff
+    # threshold targets ~2s tasks, so T(z) = budget / levels_remaining.
+    # Small inputs hand off near the root (the whole pyramid is a few
+    # core-seconds); big inputs keep distributing until per-tile
+    # subtrees shrink to task size — the formula self-balances.
+    _KERNEL_PTS_PER_TASK = 250_000
 
     def _subtree_threshold(self, z: int) -> int:
         if self.subtree_max_points is not None:
@@ -222,9 +222,35 @@ class SparkTileEngine:
             frontier.write.mode("overwrite").parquet(self._p("frontier", "z=0"))
 
         z = start_z
+        prev_points = 0
         while True:
             t0 = time.monotonic()
             frontier = self._read_frontier(z)
+            if heavy_prev is not None:
+                # the previous split ran optimistically over every tile;
+                # only children of HEAVY splits belong to this zoom's
+                # distributed frontier (light subtrees + leaf sources
+                # were handled from the z-1 frontier)
+                parents = [_pack_xy(x, y) for x, y in heavy_prev]
+                pcol = (F.shiftleft(F.shiftright(F.col("x"), 1)
+                                    .cast("long"), 25)
+                        + F.shiftright(F.col("y"), 1).cast("long"))
+                frontier = frontier.where(pcol.isin(parents))
+
+            # OPTIMISTIC SPLIT: start producing zoom z+1 children for
+            # every tile now, concurrently with assembly — the stop-rule
+            # classification only decides which children the NEXT
+            # iteration reads, so leaves' children are simply never read
+            fut_split = None
+            if z < opts.index_max_zoom:
+                n_parts = max(par, min(
+                    4096,
+                    prev_points // self.target_points_per_partition + 1))
+                fut_split = pool.submit(
+                    lambda fr=frontier, z=z, n=n_parts:
+                    split_children_df(fr, z, opts).repartition(n)
+                    .write.mode("overwrite")
+                    .parquet(self._p("frontier", f"z={z+1}")))
 
             # assembly yields per-tile stats + bbox (the kernel computes
             # numPoints/numFeatures, tile.js:4-8) and the stop-rule flag
@@ -288,11 +314,16 @@ class SparkTileEngine:
                     empties.coalesce(1).write.mode("append").parquet(tiles_path)
                     _tm["empties"] = time.monotonic() - _t
 
-            # leaf tiles retain their source features for drill-down
-            split_packed = [_pack_xy(x, y) for x, y, _ in splits]
+            # leaf tiles retain their source features for drill-down;
+            # positive key filter — the frontier file also holds children
+            # of light/leaf tiles from the optimistic split, which belong
+            # to no tile at this zoom
+            split_set = {(x, y) for x, y, _ in splits}
+            leaf_packed = [_pack_xy(x, y) for (x, y) in present
+                           if (x, y) not in split_set]
             fut_sources = pool.submit(
-                lambda z=z, sp=list(split_packed):
-                self._read_frontier(z).where(~_pack_col().isin(sp))
+                lambda z=z, lp=list(leaf_packed):
+                self._read_frontier(z).where(_pack_col().isin(lp))
                 .drop("z").write.mode("overwrite")
                 .parquet(self._p("sources", f"z={z}")))
 
@@ -300,22 +331,14 @@ class SparkTileEngine:
             self._submit_subtree(pool, futures, z, light)
 
             final = not heavy
-            if not final:
-                heavy_packed = [_pack_xy(x, y) for x, y in heavy]
-                nxt = split_children_df(
-                    frontier.where(_pack_col().isin(heavy_packed)), z, opts)
-                # partition budget scales with the measured vertex count
-                # of the surviving heavy tiles; round-robin rebalance so
-                # no partition carries a whole hot tile (skew)
-                n_parts = max(par, min(
-                    4096, heavy_points // self.target_points_per_partition + 1))
-                nxt = nxt.repartition(n_parts)
-                nxt.write.mode("overwrite").parquet(
-                    self._p("frontier", f"z={z+1}"))
-                _tm["split"] = time.monotonic() - _t
+            _t = time.monotonic()
+            if fut_split is not None:
+                fut_split.result()
+                _tm["split_wait"] = time.monotonic() - _t
             _t = time.monotonic()
             fut_sources.result()
             _tm["sources_wait"] = time.monotonic() - _t
+            prev_points = heavy_points
 
             self._append_lineage({
                 "zoom": z, "n_tiles": len(stats) + n_empty,
