@@ -43,21 +43,20 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from .kernel.index import to_id
 from .model import FEATURE_COLUMNS, TILED_COLUMNS
 from .options import TileOptions
-from .pipeline import (assemble_tiles_df, features_from_json_df,
-                       geojson_to_input_rows, split_children_df,
+from .pipeline import (features_from_json_df, geojson_to_input_rows,
+                       rendered_features_df, split_children_df,
                        subtree_stage_df, wrap_df)
 
 TILE_COLUMNS = ["z", "x", "y", "tile_id", "num_features", "num_points",
-                "num_simplified", "features_json", "minx", "miny",
+                "num_simplified", "minx", "miny",
                 "maxx", "maxy", "is_split", "has_source"]
 
-_EMPTY_TILE_SCHEMA = T.StructType([
+_TILE_STATS_SCHEMA = T.StructType([
     T.StructField("x", T.IntegerType(), False),
     T.StructField("y", T.IntegerType(), False),
     T.StructField("num_features", T.LongType(), False),
     T.StructField("num_points", T.LongType(), False),
     T.StructField("num_simplified", T.LongType(), False),
-    T.StructField("features_json", T.StringType(), False),
     T.StructField("minx", T.DoubleType(), False),
     T.StructField("miny", T.DoubleType(), False),
     T.StructField("maxx", T.DoubleType(), False),
@@ -252,32 +251,38 @@ class SparkTileEngine:
                     .write.mode("overwrite")
                     .parquet(self._p("frontier", f"z={z+1}")))
 
-            # assembly yields per-tile stats + bbox (the kernel computes
-            # numPoints/numFeatures, tile.js:4-8) and the stop-rule flag
-            # is a pure column expression
-            is_split = ~((F.lit(z) == opts.index_max_zoom) |
-                         (F.col("num_points") <= opts.index_max_points))
-            assembled = (assemble_tiles_df(frontier, opts)
-                         .withColumn("is_split", is_split)
-                         .withColumn("has_source", ~F.col("is_split"))
-                         .withColumn("tile_id", F.expr(
-                             "(shiftleft(1L, z) * y + x) * CAST(32 AS BIGINT) + z")))
-            # drop z before writing into the z=N dir so partition
-            # discovery over the parent dir doesn't see a duplicate column
-            tiles_path = self._p("tiles", f"z={z}")
-            assembled.drop("z").write.mode("overwrite").parquet(tiles_path)
+            # render per-feature tile output rows (tolerance filter,
+            # rewind, integer transform, JSON) as a NARROW map — no
+            # shuffle, no per-tile string concat: a z0 tile holding the
+            # whole corpus stays distributed across its input partitions
+            # (the per-tile features_json is materialized lazily on read;
+            # a single 100MB tile string would serialize one reduce task)
+            tilefeat_path = self._p("tilefeat", f"z={z}")
+            rendered = rendered_features_df(frontier, opts).drop("z").persist()
+            rendered.write.mode("overwrite").parquet(tilefeat_path)
             t_assembled = time.monotonic()
             _tm = {"assemble": t_assembled - t0}
 
-            # per-tile stats read back from the column-pruned parquet —
-            # O(heavy_prev·4) rows, never the 4^z full tile count
-            stats = (spark.read.parquet(tiles_path)
-                     .select("x", "y", "num_points", "is_split").collect())
+            # per-tile stats: partial-aggregated scan of the cached
+            # rendered rows — O(heavy_prev·4) result rows
+            stats = (rendered
+                     .groupBy("x", "y")
+                     .agg(F.count(F.lit(1)).alias("num_features"),
+                          F.sum("n_points").alias("num_points"),
+                          F.sum("n_simplified").alias("num_simplified"),
+                          F.min("minx").alias("minx"),
+                          F.min("miny").alias("miny"),
+                          F.max("maxx").alias("maxx"),
+                          F.max("maxy").alias("maxy"))
+                     .collect())
             _tm["stats"] = time.monotonic() - t_assembled
+            rendered.unpersist()
             present = {(r["x"], r["y"]) for r in stats}
             n_points = sum(r["num_points"] for r in stats)
             splits = [(r["x"], r["y"], r["num_points"])
-                      for r in stats if r["is_split"]]
+                      for r in stats
+                      if not (z == opts.index_max_zoom or
+                              r["num_points"] <= opts.index_max_points)]
             threshold = self._subtree_threshold(z)
             light = [(x, y) for x, y, np_ in splits if np_ <= threshold]
             heavy = [(x, y) for x, y, np_ in splits if np_ > threshold]
@@ -285,34 +290,57 @@ class SparkTileEngine:
 
             # all 4 children of every split tile at z-1 exist as tiles,
             # even empty ones (index.js:151-154 pushes `tl || []`);
-            # children of light splits come from their subtree batch
-            n_empty = 0
+            # children of light splits come from their subtree batch.
+            # The tiles table itself is tiny (stats only) and is written
+            # straight from the driver rows — no extra Spark jobs
+            missing = []
             if z > 0 and heavy_prev:
                 missing = [(cx, cy)
                            for px, py in heavy_prev
                            for cx in (2 * px, 2 * px + 1)
                            for cy in (2 * py, 2 * py + 1)
                            if (cx, cy) not in present]
-                n_empty = len(missing)
-                if missing:
-                    _t = time.monotonic()
-                    import pandas as pd
-                    pdf = pd.DataFrame({
-                        "x": pd.Series([c[0] for c in missing], dtype="int32"),
-                        "y": pd.Series([c[1] for c in missing], dtype="int32"),
-                        "num_features": 0, "num_points": 0,
-                        "num_simplified": 0, "features_json": "[]",
-                        "minx": 2.0, "miny": 1.0, "maxx": -1.0, "maxy": 0.0,
-                        "is_split": False, "has_source": True,
-                        "tile_id": pd.Series(
-                            [to_id(z, cx, cy) for cx, cy in missing],
-                            dtype="int64"),
-                    })
-                    # Arrow-path createDataFrame: data stays JVM-local, so
-                    # the single-task append never touches Python workers
-                    empties = spark.createDataFrame(pdf, _EMPTY_TILE_SCHEMA)
-                    empties.coalesce(1).write.mode("append").parquet(tiles_path)
-                    _tm["empties"] = time.monotonic() - _t
+            n_empty = len(missing)
+            _t = time.monotonic()
+            import pandas as pd
+            split_lookup = {(x, y) for x, y, _ in splits}
+            tiles_pdf = pd.DataFrame({
+                "x": pd.Series([r["x"] for r in stats]
+                               + [c[0] for c in missing], dtype="int32"),
+                "y": pd.Series([r["y"] for r in stats]
+                               + [c[1] for c in missing], dtype="int32"),
+                "num_features": pd.Series(
+                    [r["num_features"] for r in stats] + [0] * n_empty,
+                    dtype="int64"),
+                "num_points": pd.Series(
+                    [r["num_points"] for r in stats] + [0] * n_empty,
+                    dtype="int64"),
+                "num_simplified": pd.Series(
+                    [r["num_simplified"] for r in stats] + [0] * n_empty,
+                    dtype="int64"),
+                "minx": pd.Series([r["minx"] for r in stats]
+                                  + [2.0] * n_empty, dtype="float64"),
+                "miny": pd.Series([r["miny"] for r in stats]
+                                  + [1.0] * n_empty, dtype="float64"),
+                "maxx": pd.Series([r["maxx"] for r in stats]
+                                  + [-1.0] * n_empty, dtype="float64"),
+                "maxy": pd.Series([r["maxy"] for r in stats]
+                                  + [0.0] * n_empty, dtype="float64"),
+                "is_split": pd.Series(
+                    [(r["x"], r["y"]) in split_lookup for r in stats]
+                    + [False] * n_empty, dtype="bool"),
+                "has_source": pd.Series(
+                    [(r["x"], r["y"]) not in split_lookup for r in stats]
+                    + [True] * n_empty, dtype="bool"),
+                "tile_id": pd.Series(
+                    [to_id(z, r["x"], r["y"]) for r in stats]
+                    + [to_id(z, cx, cy) for cx, cy in missing],
+                    dtype="int64"),
+            })
+            (spark.createDataFrame(tiles_pdf, _TILE_STATS_SCHEMA)
+             .coalesce(1).write.mode("overwrite")
+             .parquet(self._p("tiles", f"z={z}")))
+            _tm["tiles_write"] = time.monotonic() - _t
 
             # leaf tiles retain their source features for drill-down;
             # positive key filter — the frontier file also holds children
@@ -375,14 +403,38 @@ class SparkTileEngine:
                 sub.where(F.col("kind") == "tile").select(*TILE_COLUMNS))
         return base
 
+    def _assemble_features(self, rows) -> list:
+        """Join rendered per-feature rows into the tile's features list,
+        ordered by ord_path (the lazily-materialized features_json)."""
+        rows = sorted(rows, key=lambda r: tuple(r["ord_path"]))
+        parts = [r["fjson"] for r in rows if r["fjson"] is not None]
+        return json.loads("[" + ",".join(parts) + "]")
+
     def enumerate_tiles(self) -> dict[str, list]:
         """genTiles equivalent (/root/reference/test/test-full.js:49-64):
-        every generated tile's transformed features keyed z{z}-{x}-{y}."""
+        every generated tile's transformed features keyed z{z}-{x}-{y}.
+
+        Small-scale/test path: collects every tile.  Distributed tiles
+        materialize their features from the rendered per-feature store."""
         out = {}
         if not self._read_lineage():
             return out
-        for row in self.tiles().collect():
-            out[f"z{row['z']}-{row['x']}-{row['y']}"] = json.loads(row["features_json"])
+        for row in self.tiles().select("z", "x", "y").collect():
+            out[f"z{row['z']}-{row['x']}-{row['y']}"] = []
+        grouped: dict[str, list] = {}
+        tf_path = self._p("tilefeat")
+        if os.path.isdir(tf_path):
+            for r in (self.spark.read.parquet(tf_path)
+                      .select("z", "x", "y", "ord_path", "fjson").collect()):
+                grouped.setdefault(
+                    f"z{r['z']}-{r['x']}-{r['y']}", []).append(r)
+        for key, rows in grouped.items():
+            out[key] = self._assemble_features(rows)
+        sub = self._subtree_df()
+        if sub is not None:
+            for r in (sub.where(F.col("kind") == "tile")
+                      .select("z", "x", "y", "features_json").collect()):
+                out[f"z{r['z']}-{r['x']}-{r['y']}"] =                     json.loads(r["features_json"])
         for tid, tile in self._drill_tiles.items():
             out[f"z{tile['z']}-{tile['x']}-{tile['y']}"] = tile["features"]
         return out
@@ -426,12 +478,26 @@ class SparkTileEngine:
             return {"features": t["features"], "z": z, "x": x, "y": y}
         if not self._read_lineage():
             return None
-        rows = (self.tiles()
-                .where((F.col("z") == z) & (F.col("x") == x) & (F.col("y") == y))
-                .select("features_json").collect())
-        if not rows:
+        sub = self._subtree_df()
+        if sub is not None:
+            rows = (sub.where((F.col("kind") == "tile") & (F.col("z") == z) &
+                              (F.col("x") == x) & (F.col("y") == y))
+                    .select("features_json").collect())
+            if rows:
+                return {"features": json.loads(rows[0]["features_json"]),
+                        "z": z, "x": x, "y": y}
+        exists = (self.tiles()
+                  .where((F.col("z") == z) & (F.col("x") == x) &
+                         (F.col("y") == y)).count())
+        if not exists:
             return None
-        return {"features": json.loads(rows[0]["features_json"]),
+        tf_path = self._p("tilefeat", f"z={z}")
+        rows = []
+        if os.path.isdir(tf_path):
+            rows = (self.spark.read.parquet(tf_path)
+                    .where((F.col("x") == x) & (F.col("y") == y))
+                    .select("ord_path", "fjson").collect())
+        return {"features": self._assemble_features(rows),
                 "z": z, "x": x, "y": y}
 
     def _source_rows(self, z, x, y) -> list:

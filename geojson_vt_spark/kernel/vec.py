@@ -1001,6 +1001,82 @@ def concat_rags(parts: list[Rags]) -> Rags:
     return out
 
 
+def arrays_to_rags(coords_list, ring_lens3_list, gcodes, poly_lens_list,
+                   sizes_list, starts_list, ends_list):
+    """Column-of-arrays (one Arrow batch) → Rags, vectorized.
+
+    Only MultiPolygon features need a scalar loop (poly regrouping);
+    everything else is np.concatenate / repeat / ragged_arange."""
+    n = len(gcodes)
+    gcodes = np.asarray(gcodes, dtype=np.int64)
+    nr = np.fromiter((len(r) for r in ring_lens3_list), dtype=np.int64,
+                     count=n)
+    R = int(nr.sum())
+    rlens = (np.concatenate(ring_lens3_list).astype(np.int64) // 3
+             if R else np.empty(0, dtype=np.int64))
+    xyz = (np.concatenate(coords_list)
+           if n else np.empty(0))
+    xs = np.ascontiguousarray(xyz[0::3])
+    ys = np.ascontiguousarray(xyz[1::3])
+    zs = np.ascontiguousarray(xyz[2::3])
+    roff = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(rlens, out=roff[1:])
+    rfeat = np.repeat(np.arange(n, dtype=np.int64), nr)
+    rsize = (np.concatenate(sizes_list) if R else np.empty(0))
+    rstart = (np.concatenate(starts_list) if R else np.empty(0))
+    rend = (np.concatenate(ends_list) if R else np.empty(0))
+
+    ring_in_feat = ragged_arange(nr)
+    code_r = gcodes[rfeat] if R else np.empty(0, dtype=np.int64)
+    rpoly = np.where(code_r >= GT_POLY, 0, -1).astype(np.int64)
+    router = (code_r >= GT_POLY) & (ring_in_feat == 0)
+    mp = np.nonzero(gcodes == GT_MPOLY)[0]
+    if len(mp):
+        f_roff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(nr, out=f_roff[1:])
+        for fi in mp:
+            pl = poly_lens_list[fi]
+            at = int(f_roff[fi])
+            for pi, cnt in enumerate(pl):
+                rpoly[at] = pi
+                router[at] = True
+                for k in range(1, int(cnt)):
+                    rpoly[at + k] = pi
+                    router[at + k] = False
+                at += int(cnt)
+    rags = Rags(xs, ys, zs, roff, rfeat,
+                np.asarray(rsize, dtype=np.float64),
+                np.asarray(rstart, dtype=np.float64),
+                np.asarray(rend, dtype=np.float64), rpoly, n)
+    rags.router = router
+    return rags
+
+
+def rags_split_columns(rags: Rags, gcodes):
+    """Rags → per-feature column lists (coords, ring_lens·3, poly_lens,
+    size/start/end) via np.split — no per-feature slicing loops."""
+    n = rags.n_feats
+    gcodes = np.asarray(gcodes, dtype=np.int64)
+    nr = (np.bincount(rags.rfeat, minlength=n).astype(np.int64)
+          if rags.n_rings else np.zeros(n, dtype=np.int64))
+    f_roff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nr, out=f_roff[1:])
+    _, xyz = rags_to_feature_arrays(rags)
+    vsplits = 3 * rags.roff[f_roff[1:-1]]
+    coords = np.split(xyz, vsplits)
+    lens3 = (rags.ring_lens() * 3).astype(np.int32)
+    rsplit = f_roff[1:-1]
+    ring_lens = np.split(lens3, rsplit)
+    sizes = np.split(rags.rsize, rsplit)
+    starts = np.split(rags.rstart, rsplit)
+    ends = np.split(rags.rend, rsplit)
+    poly_lens = [None] * n
+    for fi in np.nonzero(gcodes == GT_MPOLY)[0]:
+        r0, r1 = int(f_roff[fi]), int(f_roff[fi + 1])
+        poly_lens[fi] = np.bincount(rags.rpoly[r0:r1]).astype(np.int32)
+    return coords, ring_lens, poly_lens, sizes, starts, ends
+
+
 # ---------------------------------------------------------------- assemble
 
 def batch_assemble(rags: Rags, gcodes, tz, tx, ty, options):

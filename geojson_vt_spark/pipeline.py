@@ -23,9 +23,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from .kernel.clip import clip_features
-from .model import (FEATURE_SCHEMA, TILED_COLUMNS, TILED_FEATURE_SCHEMA,
-                    feature_to_record, pdf_rows, record_to_feature,
-                    records_to_pdf)
+from .model import (FEATURE_COLUMNS, FEATURE_SCHEMA, TILED_COLUMNS,
+                    TILED_FEATURE_SCHEMA, feature_to_record, pdf_rows,
+                    record_to_feature, records_to_pdf)
 from .options import TileOptions
 
 # ---------------------------------------------------------------- ingest
@@ -100,20 +100,71 @@ def _clip_df(df: DataFrame, k1: float, k2: float, axis: int,
     lm = options.line_metrics
 
     def run(batches):
-        from .kernel.vec import batch_clip, records_to_rags
+        from .kernel.vec import batch_clip
         for pdf in batches:
-            recs = [dict(r) for r in pdf_rows(pdf)]
-            rags, gcodes, mnx, mny, mxx, mxy = records_to_rags(recs)
+            (rags, gcodes, mnx, mny, mxx, mxy,
+             fids, tagss, ords_in) = _pdf_state(pdf)
+            n = len(gcodes)
             res = batch_clip(rags, gcodes, mnx, mny, mxx, mxy,
-                             np.full(len(recs), k1), np.full(len(recs), k2),
-                             axis, lm)
-            ords = [(world, *recs[int(s)]["ord_path"], int(i))
-                    for s, i in zip(res.src, res.sub_ord)]
-            srcs = [recs[int(s)] for s in res.src]
-            yield records_to_pdf(clip_result_records(res, srcs, ords))
+                             np.full(n, k1), np.full(n, k2), axis, lm)
+            ords = [[world, *ords_in[int(sr)], int(i)]
+                    for sr, i in zip(res.src, res.sub_ord)]
+            yield _clip_out_pdf(res, fids, tagss, ords)
 
     clipped = crossing.mapInPandas(run, FEATURE_SCHEMA)
     return passed.unionByName(clipped)
+
+
+
+
+def _pdf_state(pdf):
+    """One Arrow batch of FEATURE/TILED rows → (rags, gcodes, bboxes,
+    fids, tags, ords), fully vectorized at the boundary."""
+    from .kernel.vec import GT_CODE, arrays_to_rags
+    gtypes = pdf["gtype"].to_numpy()
+    n = len(gtypes)
+    gcodes = np.fromiter((GT_CODE[g] for g in gtypes), dtype=np.int64,
+                         count=n)
+    rags = arrays_to_rags(
+        pdf["coords"].to_numpy(), pdf["ring_lens"].to_numpy(), gcodes,
+        pdf["poly_lens"].to_numpy(), pdf["ring_size"].to_numpy(),
+        pdf["ring_start"].to_numpy(), pdf["ring_end"].to_numpy())
+    return (rags, gcodes,
+            pdf["minx"].to_numpy(dtype=np.float64),
+            pdf["miny"].to_numpy(dtype=np.float64),
+            pdf["maxx"].to_numpy(dtype=np.float64),
+            pdf["maxy"].to_numpy(dtype=np.float64),
+            pdf["fid_json"].to_numpy(), pdf["tags_json"].to_numpy(),
+            pdf["ord_path"].to_numpy())
+
+
+def _clip_out_pdf(res, fids, tagss, ords, extra=None,
+                  src=None) -> pd.DataFrame:
+    """ClipResult → FEATURE_SCHEMA pandas batch via np.split columns.
+
+    ``src`` maps each output feature to the index space of fids/tagss
+    (defaults to res.src — pass the composed mapping when the result
+    came from a chained clip)."""
+    from .kernel.vec import GTYPES, rags_split_columns
+    if src is None:
+        src = res.src
+    coords, ring_lens, poly_lens, sizes, starts, ends = \
+        rags_split_columns(res.rags, res.gcodes)
+    data = {}
+    if extra:
+        data.update(extra)
+    data.update({
+        "ord_path": ords,
+        "fid_json": [fids[int(i)] for i in src],
+        "tags_json": [tagss[int(i)] for i in src],
+        "gtype": [GTYPES[int(c)] for c in res.gcodes],
+        "coords": coords, "ring_lens": ring_lens, "poly_lens": poly_lens,
+        "ring_size": sizes, "ring_start": starts, "ring_end": ends,
+        "minx": res.minx, "miny": res.miny,
+        "maxx": res.maxx, "maxy": res.maxy,
+    })
+    cols = (list(extra) if extra else []) + FEATURE_COLUMNS
+    return pd.DataFrame(data, columns=cols)
 
 
 def clip_result_records(res, srcs_by_out, ords) -> list[dict]:
@@ -253,15 +304,14 @@ def split_children_df(frontier: DataFrame, z: int,
                 .where(F.col("udf_mask") > 0))
 
     def run(batches):
-        from .kernel.vec import batch_clip, records_to_rags, take_features
+        from .kernel.vec import batch_clip, take_features
         for pdf in batches:
-            recs = [dict(r) for r in pdf_rows(pdf)]
-            rags, gcodes, mnx, mny, mxx, mxy = records_to_rags(recs)
-            tx = np.asarray([int(r["x"]) for r in recs], dtype=np.int64)
-            ty = np.asarray([int(r["y"]) for r in recs], dtype=np.int64)
-            mask = np.asarray([int(r["udf_mask"]) for r in recs],
-                              dtype=np.int64)
-            records = []
+            (rags, gcodes, mnx, mny, mxx, mxy,
+             fids, tagss, ords_in) = _pdf_state(pdf)
+            tx = pdf["x"].to_numpy(dtype=np.int64)
+            ty = pdf["y"].to_numpy(dtype=np.int64)
+            mask = pdf["udf_mask"].to_numpy(dtype=np.int64)
+            parts = []
             for dx in (0, 1):
                 selx = np.nonzero(mask & ((1 << dx) | (1 << (dx + 2))))[0]
                 if not len(selx):
@@ -290,16 +340,19 @@ def split_children_df(frontier: DataFrame, z: int,
                         continue
                     orig = side_orig[keep][resq.src]
                     xi = side.sub_ord[keep][resq.src]
-                    src_list = [recs[int(i)] for i in orig]
-                    ords = [(*recs[int(o)]["ord_path"], int(i), int(j))
+                    ords = [[*ords_in[int(o)], int(i), int(j)]
                             for o, i, j in zip(orig, xi, resq.sub_ord)]
-                    frecs = clip_result_records(resq, src_list, ords)
-                    for rr, o in zip(frecs, orig):
-                        rr["z"] = z + 1
-                        rr["x"] = int(tx[o]) * 2 + dx
-                        rr["y"] = int(ty[o]) * 2 + dy
-                        records.append(rr)
-            yield records_to_pdf(records, columns=TILED_COLUMNS)
+                    parts.append(_clip_out_pdf(
+                        resq, fids, tagss, ords,
+                        extra={"z": np.full(len(orig), z + 1,
+                                            dtype=np.int32),
+                               "x": (tx[orig] * 2 + dx).astype(np.int32),
+                               "y": (ty[orig] * 2 + dy).astype(np.int32)},
+                        src=orig))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+            else:
+                yield records_to_pdf([], columns=TILED_COLUMNS)
 
     clipped = crossing.mapInPandas(run, TILED_FEATURE_SCHEMA)
     return passed.unionByName(clipped.select(*TILED_COLUMNS))
@@ -430,41 +483,69 @@ def _assemble_record(rec, z, x, y, options: TileOptions):
     return fjson, n_points, n_simplified
 
 
-def assemble_tiles_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
+def rendered_features_df(frontier: DataFrame,
+                         options: TileOptions) -> DataFrame:
     """Tile assembly + transform (/root/reference/src/tile.js,
     /root/reference/src/transform.js), restructured for scale:
 
     addFeature is a strictly per-feature operation and the tile stats
     are sums, so assembly = a *narrow* per-feature map (tolerance
-    filter, rewind, integer transform, JSON render) followed by a pure
-    SQL aggregation with map-side partial combine.  No grouped-map UDF:
-    the giant low-zoom tiles (z0 holds everything) never serialize into
-    a single Python task — the only single-point work left is the JVM
-    string concat of the final features array, ordered by the explicit
-    ord_path key (Spark guarantees no row order; the reference
+    filter, rewind, integer transform, JSON render) producing one
+    rendered row per (feature, tile).  No shuffle, no grouped-map UDF,
+    and no per-tile string concat: the z0 tile that holds the whole
+    corpus stays spread across its input partitions, and a tile's
+    features array is materialized lazily at read time ordered by the
+    explicit ord_path key (Spark guarantees no row order; the reference
     guarantees insertion order, SURVEY.md §2.6 A1)."""
     def per_feature(batches):
+        from .kernel.vec import (GT_LINE, batch_assemble,
+                                 render_feature_json)
+        lm = options.line_metrics
         for pdf in batches:
-            rows = {k: [] for k in ("z", "x", "y", "ord_path", "fjson",
-                                    "n_points", "n_simplified",
-                                    "minx", "miny", "maxx", "maxy")}
-            for rec in pdf_rows(pdf):
-                z, x, y = int(rec["z"]), int(rec["x"]), int(rec["y"])
-                fjson, n_pts, n_simpl = _assemble_record(rec, z, x, y, options)
-                rows["z"].append(z)
-                rows["x"].append(x)
-                rows["y"].append(y)
-                rows["ord_path"].append(list(rec["ord_path"]))
-                rows["fjson"].append(fjson)
-                rows["n_points"].append(n_pts)
-                rows["n_simplified"].append(n_simpl)
-                rows["minx"].append(rec["minx"])
-                rows["miny"].append(rec["miny"])
-                rows["maxx"].append(rec["maxx"])
-                rows["maxy"].append(rec["maxy"])
-            yield pd.DataFrame(rows)
+            (rags, gcodes, mnx, mny, mxx, mxy,
+             fids, tagss, ords) = _pdf_state(pdf)
+            tz = pdf["z"].to_numpy(dtype=np.int64)
+            tx = pdf["x"].to_numpy(dtype=np.int64)
+            ty = pdf["y"].to_numpy(dtype=np.int64)
+            fj, n_pts, n_sim = batch_assemble(rags, gcodes, tz, tx, ty,
+                                              options)
+            if lm:
+                sizes = pdf["ring_size"].to_numpy()
+                starts = pdf["ring_start"].to_numpy()
+                ends = pdf["ring_end"].to_numpy()
+            fjsons = []
+            for fi in range(len(gcodes)):
+                v = fj[fi]
+                if v is None:
+                    fjsons.append(None)
+                    continue
+                type_code, geom_json = v
+                tags_json = tagss[fi]
+                if lm and gcodes[fi] == GT_LINE:
+                    tags = json.loads(tags_json) if tags_json else {}
+                    size = float(sizes[fi][0])
+                    tags["mapbox_clip_start"] = float(starts[fi][0]) / size
+                    tags["mapbox_clip_end"] = float(ends[fi][0]) / size
+                    tags_json = json.dumps(tags)
+                fjsons.append(render_feature_json(
+                    type_code, geom_json, tags_json, fids[fi]))
+            yield pd.DataFrame({
+                "z": tz, "x": tx, "y": ty,
+                "ord_path": ords,
+                "fjson": fjsons,
+                "n_points": n_pts, "n_simplified": n_sim,
+                "minx": mnx, "miny": mny, "maxx": mxx, "maxy": mxy,
+            })
 
-    mapped = frontier.mapInPandas(per_feature, _MAPPED_SCHEMA)
+    return frontier.mapInPandas(per_feature, _MAPPED_SCHEMA)
+
+
+def assemble_tiles_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
+    """Full per-tile aggregation incl. the joined features_json string.
+    Suitable for small/medium tiles (tests, drill paths); the engine's
+    build loop uses rendered_features_df + a stats-only aggregation so
+    low-zoom tiles never funnel into one reduce task."""
+    mapped = rendered_features_df(frontier, options)
     kept = F.when(F.col("fjson").isNotNull(),
                   F.struct(F.col("ord_path"), F.col("fjson")))
     return (mapped
@@ -571,7 +652,7 @@ def split_subtree(features, z0: int, x0: int, y0: int, options: TileOptions):
 
 
 def batch_split_subtree(records, z0: int, x0: int, y0: int,
-                        options: TileOptions):
+                        options: TileOptions, state=None):
     """Vectorized subtree build: one batch_clip / batch_assemble pass per
     LEVEL covering every tile at that level at once — the per-feature
     clip windows come from each feature's tile assignment, so the whole
@@ -589,10 +670,16 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
                              concat_rags, records_to_rags,
                              render_feature_json, take_features)
 
-    rags, gcodes, fminx, fminy, fmaxx, fmaxy = records_to_rags(records)
-    fids = [r["fid_json"] for r in records]
-    tagss = [r["tags_json"] for r in records]
-    n = len(records)
+    if state is not None:
+        (rags, gcodes, fminx, fminy, fmaxx, fmaxy,
+         fids, tagss, _ords) = state
+        fids = list(fids)
+        tagss = list(tagss)
+    else:
+        rags, gcodes, fminx, fminy, fmaxx, fmaxy = records_to_rags(records)
+        fids = [r["fid_json"] for r in records]
+        tagss = [r["tags_json"] for r in records]
+    n = rags.n_feats
     tilex = np.full(n, x0, dtype=np.int64)
     tiley = np.full(n, y0, dtype=np.int64)
 
@@ -821,9 +908,12 @@ def subtree_stage_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
     threshold, so no group can exceed executor memory."""
     def run(key, pdf):
         z0, x0, y0 = int(key[0]), int(key[1]), int(key[2])
-        recs = sorted((dict(r) for r in pdf_rows(pdf)),
-                      key=lambda r: tuple(r["ord_path"]))
-        tile_rows, sources = batch_split_subtree(recs, z0, x0, y0, options)
+        order = sorted(range(len(pdf)),
+                       key=lambda i: tuple(pdf["ord_path"].iloc[i]))
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        state = _pdf_state(pdf)
+        tile_rows, sources = batch_split_subtree(None, z0, x0, y0, options,
+                                                 state=state)
 
         rows = {c: [] for c in _SUBTREE_COLUMNS}
 

@@ -75,7 +75,7 @@ def test_spark_resume_mid_pyramid(spark, tmp_path):
     import json as _json
     import shutil
     part_dir = tmp_path / "part"
-    for sub in ("frontier", "tiles", "sources"):
+    for sub in ("frontier", "tiles", "tilefeat", "sources"):
         for zdir in sorted((tmp_path / "full" / sub).glob("z=*")):
             zv = int(zdir.name.split("=")[1])
             if zv <= 3 if sub == "frontier" else zv <= 2:
