@@ -259,12 +259,12 @@ class SparkTileEngine:
             # a single 100MB tile string would serialize one reduce task)
             tilefeat_path = self._p("tilefeat", f"z={z}")
             rendered = rendered_features_df(frontier, opts).drop("z").persist()
-            rendered.write.mode("overwrite").parquet(tilefeat_path)
-            t_assembled = time.monotonic()
-            _tm = {"assemble": t_assembled - t0}
-
-            # per-tile stats: partial-aggregated scan of the cached
-            # rendered rows — O(heavy_prev·4) result rows
+            # store write and stats agg share the cached partitions
+            # (cache-locking: whoever reaches a partition first computes
+            # it, the other reuses) and run concurrently
+            fut_tilefeat = pool.submit(
+                lambda df=rendered, p=tilefeat_path:
+                df.write.mode("overwrite").parquet(p))
             stats = (rendered
                      .groupBy("x", "y")
                      .agg(F.count(F.lit(1)).alias("num_features"),
@@ -275,8 +275,10 @@ class SparkTileEngine:
                           F.max("maxx").alias("maxx"),
                           F.max("maxy").alias("maxy"))
                      .collect())
-            _tm["stats"] = time.monotonic() - t_assembled
+            _tm = {"stats": time.monotonic() - t0}
+            fut_tilefeat.result()
             rendered.unpersist()
+            _tm["assemble"] = time.monotonic() - t0
             present = {(r["x"], r["y"]) for r in stats}
             n_points = sum(r["num_points"] for r in stats)
             splits = [(r["x"], r["y"], r["num_points"])
