@@ -13,7 +13,8 @@ Prints ONE JSON line:
 
 `--scaling` runs the pyramid job in two fresh subprocesses at
 local[N] and local[4N] (sandbox proxy for N vs 4N executors, see
-BASELINE.md) and writes BENCH/SCALING.md with the efficiency ratio.
+BASELINE.md) and writes BENCH/SCALING_RAW.md with the efficiency
+ratio; the curated analysis lives in BENCH/SCALING.md.
 """
 
 from __future__ import annotations
@@ -249,7 +250,7 @@ def run_scaling() -> None:
                  f"{hi['throughput'].get('pyramid.tiles_per_sec')} tiles/sec, "
                  f"{hi['throughput'].get('pip_join.probe_rows_per_sec')} PIP probe rows/sec.")
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/SCALING.md", "w") as fh:
+    with open("BENCH/SCALING_RAW.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(json.dumps({"scaling_efficiency_total": round(eff, 3),
                       "results": {str(k): v for k, v in results.items()}}))

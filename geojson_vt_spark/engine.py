@@ -136,7 +136,7 @@ class SparkTileEngine:
     # Small inputs hand off near the root (the whole pyramid is a few
     # core-seconds); big inputs keep distributing until per-tile
     # subtrees shrink to task size — the formula self-balances.
-    _KERNEL_PTS_PER_TASK = 250_000
+    _KERNEL_PTS_PER_TASK = 1_000_000
 
     def _subtree_threshold(self, z: int) -> int:
         if self.subtree_max_points is not None:
@@ -212,12 +212,13 @@ class SparkTileEngine:
         if not resume and os.path.exists(self._lineage_path()):
             os.remove(self._lineage_path())
 
+        n_verts = (F.size("coords") / 3).cast("long").alias("n_verts")
         if start_z == 0:
             frontier = (features_df
                         .withColumn("z", F.lit(0))
                         .withColumn("x", F.lit(0))
                         .withColumn("y", F.lit(0))
-                        .select(*TILED_COLUMNS))
+                        .select(*TILED_COLUMNS, n_verts))
             frontier.write.mode("overwrite").parquet(self._p("frontier", "z=0"))
 
         z = start_z
@@ -247,8 +248,8 @@ class SparkTileEngine:
                     prev_points // self.target_points_per_partition + 1))
                 fut_split = pool.submit(
                     lambda fr=frontier, z=z, n=n_parts:
-                    split_children_df(fr, z, opts).repartition(n)
-                    .write.mode("overwrite")
+                    split_children_df(fr, z, opts).select("*", n_verts)
+                    .repartition(n).write.mode("overwrite")
                     .parquet(self._p("frontier", f"z={z+1}")))
 
             # render per-feature tile output rows (tolerance filter,
@@ -258,27 +259,27 @@ class SparkTileEngine:
             # (the per-tile features_json is materialized lazily on read;
             # a single 100MB tile string would serialize one reduce task)
             tilefeat_path = self._p("tilefeat", f"z={z}")
-            rendered = rendered_features_df(frontier, opts).drop("z").persist()
-            # store write and stats agg share the cached partitions
-            # (cache-locking: whoever reaches a partition first computes
-            # it, the other reuses) and run concurrently
             fut_tilefeat = pool.submit(
-                lambda df=rendered, p=tilefeat_path:
-                df.write.mode("overwrite").parquet(p))
-            stats = (rendered
+                lambda fr=frontier, p=tilefeat_path:
+                rendered_features_df(fr, opts).drop("z")
+                .write.mode("overwrite").parquet(p))
+
+            # classification stats come straight from the frontier with
+            # a pure-SQL agg (num_points counts every vertex incl. rings
+            # dropped later, tile.js:89 — exactly sum(size(coords)/3)),
+            # so the stop rules never wait for the render job
+            # n_verts was precomputed at frontier-write time, so this
+            # agg scans only slim integer/double columns
+            stats = (frontier
                      .groupBy("x", "y")
                      .agg(F.count(F.lit(1)).alias("num_features"),
-                          F.sum("n_points").alias("num_points"),
-                          F.sum("n_simplified").alias("num_simplified"),
+                          F.sum("n_verts").alias("num_points"),
                           F.min("minx").alias("minx"),
                           F.min("miny").alias("miny"),
                           F.max("maxx").alias("maxx"),
                           F.max("maxy").alias("maxy"))
                      .collect())
             _tm = {"stats": time.monotonic() - t0}
-            fut_tilefeat.result()
-            rendered.unpersist()
-            _tm["assemble"] = time.monotonic() - t0
             present = {(r["x"], r["y"]) for r in stats}
             n_points = sum(r["num_points"] for r in stats)
             splits = [(r["x"], r["y"], r["num_points"])
@@ -305,6 +306,13 @@ class SparkTileEngine:
             n_empty = len(missing)
             _t = time.monotonic()
             import pandas as pd
+            fut_tilefeat.result()
+            _tm["assemble_wait"] = time.monotonic() - _t
+            nsim = {(r["x"], r["y"]): r["ns"] for r in
+                    (spark.read.parquet(tilefeat_path)
+                     .groupBy("x", "y")
+                     .agg(F.sum("n_simplified").alias("ns")).collect())}
+            _t = time.monotonic()
             split_lookup = {(x, y) for x, y, _ in splits}
             tiles_pdf = pd.DataFrame({
                 "x": pd.Series([r["x"] for r in stats]
@@ -318,8 +326,8 @@ class SparkTileEngine:
                     [r["num_points"] for r in stats] + [0] * n_empty,
                     dtype="int64"),
                 "num_simplified": pd.Series(
-                    [r["num_simplified"] for r in stats] + [0] * n_empty,
-                    dtype="int64"),
+                    [nsim.get((r["x"], r["y"]), 0) for r in stats]
+                    + [0] * n_empty, dtype="int64"),
                 "minx": pd.Series([r["minx"] for r in stats]
                                   + [2.0] * n_empty, dtype="float64"),
                 "miny": pd.Series([r["miny"] for r in stats]

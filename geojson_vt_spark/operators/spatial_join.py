@@ -72,7 +72,15 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int = 7,
 
     build = _poly_bbox_cells(polys, res).select("poly_id", "pxs", "pys", "cell")
 
-    if salt_n > 0:
+    if broadcast_polys is None:
+        # a small polygon side should broadcast: the probe side (the
+        # corpus-scale one) then never shuffles at all and the join +
+        # refine fuse into one map stage.  Catalyst can't see the
+        # post-explode size, so decide from the pre-explode row count.
+        broadcast_polys = polys.limit(100_001).count() <= 100_000
+
+    if salt_n > 0 and not broadcast_polys:
+        # salting is only needed when the join actually shuffles
         build = build.withColumn(
             "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))))
         pts = pts.withColumn("salt", F.pmod(F.xxhash64("point_id"), F.lit(salt_n)))
@@ -80,30 +88,57 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int = 7,
     else:
         keys = ["cell"]
 
+    ring_lookup = None
     if broadcast_polys:
         build = F.broadcast(build)
+        # ship the (small) ring table once per task via the UDF closure
+        # instead of duplicating pxs/pys onto every candidate row — the
+        # refine's Arrow traffic shrinks to 4 scalars per candidate
+        ring_lookup = {
+            int(r["poly_id"]): (np.asarray(r["pxs"], dtype=np.float64),
+                                np.asarray(r["pys"], dtype=np.float64))
+            for r in polys.select("poly_id", "pxs", "pys").collect()}
+        build = build.drop("pxs", "pys")
     cand = pts.join(build, keys)
 
     def refine(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            out_pid, out_poly = [], []
-            # group candidates by polygon so each ring scans its points once
-            for poly_id, grp in pdf.groupby("poly_id", sort=False):
-                xs = np.asarray(grp["pxs"].iloc[0], dtype=np.float64)
-                ys = np.asarray(grp["pys"].iloc[0], dtype=np.float64)
-                px = grp["px"].to_numpy(dtype=np.float64)
-                py = grp["py"].to_numpy(dtype=np.float64)
-                mask = points_in_ring(px, py, xs, ys)
-                ids = grp["point_id"].to_numpy()[mask]
-                out_pid.extend(ids.tolist())
-                out_poly.extend([poly_id] * len(ids))
-            yield pd.DataFrame({"point_id": out_pid, "poly_id": out_poly})
+            pid = pdf["point_id"].to_numpy(dtype=np.int64)
+            pol = pdf["poly_id"].to_numpy(dtype=np.int64)
+            px = pdf["px"].to_numpy(dtype=np.float64)
+            py = pdf["py"].to_numpy(dtype=np.float64)
+            # group candidates by polygon via one argsort; each ring
+            # then scans its points in a single vectorized pass — no
+            # pandas groupby, no Python-list materialization
+            order = np.argsort(pol, kind="stable")
+            pols = pol[order]
+            brk = np.concatenate(([0], np.nonzero(pols[1:] != pols[:-1])[0] + 1,
+                                  [len(pols)]))
+            keep = np.zeros(len(pols), dtype=bool)
+            for gi in range(len(brk) - 1):
+                lo, hi = int(brk[gi]), int(brk[gi + 1])
+                poly_id = int(pols[lo])
+                if ring_lookup is not None:
+                    xs, ys = ring_lookup[poly_id]
+                else:
+                    first = int(order[lo])
+                    xs = np.asarray(pdf["pxs"].iloc[first], dtype=np.float64)
+                    ys = np.asarray(pdf["pys"].iloc[first], dtype=np.float64)
+                sel = order[lo:hi]
+                keep[lo:hi] = points_in_ring(px[sel], py[sel], xs, ys)
+            sel = order[keep]
+            yield pd.DataFrame({"point_id": pid[sel], "poly_id": pol[sel]})
 
-    return (cand.select("point_id", "poly_id", "px", "py", "pxs", "pys")
-            .mapInPandas(refine, "point_id long, poly_id long")
-            .dropDuplicates(["point_id", "poly_id"]))
+    refine_cols = ["point_id", "poly_id", "px", "py"]
+    if ring_lookup is None:
+        refine_cols += ["pxs", "pys"]
+    # no dedupe pass needed: a point carries exactly one cell and the
+    # bbox explode emits each polygon once per distinct cell, so every
+    # (point, polygon) candidate pair occurs exactly once
+    return (cand.select(*refine_cols)
+            .mapInPandas(refine, "point_id long, poly_id long"))
 
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int, res: int = 6,
