@@ -30,7 +30,7 @@ def main() -> None:
 
     from geojson_vt_spark import TileOptions
     from geojson_vt_spark.engine import SparkTileEngine
-    from geojson_vt_spark.pipeline import features_from_json_df, wrap_df
+    from geojson_vt_spark.pipeline import features_from_json_df
     from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
                                                  synth_pages_df)
 
@@ -45,7 +45,7 @@ def main() -> None:
 
     pages = synth_pages_df(spark, args.pages, seed=args.seed)
     feats = features_from_json_df(extract_geo_features_df(pages), opts)
-    eng.build(wrap_df(feats, opts), resume=args.resume)
+    eng.build_from_converted(feats, resume=args.resume)
 
     lineage = eng._read_lineage()
     print(json.dumps({"workdir": eng.workdir,
