@@ -94,6 +94,10 @@ class SparkTileEngine:
         self._drill_tiles: dict[int, dict] = {}
         self._drill_sources: dict[int, list] = {}
         self._consumed_sources: set[int] = set()
+        # driver-side cache of the (small) tile stats table: existence,
+        # has_source and bbox checks become dict lookups instead of one
+        # Spark job per getTile
+        self._stats_cache: dict | None = None
 
     # ------------------------------------------------------------ paths
 
@@ -395,8 +399,24 @@ class SparkTileEngine:
         for f in futures:
             f.result()
         pool.shutdown()
+        self._stats_cache = None
 
     # ------------------------------------------------------------ read side
+
+    def _stats(self) -> dict:
+        """(z,x,y) → {has_source, minx..maxy} for every built tile."""
+        if self._stats_cache is None:
+            cache = {}
+            if self._read_lineage():
+                for r in (self.tiles()
+                          .select("z", "x", "y", "has_source",
+                                  "minx", "miny", "maxx", "maxy").collect()):
+                    cache[(r["z"], r["x"], r["y"])] = {
+                        "has_source": r["has_source"],
+                        "bbox": (r["minx"], r["miny"],
+                                 r["maxx"], r["maxy"])}
+            self._stats_cache = cache
+        return self._stats_cache
 
     def _subtree_df(self) -> DataFrame | None:
         path = self._p("subtree")
@@ -496,10 +516,7 @@ class SparkTileEngine:
             if rows:
                 return {"features": json.loads(rows[0]["features_json"]),
                         "z": z, "x": x, "y": y}
-        exists = (self.tiles()
-                  .where((F.col("z") == z) & (F.col("x") == x) &
-                         (F.col("y") == y)).count())
-        if not exists:
+        if (z, x, y) not in self._stats():
             return None
         tf_path = self._p("tilefeat", f"z={z}")
         rows = []
@@ -536,13 +553,8 @@ class SparkTileEngine:
         if tid in self._drill_sources:
             feats = self._drill_sources[tid]
             return feats if feats else None
-        if not self._read_lineage():
-            return None
-        exists = (self.tiles()
-                  .where((F.col("z") == z) & (F.col("x") == x) &
-                         (F.col("y") == y) & F.col("has_source"))
-                  .count())
-        if not exists:
+        st = self._stats().get((z, x, y))
+        if st is None or not st["has_source"]:
             return None
         from .model import record_to_feature
         feats = sorted((record_to_feature(r.asDict())
@@ -619,20 +631,21 @@ class SparkTileEngine:
     def _tile_exists(self, tid, z, x, y) -> bool:
         if tid in self._drill_tiles:
             return True
-        if not self._read_lineage():
-            return False
-        return bool(self.tiles()
-                    .where((F.col("z") == z) & (F.col("x") == x) & (F.col("y") == y))
-                    .count())
+        return (z, x, y) in self._stats()
 
     def _tile_bbox(self, tid, z, x, y):
         if tid in self._drill_tiles:
             t = self._drill_tiles[tid]
             return (t["minx"], t["miny"], t["maxx"], t["maxy"])
-        row = (self.tiles()
-               .where((F.col("z") == z) & (F.col("x") == x) & (F.col("y") == y))
-               .select("minx", "miny", "maxx", "maxy").collect())
-        if row:
-            r = row[0]
-            return (r["minx"], r["miny"], r["maxx"], r["maxy"])
+        st = self._stats().get((z, x, y))
+        if st is not None:
+            return st["bbox"]
         return (2.0, 1.0, -1.0, 0.0)
+
+    def get_tiles(self, coords) -> dict:
+        """Batch getTile: resolve many (z, x, y) requests in one sweep.
+
+        Same semantics as per-request get_tile (drill-downs included);
+        the stats cache makes the shared ancestor walks cheap and each
+        retained source is drilled at most once for the whole batch."""
+        return {(z, x, y): self.get_tile(z, x, y) for (z, x, y) in coords}
