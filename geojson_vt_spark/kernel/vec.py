@@ -772,22 +772,20 @@ def _clip_line_rings(rags, gcodes, lp_rings, k1f, k2f, axis,
 def _build_clip_result(rags, gcodes_in, fminx, fminy, fmaxx, fmaxy,
                        o_gcodes, o_src, o_sub, o_rings,
                        f_roff=None) -> ClipResult:
-    """Materialize output features into a new Rags + bboxes."""
+    """Materialize output features into a new Rags + bboxes.
+
+    Per-ring work is list appends of array views only; vertex data is
+    joined with one concatenate per axis and ALL output bboxes come
+    from a single vectorized reduceat pass (min/max are order-free, so
+    recomputing a trivially-accepted feature's bbox from its unchanged
+    coords is bit-identical to the carried value)."""
     xs_parts, ys_parts, zs_parts = [], [], []
     roff_l = [0]
     rfeat_l, rpoly_l, router_l = [], [], []
     rsize_l, rstart_l, rend_l = [], [], []
-    minx = np.empty(len(o_gcodes))
-    miny = np.empty(len(o_gcodes))
-    maxx = np.empty(len(o_gcodes))
-    maxy = np.empty(len(o_gcodes))
     total = 0
 
     for oi, spec in enumerate(o_rings):
-        fminx_ = np.inf
-        fminy_ = np.inf
-        fmaxx_ = -np.inf
-        fmaxy_ = -np.inf
         kind = spec[0]
         if kind == "ta":
             fi = spec[1]
@@ -803,15 +801,11 @@ def _build_clip_result(rags, gcodes_in, fminx, fminy, fmaxx, fmaxy,
                 total += hi - lo
                 roff_l.append(total)
                 rfeat_l.append(oi)
-                rpoly_l.append(int(rags.rpoly[r]))
-                router_l.append(bool(rags.router[r]))
-                rsize_l.append(float(rags.rsize[r]))
-                rstart_l.append(float(rags.rstart[r]))
-                rend_l.append(float(rags.rend[r]))
-            minx[oi] = fminx[fi]
-            miny[oi] = fminy[fi]
-            maxx[oi] = fmaxx[fi]
-            maxy[oi] = fmaxy[fi]
+                rpoly_l.append(rags.rpoly[r])
+                router_l.append(rags.router[r])
+                rsize_l.append(rags.rsize[r])
+                rstart_l.append(rags.rstart[r])
+                rend_l.append(rags.rend[r])
             continue
         if kind == "pts":
             _, xs_, ys_, zs_ = spec
@@ -826,41 +820,24 @@ def _build_clip_result(rags, gcodes_in, fminx, fminy, fmaxx, fmaxy,
             rsize_l.append(np.nan)
             rstart_l.append(np.nan)
             rend_l.append(np.nan)
-            minx[oi] = float(xs_.min())
-            miny[oi] = float(ys_.min())
-            maxx[oi] = float(xs_.max())
-            maxy[oi] = float(ys_.max())
             continue
         # kind == "rings"
-        code = o_gcodes[oi]
-        is_poly_t = code >= GT_POLY
-        for pi, outer, s in spec[1]:
-            xs_, ys_, zs_ = s["x"], s["y"], s["z"]
+        is_poly_t = o_gcodes[oi] >= GT_POLY
+        for pi, outer, sl in spec[1]:
+            xs_ = sl["x"]
             xs_parts.append(xs_)
-            ys_parts.append(ys_)
-            zs_parts.append(zs_)
+            ys_parts.append(sl["y"])
+            zs_parts.append(sl["z"])
             total += len(xs_)
             roff_l.append(total)
             rfeat_l.append(oi)
             rpoly_l.append(pi if is_poly_t else -1)
-            router_l.append(bool(outer))
-            rsize_l.append(float(s["size"]))
-            rstart_l.append(float(s["start"]) if s["start"] is not None
-                            else np.nan)
-            rend_l.append(float(s["end"]) if s["end"] is not None
-                          else np.nan)
-            # bbox: lines use all rings, polygons outer rings only
-            if (not is_poly_t) or outer:
-                if len(xs_):
-                    fminx_ = min(fminx_, float(xs_.min()))
-                    fminy_ = min(fminy_, float(ys_.min()))
-                    fmaxx_ = max(fmaxx_, float(xs_.max()))
-                    fmaxy_ = max(fmaxy_, float(ys_.max()))
-        minx[oi] = fminx_
-        miny[oi] = fminy_
-        maxx[oi] = fmaxx_
-        maxy[oi] = fmaxy_
+            router_l.append(outer)
+            rsize_l.append(sl["size"])
+            rstart_l.append(sl["start"])
+            rend_l.append(sl["end"])
 
+    o_gcodes = np.asarray(o_gcodes, dtype=np.int64)
     new = Rags(
         np.concatenate(xs_parts) if xs_parts else np.empty(0),
         np.concatenate(ys_parts) if ys_parts else np.empty(0),
@@ -873,7 +850,8 @@ def _build_clip_result(rags, gcodes_in, fminx, fminy, fmaxx, fmaxy,
         np.asarray(rpoly_l, dtype=np.int64),
         len(o_gcodes))
     new.router = np.asarray(router_l, dtype=bool)
-    return ClipResult(new, np.asarray(o_gcodes, dtype=np.int64),
+    minx, miny, maxx, maxy = feature_bboxes(new, o_gcodes)
+    return ClipResult(new, o_gcodes,
                       np.asarray(o_src, dtype=np.int64),
                       np.asarray(o_sub, dtype=np.int64),
                       minx, miny, maxx, maxy)
@@ -1185,43 +1163,40 @@ def batch_assemble(rags: Rags, gcodes, tz, tx, ty, options):
                 areas[j] = float(np.cumsum(terms[lo:hi])[-1])
         reverse_ring[rw_rings] = (areas > 0) == rags.router[rw_rings]
 
-    # ---- render
+    # ---- render: one global kept-pair matrix, per-ring views only
     fjsons: list = [None] * n_feats
     f_nrings = (np.bincount(rf, minlength=n_feats).astype(np.int64)
                 if rags.n_rings else np.zeros(n_feats, dtype=np.int64))
     f_roff = np.zeros(n_feats + 1, dtype=np.int64)
     np.cumsum(f_nrings, out=f_roff[1:])
 
+    kept_idx = np.nonzero(keep_v)[0]
+    pairs = np.empty((len(kept_idx), 2), dtype=np.int64)
+    pairs[:, 0] = txi[kept_idx]
+    pairs[:, 1] = tyi[kept_idx]
+    koff = np.zeros(rags.n_rings + 1, dtype=np.int64)
+    np.cumsum(kept_per_ring, out=koff[1:])
+
+    dumps = json.dumps
     for fi in range(n_feats):
         code = int(gcodes[fi])
         r0, r1 = int(f_roff[fi]), int(f_roff[fi + 1])
         if code <= GT_MPOINT:
-            lo, hi = int(rags.roff[r0]), int(rags.roff[r1])
+            lo, hi = int(koff[r0]), int(koff[r1])
             if hi == lo:
                 continue
-            pair = np.empty((hi - lo, 2), dtype=np.int64)
-            pair[:, 0] = txi[lo:hi]
-            pair[:, 1] = tyi[lo:hi]
-            fjsons[fi] = (1, json.dumps(pair.tolist(),
-                                        separators=(",", ":")))
+            fjsons[fi] = (1, dumps(pairs[lo:hi].tolist(),
+                                   separators=(",", ":")))
             continue
         ring_jsons = []
         for r in range(r0, r1):
             if drop_tiny[r]:
                 continue
-            lo, hi = int(rags.roff[r]), int(rags.roff[r + 1])
-            m = keep_v[lo:hi]
-            kx = txi[lo:hi][m]
-            ky = tyi[lo:hi][m]
-            k = kx.shape[0]
+            lo, hi = int(koff[r]), int(koff[r + 1])
+            p = pairs[lo:hi]
             if reverse_ring[r]:
-                kx = kx[::-1]
-                ky = ky[::-1]
-            pair = np.empty((k, 2), dtype=np.int64)
-            pair[:, 0] = kx
-            pair[:, 1] = ky
-            ring_jsons.append(json.dumps(pair.tolist(),
-                                         separators=(",", ":")))
+                p = p[::-1]
+            ring_jsons.append(dumps(p.tolist(), separators=(",", ":")))
         if ring_jsons:
             type_code = 3 if code >= GT_POLY else 2
             fjsons[fi] = (type_code,
