@@ -727,45 +727,57 @@ def _clip_line_rings(rags, gcodes, lp_rings, k1f, k2f, axis,
                 key = (int(ring_of_e[epos[v]]), int(exits_before[v]))
                 end_val[key] = cum_v[v] + seg_len[v] * t
 
-    # ---- split emissions into (ring, slice) runs; close polygons
+    # ---- split emissions into (ring, slice) runs — one global change-
+    # point scan (runs are contiguous by construction: emissions are in
+    # ring order, and slice ids never decrease within a ring), then one
+    # global scatter that also inserts polygon closing points
     out = {}
-    for ci in range(len(lp_rings)):
-        e0, e1 = int(seg_bounds[ci]), int(seg_bounds[ci + 1])
-        if e0 == e1:
-            continue
+    n_e_total = len(ox)
+    if n_e_total == 0:
+        return out
+    ring_of_e_b = ring_of_e  # compact ring index per emission
+    chg = np.nonzero((ring_of_e_b[1:] != ring_of_e_b[:-1]) |
+                     (slice_of_v[1:] != slice_of_v[:-1]))[0] + 1
+    run_start = np.concatenate(([0], chg)).astype(np.int64)
+    run_end = np.concatenate((chg, [n_e_total])).astype(np.int64)
+    run_ring = ring_of_e_b[run_start]          # compact index
+    run_len = run_end - run_start
+
+    # polygon closing: append the first point when endpoints diverged
+    run_poly = is_poly_ring[run_ring]
+    close = (run_poly & (run_len >= 2) &
+             ((ox[run_end - 1] != ox[run_start]) |
+              (oy[run_end - 1] != oy[run_start])))
+    new_len = run_len + close
+    new_off = np.zeros(len(run_len) + 1, dtype=np.int64)
+    np.cumsum(new_len, out=new_off[1:])
+    fx = np.empty(int(new_off[-1]))
+    fy = np.empty(int(new_off[-1]))
+    fz = np.empty(int(new_off[-1]))
+    dest = np.repeat(new_off[:-1], run_len) + ragged_arange(run_len)
+    fx[dest] = ox
+    fy[dest] = oy
+    fz[dest] = oz
+    cl = np.nonzero(close)[0]
+    if len(cl):
+        cpos = new_off[cl] + run_len[cl]
+        fx[cpos] = ox[run_start[cl]]
+        fy[cpos] = oy[run_start[cl]]
+        fz[cpos] = oz[run_start[cl]]
+
+    for j in range(len(run_ring)):
+        ci = int(run_ring[j])
         rid = int(lp_rings[ci])
-        r_sl = slice_of_v[e0:e1]
-        rx = ox[e0:e1]
-        ry = oy[e0:e1]
-        rz = oz[e0:e1]
-        size = rags.rsize[rid]
-        sstart = rags.rstart[rid]
-        send = rags.rend[rid]
-        slices = []
-        if is_poly_ring[ci]:
-            # single output ring; close if endpoints diverged
-            if len(rx) >= 2 and (rx[-1] != rx[0] or ry[-1] != ry[0]):
-                rx = np.concatenate((rx, rx[:1]))
-                ry = np.concatenate((ry, ry[:1]))
-                rz = np.concatenate((rz, rz[:1]))
-            slices.append({"x": rx, "y": ry, "z": rz, "size": size,
-                           "start": sstart, "end": send})
-        else:
-            # contiguous runs of equal slice id
-            brk = np.nonzero(r_sl[1:] != r_sl[:-1])[0] + 1
-            pieces = np.split(np.arange(e1 - e0), brk)
-            for pc in pieces:
-                if len(pc) == 0:
-                    continue
-                sl = int(r_sl[pc[0]])
-                st = sstart
-                en = send
-                if start_val is not None:
-                    st = start_val.get((ci, sl), sstart)
-                    en = end_val.get((ci, sl), send)
-                slices.append({"x": rx[pc], "y": ry[pc], "z": rz[pc],
-                               "size": size, "start": st, "end": en})
-        out[rid] = slices
+        lo, hi = int(new_off[j]), int(new_off[j + 1])
+        st = rags.rstart[rid]
+        en = rags.rend[rid]
+        if start_val is not None and not run_poly[j]:
+            sl = int(slice_of_v[run_start[j]])
+            st = start_val.get((ci, sl), st)
+            en = end_val.get((ci, sl), en)
+        out.setdefault(rid, []).append(
+            {"x": fx[lo:hi], "y": fy[lo:hi], "z": fz[lo:hi],
+             "size": rags.rsize[rid], "start": st, "end": en})
     return out
 
 

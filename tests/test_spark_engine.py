@@ -93,3 +93,23 @@ def test_spark_resume_mid_pyramid(spark, tmp_path):
     resumed.build(wrap_df(df, opts), resume=True)
 
     assert resumed.enumerate_tiles() == full.enumerate_tiles()
+
+
+def test_spark_get_tiles_batch(spark, tmp_path):
+    """get_tiles resolves a mixed batch (hits, drill-downs, misses)
+    identically to per-request get_tile."""
+    eng = SparkTileEngine(spark, TileOptions(), workdir=str(tmp_path))
+    eng.build_from_geojson(load_fixture("us-states.json"))
+
+    coords = [(0, 0, 0), (7, 37, 48), (9, 148, 192), (11, 800, 400),
+              (25, 200, 200)]
+    batch = eng.get_tiles(coords)
+
+    ref = SparkTileEngine(spark, TileOptions(), workdir=str(tmp_path / "b"))
+    ref.build_from_geojson(load_fixture("us-states.json"))
+    for c in coords:
+        one = ref.get_tile(*c)
+        if one is None:
+            assert batch[c] is None
+        else:
+            assert batch[c]["features"] == one["features"]
