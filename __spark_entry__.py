@@ -318,14 +318,26 @@ def q_pyramid_tiles(spark, sf_dir):
     return entry(spark)
 
 
+# engine-portable variants: signatures derive from md5 (identical hex
+# in Spark and DuckDB), so the ENTIRE minhash/simhash pipeline —
+# shingling, slot minima, banding, bucket capping, candidate join,
+# exact verify — is replicated by the oracle SQL below
+_MH_CAP = 500
+_MH_THRESHOLD = 0.3
+_SH_CAP = 500
+_SH_MAXHAM = 10
+
+
 def q_minhash_dedup(spark, sf_dir):
     from geojson_vt_spark.operators import minhash_lsh_pairs
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=_MH_THRESHOLD,
+                             hash_fn="md5", bucket_cap=_MH_CAP)
 
 
 def q_simhash_pairs(spark, sf_dir):
     from geojson_vt_spark.operators import simhash_pairs
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=10)
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=_SH_MAXHAM,
+                         hash_fn="md5", bucket_cap=_SH_CAP)
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -335,16 +347,35 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_corpus_extract(spark, sf_dir):
+    """Geo extraction (the real Arrow-batched regex operator) over the
+    SQL-constructible documents→pages bridge; coordinates re-parsed
+    from the emitted GeoJSON so the oracle can check them as numbers."""
     from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
-                                                 synth_pages_df)
-    pages = synth_pages_df(spark, 300, seed=42)
-    return extract_geo_features_df(pages).select("input_ord", "feature_json")
+                                                 pages_from_documents)
+    feats = extract_geo_features_df(pages_from_documents(_docs(spark, sf_dir)))
+    sch = "STRUCT<geometry: STRUCT<coordinates: ARRAY<ARRAY<ARRAY<DOUBLE>>>>>"
+    d = feats.select("input_ord", F.from_json("feature_json", sch).alias("fj"))
+    return (d.select("input_ord",
+                     F.posexplode(F.col("fj.geometry.coordinates")[0]))
+            .select("input_ord", F.col("pos").cast("long").alias("pt_idx"),
+                    F.col("col")[0].alias("lon"), F.col("col")[1].alias("lat")))
 
 
 def q_multimodal_features(spark, sf_dir):
     from geojson_vt_spark.operators.multimodal import (assets_from_documents,
                                                        extract_features_df)
-    return extract_features_df(assets_from_documents(_docs(spark, sf_dir)))
+    feats = extract_features_df(assets_from_documents(_docs(spark, sf_dir)))
+    return feats.select(
+        "asset_id", "kind",
+        *[F.round(F.col("features")[i], 6).alias(f"f{i:02d}")
+          for i in range(16)])
+
+
+def q_frame_sample(spark, sf_dir):
+    from geojson_vt_spark.operators.multimodal import (assets_from_documents,
+                                                       frame_sample_df)
+    return frame_sample_df(assets_from_documents(_docs(spark, sf_dir)),
+                           every_ms=2000)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -370,13 +401,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_pairs_exact": q_embedding_pairs_exact,
         "events_window": q_events_window,
-        # rows-only (geometry kernel / hash-scheme internals):
-        "pyramid_tiles": q_pyramid_tiles,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "ann_ivf": q_ann_ivf,
         "corpus_extract": q_corpus_extract,
         "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
+        # rows-only (full geometry-kernel pyramid; pinned byte-identical
+        # to the reference by the golden-fixture pytest suite):
+        "pyramid_tiles": q_pyramid_tiles,
     }
 
 
@@ -403,6 +436,139 @@ _LANG_LISTS = {
 def _lang_hits(lang: str) -> str:
     return (f"len(list_filter(string_split(trim(lower(text)), ' '), "
             f"t -> t IN ({_LANG_LISTS[lang]})))")
+
+
+# md5 hex → first-60-bit int64 (DuckDB side of operators.dedup._md5_int_col)
+def _md5i(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _cos_sql(a: str, b: str, nd: int) -> str:
+    return (f"round(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))), {nd})")
+
+
+def _minhash_oracle() -> str:
+    """DuckDB twin of minhash_lsh_pairs(hash_fn='md5', bucket_cap=_MH_CAP,
+    threshold=_MH_THRESHOLD): same shingles, same md5-derived slot
+    hashes, same (a·h+b) mod M minima, same band buckets, same cap."""
+    from geojson_vt_spark.operators.dedup import _MERSENNE, _hash_params
+    a, b = _hash_params(32, seed=42)
+    slots = ",\n        ".join(
+        f"list_min(list_transform(hv, h -> ({int(a[j])} * h + {int(b[j])})"
+        f" % {_MERSENNE}))" for j in range(32))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS id, string_split(trim(lower(text)), ' ') AS t
+            FROM documents),
+        shl AS (
+            SELECT id, list_distinct(list_transform(
+                range(1, greatest(len(t) - 2, 1) + 1),
+                i -> array_to_string(t[i:i+2], ' '))) AS sh
+            FROM toks),
+        hs AS (
+            SELECT id, sh,
+                   list_transform(sh, s -> {_md5i('s')} % {_MERSENNE}) AS hv
+            FROM shl WHERE len(sh) > 0),
+        sig AS (SELECT id, sh, [{slots}] AS sig FROM hs),
+        bnd AS (
+            SELECT id, bd.b AS band,
+                   {_md5i("array_to_string(sig[bd.b*4+1 : bd.b*4+4], ',')")}
+                       AS bucket
+            FROM sig, LATERAL (SELECT unnest(range(0, 8)) AS b) bd),
+        cap AS (
+            SELECT * FROM bnd
+            QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {_MH_CAP}),
+        cand AS (
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b
+            FROM cap l JOIN cap r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+        pairs AS (
+            SELECT id_a, id_b,
+                   len(list_intersect(sa.sh, sb.sh)) AS it,
+                   len(sa.sh) + len(sb.sh) AS tot
+            FROM cand
+            JOIN sig sa ON sa.id = cand.id_a
+            JOIN sig sb ON sb.id = cand.id_b)
+        SELECT id_a, id_b, round(it / (tot - it), 6) AS jaccard
+        FROM pairs WHERE round(it / (tot - it), 6) >= {_MH_THRESHOLD}
+    """
+
+
+def _simhash_oracle() -> str:
+    """DuckDB twin of simhash_pairs(hash_fn='md5', bucket_cap=_SH_CAP):
+    token bit i from two 32-bit md5 chunks, ±1 sums per bit, sign →
+    signature (bit 63 = int64 min), 16-bit band buckets, cap, hamming."""
+    tok_bit = ("(CASE WHEN i < 32 "
+               "THEN (CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) >> i) "
+               "ELSE (CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT)"
+               " >> (i - 32)) END & 1)")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS id, string_split(trim(lower(text)), ' ') AS t
+            FROM documents),
+        sums AS (
+            SELECT id, list_transform(range(0, 64), i ->
+                list_sum(list_transform(t, tok ->
+                    CASE WHEN {tok_bit} = 1 THEN 1 ELSE -1 END))) AS s
+            FROM toks),
+        sim AS (
+            SELECT id, CAST(list_sum(list_transform(range(0, 64), i ->
+                CASE WHEN s[CAST(i AS INT) + 1] > 0 THEN
+                    (CASE WHEN i = 63 THEN -9223372036854775808
+                          ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END)
+                ELSE 0 END)) AS BIGINT) AS sim
+            FROM sums),
+        bnd AS (
+            SELECT id, sim, bd.b AS band,
+                   (sim >> (CAST(bd.b AS INT) * 16)) & 65535 AS bucket
+            FROM sim, LATERAL (SELECT unnest(range(0, 4)) AS b) bd),
+        cap AS (
+            SELECT * FROM bnd
+            QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {_SH_CAP})
+        SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+               bit_count(xor(l.sim, r.sim)) AS hamming
+        FROM cap l JOIN cap r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+        WHERE bit_count(xor(l.sim, r.sim)) <= {_SH_MAXHAM}
+    """
+
+
+def _ann_ivf_oracle() -> str:
+    """DuckDB twin of ivf_topk(query_ids=[0..4], k=5, C=16, nprobe=4):
+    same lowest-id centroids, same 9dp-rounded nearest-centroid argmax,
+    same nprobe probe lists, same 6dp-rounded final top-k."""
+    return f"""
+        WITH base AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS v
+                      FROM embeddings),
+        cents AS (SELECT nbr_id AS centroid_id, v AS cv
+                  FROM base ORDER BY nbr_id LIMIT 16),
+        asgx AS (
+            SELECT b.nbr_id, b.v, c.centroid_id,
+                   row_number() OVER (PARTITION BY b.nbr_id ORDER BY
+                       {_cos_sql('b.v', 'c.cv', 9)} DESC, c.centroid_id) AS rk
+            FROM base b, cents c),
+        asg AS (SELECT nbr_id, v, centroid_id FROM asgx WHERE rk = 1),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+        prx AS (
+            SELECT q.query_id, q.qv, c.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       {_cos_sql('q.qv', 'c.cv', 9)} DESC, c.centroid_id) AS rk
+            FROM q, cents c),
+        pr AS (SELECT query_id, qv, centroid_id FROM prx WHERE rk <= 4),
+        sc AS (
+            SELECT pr.query_id, a.nbr_id,
+                   {_cos_sql('pr.qv', 'a.v', 6)} AS cosine
+            FROM pr JOIN asg a USING (centroid_id)
+            WHERE a.nbr_id != pr.query_id),
+        r AS (SELECT query_id, nbr_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, nbr_id) AS rank
+              FROM sc)
+        SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= 5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -618,5 +784,51 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 3) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "minhash_dedup": _minhash_oracle(),
+        "simhash_pairs": _simhash_oracle(),
+        "ann_ivf": _ann_ivf_oracle(),
+        "corpus_extract": """
+            WITH base AS (
+                SELECT doc_id,
+                       (doc_id * 37 % 13000) - 6500 AS lat0c,
+                       (doc_id * 101 % 35000) - 17500 AS lon0c,
+                       50 + doc_id % 73 AS dla,
+                       60 + doc_id % 97 AS dlo
+                FROM documents)
+            SELECT doc_id AS input_ord, p.i AS pt_idx,
+                   (CASE p.i WHEN 1 THEN lon0c + dlo WHEN 2 THEN lon0c + dlo
+                        ELSE lon0c END) / 100.0 AS lon,
+                   (CASE p.i WHEN 2 THEN lat0c + dla WHEN 3 THEN lat0c + dla
+                        ELSE lat0c END) / 100.0 AS lat
+            FROM base, LATERAL (SELECT unnest(range(0, 5)) AS i) p
+        """,
+        "multimodal_features": (
+            "WITH d AS (SELECT doc_id AS asset_id, "
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' "
+            "WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "sha256(text) AS h FROM documents) "
+            "SELECT asset_id, kind, " + ", ".join(
+                f"round(((CAST('0x' || substr(h, {2*j+1}, 2) AS BIGINT) + "
+                f"CAST('0x' || substr(h, {2*j+33}, 2) AS BIGINT)) / 2.0) "
+                f"/ 255.0, 6) AS f{j:02d}" for j in range(16)) +
+            " FROM d"),
+        "frame_sample": """
+            WITH v AS (
+                SELECT doc_id AS asset_id, text,
+                       CAST(doc_id % 10000 + 1 AS INT) AS duration_ms
+                FROM documents WHERE doc_id % 3 = 2),
+            fr AS (
+                SELECT asset_id,
+                       CAST(s.ts AS BIGINT) AS frame_ts,
+                       sha256(text || lpad(lower(to_hex(CAST(s.ts AS BIGINT))),
+                                           8, '0')) AS h
+                FROM v, LATERAL (SELECT unnest(range(0, CAST(duration_ms
+                     AS BIGINT), 2000)) AS ts) s)
+            SELECT asset_id, frame_ts,
+                   CAST(4 * list_sum(list_transform(range(0, 32), j ->
+                       CAST('0x' || substr(h, CAST(j AS INT) * 2 + 1, 2)
+                            AS BIGINT))) AS BIGINT) AS frame_digest
+            FROM fr
         """,
     }

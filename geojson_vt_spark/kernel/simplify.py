@@ -37,13 +37,25 @@ def simplify(xyz: np.ndarray, first: int, last: int, sq_tolerance: float) -> Non
                 index = int(occ[0])
             else:
                 # pivot-near-middle tie-break for degenerate inputs
-                # (/root/reference/src/simplify.js:22-31): the first
-                # occurrence wins only via the strict '>' branch, so
-                # with >1 occurrence the winner is the |i-mid|-argmin
-                # among occurrences after the first (earliest on ties).
+                # (/root/reference/src/simplify.js:22-31).  The
+                # reference's minPosToMid persists across running-max
+                # updates (and across d === sqTolerance hits, since
+                # maxSqDist starts there), so a repeated-max span must
+                # be replayed sequentially — rare (bit-equal distances).
                 mid = first + ((last - first) >> 1)
-                rest = occ[1:]
-                index = int(rest[np.argmin(np.abs(rest - mid))])
+                maxd = sq_tolerance
+                minpos = last - first
+                index = -1
+                for j in range(d.size):
+                    dj = d[j]
+                    if dj > maxd:
+                        index = int(offs[j])
+                        maxd = dj
+                    elif dj == maxd:
+                        pos = abs(int(offs[j]) - mid)
+                        if pos < minpos:
+                            index = int(offs[j])
+                            minpos = pos
             xyz[index + 2] = dmax
             if index - first > 3:
                 stack.append((first, index))

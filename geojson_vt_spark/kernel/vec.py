@@ -158,19 +158,34 @@ def batch_simplify(xs, ys, zs, first_v, last_v, sq_tolerance: float) -> None:
         pivot = occ1.copy()
         multi = active & (n_occ > 1)
         if multi.any():
-            # scalar tie-break in raw-offset space (simplify.js:22-31):
-            # the first occurrence wins only via the strict '>' branch;
-            # later equal hits compete on |i - mid| (earlier wins ties)
+            # faithful scalar walk of simplify.js:3-31 for tie spans: a
+            # unique max is history-free (the '>' branch wins last), but
+            # with repeated maxima the reference's minPosToMid carries
+            # over from ties hit at LOWER running maxima (including
+            # d === sqTolerance, since maxSqDist starts there), so the
+            # whole span must be replayed sequentially — cheap, ties on
+            # bit-equal squared distances are rare degenerate inputs
             ends = np.concatenate((starts[1:], [len(d)]))
             for s in np.nonzero(multi)[0]:
-                occs = idx[starts[s]:ends[s]][is_max[starts[s]:ends[s]]]
-                raw = occs * 3
+                lo, hi = int(starts[s]), int(ends[s])
+                raw = idx[lo:hi] * 3
                 f_raw = first[s] * 3
                 l_raw = last[s] * 3
                 mid = f_raw + ((l_raw - f_raw) >> 1)
-                rest = raw[1:]
-                best = rest[np.argmin(np.abs(rest - mid))]
-                pivot[s] = best // 3
+                maxd = sq_tolerance
+                minpos = l_raw - f_raw
+                index = -1
+                for j in range(hi - lo):
+                    dj = d[lo + j]
+                    if dj > maxd:
+                        index = raw[j]
+                        maxd = dj
+                    elif dj == maxd:
+                        pos = abs(raw[j] - mid)
+                        if pos < minpos:
+                            index = raw[j]
+                            minpos = pos
+                pivot[s] = index // 3
 
         piv = pivot[active]
         zs[piv] = dmax[active]
@@ -279,8 +294,15 @@ def build_rags(gcodes, ringss, options) -> Rags:
     roff = np.zeros(len(rlens) + 1, dtype=np.int64)
     np.cumsum(rlens, out=roff[1:])
 
-    pts = (np.asarray(flat, dtype=np.float64).reshape(-1, 2)
-           if flat else np.empty((0, 2)))
+    # GeoJSON positions may carry a third (elevation) component; keep
+    # only lon/lat like convert.js (ring[j][0]/[1]) and kernel/convert.py
+    if flat:
+        try:
+            pts = np.asarray(flat, dtype=np.float64)[:, :2]
+        except ValueError:  # ragged batch mixing 2- and 3-element positions
+            pts = np.array([[p[0], p[1]] for p in flat], dtype=np.float64)
+    else:
+        pts = np.empty((0, 2))
     xs = project_x_arr(pts[:, 0])
     ys = project_y_arr(pts[:, 1])
     zs = np.zeros(len(xs))

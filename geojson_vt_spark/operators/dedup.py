@@ -67,11 +67,24 @@ def _hash_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
-def shingle_hashes_col(shingles: Column) -> Column:
-    """One xxhash64 pass over the shingle strings → int array.  Hashing
-    the strings once and deriving every minhash slot from the ints is
-    the difference between K string-hash passes and one (the strings
-    never reach the per-slot work)."""
+def _md5_int_col(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative int64 — the portable hash:
+    md5 exists in both Spark and DuckDB with identical hex output, so
+    signatures built on it are oracle-checkable cross-engine."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def shingle_hashes_col(shingles: Column, hash_fn: str = "xx") -> Column:
+    """One hash pass over the shingle strings → int array.  Hashing the
+    strings once and deriving every minhash slot from the ints is the
+    difference between K string-hash passes and one (the strings never
+    reach the per-slot work).
+
+    ``hash_fn``: "xx" (xxhash64, fastest JVM path, default) or "md5"
+    (portable across engines — used by the driver-oracle queries)."""
+    if hash_fn == "md5":
+        return F.transform(shingles,
+                           lambda s: F.pmod(_md5_int_col(s), F.lit(_MERSENNE)))
     return F.transform(shingles,
                        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
 
@@ -107,18 +120,37 @@ def minhash_signature_col(hashed: Column, num_hashes: int = 32,
     return mh(hashed)
 
 
+def _cap_buckets(lhs: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Drop over-full (band, bucket) groups before the self-join: a
+    bucket of b members yields b·(b-1)/2 candidate pairs, so one cluster
+    of thousands of near-identical docs makes a single task quadratic.
+    Capping is safe for dedup recall when exact duplicates are collapsed
+    first (see ``minhash_dedup``): surviving mega-buckets are near-dup
+    *clusters*, whose pairs are overwhelmingly re-found in the other
+    bands' (smaller) buckets.  SQL-portable (count window ↔ QUALIFY)."""
+    if bucket_cap is None:
+        return lhs
+    wb = Window.partitionBy("band", "bucket")
+    return (lhs.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .where(F.col("_bn") <= bucket_cap).drop("_bn"))
+
+
 def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       bands: int = 8, shingle_n: int = 3,
-                      threshold: float = 0.5, seed: int = 42) -> DataFrame:
+                      threshold: float = 0.5, seed: int = 42,
+                      hash_fn: str = "xx",
+                      bucket_cap: int | None = 1000) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash, verified with
     exact shingle Jaccard.  Returns (id_a, id_b, jaccard), id_a < id_b."""
     rows_per_band = num_hashes // bands
+    bucket_hash = (_md5_int_col if hash_fn == "md5"
+                   else F.xxhash64)
     sig = (_spread(df)
            .select(F.col(id_col).alias("id"),
                    shingles_col(F.col(content_col), shingle_n).alias("sh"))
            .where(F.size("sh") > 0)
-           .withColumn("hs", shingle_hashes_col(F.col("sh")))
+           .withColumn("hs", shingle_hashes_col(F.col("sh"), hash_fn))
            .withColumn("sig", minhash_signature_col(F.col("hs"), num_hashes,
                                                     seed))
            .drop("hs"))
@@ -132,12 +164,13 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda bnd: F.struct(
                 bnd.alias("band"),
-                F.xxhash64(F.concat_ws(
+                bucket_hash(F.concat_ws(
                     ",", F.slice("sig", bnd * rows_per_band + 1, rows_per_band)
                 )).alias("bucket")))).alias("bk"))
 
-    lhs = banded.select("id", F.col("bk.band").alias("band"),
-                        F.col("bk.bucket").alias("bucket"))
+    lhs = _cap_buckets(
+        banded.select("id", F.col("bk.band").alias("band"),
+                      F.col("bk.bucket").alias("bucket")), bucket_cap)
     cand = (lhs.alias("l")
             .join(lhs.alias("r"), ["band", "bucket"])
             .where(F.col("l.id") < F.col("r.id"))
@@ -160,12 +193,34 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
 
 
 def minhash_dedup(df: DataFrame, content_col: str = "text",
-                  id_col: str = "doc_id", **kw) -> DataFrame:
+                  id_col: str = "doc_id", pre_collapse: bool = True,
+                  **kw) -> DataFrame:
     """Drop every row that is the higher id of a passing near-dup pair
-    (chain-collapsing keep-lowest rule, deterministic)."""
-    pairs = minhash_lsh_pairs(df, content_col, id_col, **kw)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    (chain-collapsing keep-lowest rule, deterministic).
+
+    ``pre_collapse``: collapse byte-identical texts to their lowest-id
+    representative BEFORE the LSH stage.  A cluster of k identical docs
+    then costs one group-by row instead of k band rows (and k·(k-1)/2
+    candidate pairs) — the standard guard that keeps mega-duplicate
+    clusters from going quadratic in the band join.  Non-representative
+    exact copies are dropped directly; a representative that loses an
+    LSH near-dup pairing takes its whole exact group with it."""
+    if not pre_collapse:
+        pairs = minhash_lsh_pairs(df, content_col, id_col, **kw)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, id_col, "left_anti")
+
+    grp = (df.groupBy(F.md5(content_col).alias("_fp"))
+           .agg(F.min(id_col).alias("_rep")))
+    reps = (df.join(grp.select(F.col("_rep").alias(id_col)),
+                    id_col, "left_semi"))
+    pairs = minhash_lsh_pairs(reps, content_col, id_col, **kw)
+    # survivors = representatives that never lose an LSH pairing (exact
+    # copies are jaccard-1 dupes of their rep, so they always drop)
+    keep_rep = (grp.join(pairs.select(F.col("id_b").alias("_rep"))
+                         .distinct(), "_rep", "left_anti")
+                .select(F.col("_rep").alias(id_col)))
+    return df.join(keep_rep, id_col, "left_semi")
 
 
 def ngram_jaccard_pairs(df: DataFrame, content_col: str = "text",
@@ -191,13 +246,24 @@ def ngram_jaccard_pairs(df: DataFrame, content_col: str = "text",
             .where(F.col("jaccard") >= threshold))
 
 
-def simhash_col(text_expr: str, bits: int = 64) -> Column:
+def simhash_col(text_expr: str, bits: int = 64,
+                hash_fn: str = "xx") -> Column:
     """Sign-of-weighted-sum simhash over whitespace tokens, built with
-    aggregate/transform HOFs (token hash = xxhash64).
+    aggregate/transform HOFs (token hash = xxhash64, or two 32-bit md5
+    chunks for the engine-portable "md5" variant the oracle queries
+    use — DuckDB reproduces the exact same bits from md5 hex).
 
     ``text_expr`` is a SQL expression string (the Python shiftright
     wrapper can't take a Column bit index; the SQL form can)."""
     n1 = bits - 1
+    if hash_fn == "md5":
+        tok_bit = ("IF(i < 32, "
+                   "shiftright(CAST(conv(substr(md5(t),1,8),16,10) "
+                   "AS BIGINT), i), "
+                   "shiftright(CAST(conv(substr(md5(t),9,8),16,10) "
+                   "AS BIGINT), i - 32)) & 1")
+    else:
+        tok_bit = "shiftright(xxhash64(t), i) & 1"
     return F.expr(f"""
         aggregate(
           zip_with(
@@ -206,7 +272,7 @@ def simhash_col(text_expr: str, bits: int = 64) -> Column:
               array_repeat(CAST(0 AS BIGINT), {bits}),
               (acc, t) -> zip_with(acc,
                  transform(sequence(0, {n1}),
-                           i -> IF((shiftright(xxhash64(t), i) & 1) = 1,
+                           i -> IF(({tok_bit}) = 1,
                                    CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
                  (a, b) -> a + b)),
             sequence(0, {n1}),
@@ -218,18 +284,21 @@ def simhash_col(text_expr: str, bits: int = 64) -> Column:
 
 def simhash_pairs(df: DataFrame, content_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 8,
-                  bands: int = 4) -> DataFrame:
+                  bands: int = 4, hash_fn: str = "xx",
+                  bucket_cap: int | None = 1000) -> DataFrame:
     """Near-dup candidates where any 16-bit simhash band matches,
     verified by exact hamming distance (bit_count of xor)."""
     width = 64 // bands
     sh = _spread(df).select(F.col(id_col).alias("id"),
-                            simhash_col(content_col).alias("sim"))
+                            simhash_col(content_col,
+                                        hash_fn=hash_fn).alias("sim"))
     banded = sh.withColumn("bk", F.explode(F.expr(
         f"transform(sequence(0, {bands - 1}), "
         f"b -> struct(b AS band, "
         f"shiftright(sim, b * {width}) & {(1 << width) - 1} AS bucket))")))
-    lhs = banded.select("id", "sim", F.col("bk.band").alias("band"),
-                        F.col("bk.bucket").alias("bucket"))
+    lhs = _cap_buckets(
+        banded.select("id", "sim", F.col("bk.band").alias("band"),
+                      F.col("bk.bucket").alias("bucket")), bucket_cap)
     return (lhs.alias("l").join(lhs.alias("r"), ["band", "bucket"])
             .where(F.col("l.id") < F.col("r.id"))
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),

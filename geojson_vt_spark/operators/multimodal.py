@@ -102,7 +102,10 @@ def frame_sample_df(assets: DataFrame, every_ms: int = 1000,
                 continue
             digests = []
             for payload, ts in zip(pdf["payload"], pdf["frame_ts"]):
-                px = (_fake_decode(bytes(payload) + int(ts).to_bytes(4, "big"),
+                # frame key = payload + 8-hex-digit timestamp (ASCII, so
+                # a SQL oracle can rebuild the exact hashed bytes)
+                px = (_fake_decode(bytes(payload) + format(int(ts),
+                                                           "08x").encode(),
                                    "video") if fake
                       else real_decode(bytes(payload), "video"))
                 digests.append(int(px.sum()))

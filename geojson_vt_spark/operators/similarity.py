@@ -42,42 +42,60 @@ def cosine_topk(df: DataFrame, query_ids: list[int], k: int = 5,
             .select("query_id", "nbr_id", "cosine", "rank"))
 
 
+def _centroid_structs(cents: list[tuple[int, list[float]]],
+                      vcol) -> list:
+    """(rounded-cosine, -centroid_id) struct per centroid literal; struct
+    ordering then gives argmax-by-(cosine desc, centroid_id asc) without
+    any explode, window, or shuffle."""
+    out = []
+    for cid, cv in cents:
+        cv_lit = F.array(*[F.lit(float(x)) for x in cv])
+        out.append(F.struct(
+            F.round(cosine_col(vcol, cv_lit), 9).alias("d"),
+            F.lit(-cid).cast("long").alias("nid")))
+    return out
+
+
 def ivf_topk(df: DataFrame, query_ids: list[int], k: int = 5,
              n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF-flat ANN: centroids = deterministic stride sample of the
-    corpus; every vector joins its nearest list; queries probe only the
-    ``nprobe`` nearest lists.  At scale the stride sample becomes a
-    k-means job; the probe join stays the same."""
-    spark = df.sparkSession
+    """IVF-flat ANN: centroids = the ``n_centroids`` lowest-id vectors
+    (distributed TakeOrdered, collected — C is small by construction);
+    every vector is assigned to its nearest list by a per-row expression
+    over the broadcast centroid literals (no N×C explode, no window, no
+    shuffle); queries probe only the ``nprobe`` nearest lists.  At scale
+    the centroid pick becomes a k-means job; assignment and probe stay
+    the same.
+
+    The only shuffle in the whole plan is the final per-query top-k over
+    the ~N·nprobe/C candidate rows."""
     base = df.select(F.col(id_col).alias("nbr_id"),
                      F.col(vec_col).cast("array<double>").alias("v"))
 
-    cents = (base.withColumn(
-        "rk", F.row_number().over(Window.orderBy("nbr_id")))
-        .where(F.col("rk") <= n_centroids)
-        .select(F.col("nbr_id").alias("centroid_id"), F.col("v").alias("cv")))
-    cents = F.broadcast(cents)
+    # deterministic centroids — orderBy().limit() is a distributed
+    # TakeOrdered (per-partition top-C, merged on the driver), unlike a
+    # global row_number window which funnels N rows through one task
+    cent_rows = base.orderBy("nbr_id").limit(n_centroids).collect()
+    cents = [(int(r["nbr_id"]), [float(x) for x in r["v"]])
+             for r in cent_rows]
 
-    # assign every vector to its nearest centroid (one broadcast join)
-    wv = Window.partitionBy("nbr_id").orderBy(
-        F.col("cdist").desc(), F.col("centroid_id"))
-    assigned = (base.crossJoin(cents)
-                .withColumn("cdist", F.round(cosine_col("v", "cv"), 9))
-                .withColumn("crk", F.row_number().over(wv))
-                .where(F.col("crk") == 1)
-                .select("nbr_id", "v", "centroid_id"))
+    def nearest(vcol):
+        best = F.array_max(F.array(*_centroid_structs(cents, vcol)))
+        return (-best["nid"]).cast("long")
 
-    q = F.broadcast(_queries(df, id_col, vec_col, query_ids))
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("cdist").desc(), F.col("centroid_id"))
-    probes = (q.crossJoin(cents)
-              .withColumn("cdist", F.round(cosine_col("qv", "cv"), 9))
-              .withColumn("crk", F.row_number().over(wq))
-              .where(F.col("crk") <= nprobe)
-              .select("query_id", "qv", "centroid_id"))
+    assigned = base.withColumn("centroid_id", nearest(F.col("v")))
 
-    scored = (probes.join(assigned, "centroid_id")
+    # per-query probe list: sort the same structs desc, take nprobe
+    q = _queries(df, id_col, vec_col, query_ids)
+    probe_arr = F.slice(
+        F.reverse(F.array_sort(F.array(*_centroid_structs(cents,
+                                                          F.col("qv"))))),
+        1, nprobe)
+    probes = (q.withColumn("ps", F.explode(probe_arr))
+              .select("query_id", "qv",
+                      (-F.col("ps.nid")).cast("long").alias("centroid_id")))
+
+    scored = (F.broadcast(probes).join(assigned, "centroid_id")
               .where(F.col("nbr_id") != F.col("query_id"))
               .withColumn("cosine", F.round(cosine_col("qv", "v"), 6)))
     w = Window.partitionBy("query_id").orderBy(

@@ -72,12 +72,19 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int = 7,
 
     build = _poly_bbox_cells(polys, res).select("poly_id", "pxs", "pys", "cell")
 
+    poly_rows = None
     if broadcast_polys is None:
         # a small polygon side should broadcast: the probe side (the
         # corpus-scale one) then never shuffles at all and the join +
         # refine fuse into one map stage.  Catalyst can't see the
-        # post-explode size, so decide from the pre-explode row count.
-        broadcast_polys = polys.limit(100_001).count() <= 100_000
+        # post-explode size, so decide with ONE probe job that also
+        # yields the ring table when it fits — gated on both row count
+        # and total vertex bytes (a few huge rings shouldn't broadcast).
+        rows = polys.select("poly_id", "pxs", "pys").limit(100_001).collect()
+        n_verts = sum(len(r["pxs"]) for r in rows)
+        broadcast_polys = len(rows) <= 100_000 and n_verts <= 5_000_000
+        if broadcast_polys:
+            poly_rows = rows
 
     if salt_n > 0 and not broadcast_polys:
         # salting is only needed when the join actually shuffles
@@ -88,20 +95,26 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int = 7,
     else:
         keys = ["cell"]
 
-    ring_lookup = None
+    ring_bc = None
     if broadcast_polys:
         build = F.broadcast(build)
-        # ship the (small) ring table once per task via the UDF closure
+        # ship the (small) ring table once per EXECUTOR via a Spark
+        # broadcast (not once per task through the pickled closure)
         # instead of duplicating pxs/pys onto every candidate row — the
         # refine's Arrow traffic shrinks to 4 scalars per candidate
+        if poly_rows is None:
+            poly_rows = polys.select("poly_id", "pxs", "pys").collect()
         ring_lookup = {
             int(r["poly_id"]): (np.asarray(r["pxs"], dtype=np.float64),
                                 np.asarray(r["pys"], dtype=np.float64))
-            for r in polys.select("poly_id", "pxs", "pys").collect()}
+            for r in poly_rows}
+        ring_bc = points.sparkSession.sparkContext.broadcast(ring_lookup)
+        del ring_lookup, poly_rows
         build = build.drop("pxs", "pys")
     cand = pts.join(build, keys)
 
     def refine(batches):
+        ring_lookup = ring_bc.value if ring_bc is not None else None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -132,7 +145,7 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int = 7,
             yield pd.DataFrame({"point_id": pid[sel], "poly_id": pol[sel]})
 
     refine_cols = ["point_id", "poly_id", "px", "py"]
-    if ring_lookup is None:
+    if ring_bc is None:
         refine_cols += ["pxs", "pys"]
     # no dedupe pass needed: a point carries exactly one cell and the
     # bbox explode emits each polygon once per distinct cell, so every

@@ -119,6 +119,40 @@ def _gen_batch(ids: np.ndarray, seed: int, n_geo_points: int) -> pd.DataFrame:
     })
 
 
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic (url, text) page rows derived from the documents
+    table with embedded ``geo:`` mentions, built from PURE Column
+    arithmetic (integer centidegrees, no transcendental functions) so a
+    SQL oracle can reconstruct the extracted coordinates bit-exactly —
+    this is the driver-checkable twin of ``synth_pages_df``.
+
+    Each page embeds a 4-corner rectangle around a doc_id-derived
+    center; ``extract_geo_features_df`` turns it into a closed 5-point
+    polygon ring."""
+    k = F.col("doc_id")
+
+    def _fmt(cents):  # signed centidegrees -> 'sDD.dd'
+        a = F.abs(cents)
+        return F.concat(
+            F.when(cents < 0, F.lit("-")).otherwise(F.lit("")),
+            (a / 100).cast("long").cast("string"), F.lit("."),
+            F.lpad((a % 100).cast("string"), 2, "0"))
+
+    lat0 = (k * 37 % 13000) - 6500          # [-65.00, 64.99]
+    lon0 = (k * 101 % 35000) - 17500        # [-175.00, 174.99]
+    dla = 50 + k % 73
+    dlo = 60 + k % 97
+    corners = [(lat0, lon0), (lat0, lon0 + dlo),
+               (lat0 + dla, lon0 + dlo), (lat0 + dla, lon0)]
+    mention = [F.concat(F.lit("geo:"), _fmt(la), F.lit(","), _fmt(lo))
+               for la, lo in corners]
+    return docs.select(
+        F.concat(F.lit("https://corpus.example/doc/"),
+                 k.cast("string")).alias("url"),
+        F.concat(F.col("text"), F.lit(" "),
+                 F.concat_ws(" ", *mention)).alias("text"))
+
+
 _GEO_RE = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
 
 

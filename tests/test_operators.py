@@ -191,3 +191,66 @@ def test_multimodal_plumbing(spark):
     assert frames.count() > 0
     with pytest.raises(NotImplementedError):
         real_decode(b"x", "image")
+
+
+def test_minhash_bucket_cap_stops_quadratic_blowup(spark):
+    """A planted mega-cluster (one text duplicated 800×) must not turn
+    the band join quadratic: with pre-collapse the cluster contributes
+    ONE representative to the LSH stage, and survivors are exactly the
+    non-duplicate docs plus the cluster's lowest id."""
+    from geojson_vt_spark.operators import minhash_dedup, minhash_lsh_pairs
+
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    mega = (spark.range(800)
+            .select((F.col("id") + 500000).alias("doc_id"),
+                    F.lit("mega cluster text repeated verbatim in every "
+                          "copy of this planted document").alias("text")))
+    docs = base.select("doc_id", "text").unionByName(mega)
+
+    kept = minhash_dedup(docs, threshold=0.5, bucket_cap=100)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 500000 in kept_ids, "cluster keeps its lowest id"
+    assert not any(i > 500000 for i in kept_ids), "other 799 copies drop"
+
+    # raw pairs path: the cap drops the mega-bucket instead of emitting
+    # ~320k pairs from it
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, bucket_cap=100)
+    n = pairs.where(F.col("id_a") >= 500000).count()
+    assert n == 0, f"capped mega-bucket must emit no pairs, got {n}"
+
+
+def test_minhash_recall_unchanged_by_cap(spark, docs_with_dups):
+    """Default cap (1000) must not change results on a normal corpus."""
+    from geojson_vt_spark.operators import minhash_lsh_pairs
+    capped = {(r.id_a, r.id_b)
+              for r in minhash_lsh_pairs(docs_with_dups,
+                                         threshold=0.5).collect()}
+    uncapped = {(r.id_a, r.id_b)
+                for r in minhash_lsh_pairs(docs_with_dups, threshold=0.5,
+                                           bucket_cap=None).collect()}
+    assert capped == uncapped
+
+
+def test_ivf_topk_no_single_partition_exchange(spark):
+    """The IVF plan must not funnel the vector table through one task:
+    no global-sort / SinglePartition exchange anywhere (VERDICT r1 #3)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = ivf_topk(emb, [0, 1, 2], k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_md5_hash_variants_match_defaults_semantics(spark, docs_with_dups):
+    """hash_fn='md5' changes bucketing, not verification: every emitted
+    pair still carries the exact jaccard/hamming, and planted exact
+    clones are still found."""
+    from geojson_vt_spark.operators import minhash_lsh_pairs, simhash_pairs
+    mh = {(r.id_a, r.id_b): r.jaccard
+          for r in minhash_lsh_pairs(docs_with_dups, threshold=0.5,
+                                     hash_fn="md5").collect()}
+    assert {(i, i + 100000) for i in range(20)} <= set(mh)
+    assert all(j >= 0.5 for j in mh.values())
+    sh = {(r.id_a, r.id_b)
+          for r in simhash_pairs(docs_with_dups, max_hamming=4,
+                                 hash_fn="md5").collect()}
+    assert {(i, i + 100000) for i in range(20)} <= sh

@@ -158,3 +158,27 @@ def test_batch_clip_matches_object_kernel(lm, window):
             for ra, rb in zip(a, b):
                 assert ra["_src"] == rb["_src"] and ra["_sub"] == rb["_sub"]
             assert_records_equal(a, b, f"lm={lm} ax={axis} w={window}")
+
+
+def test_batch_convert_elevation_positions():
+    """Valid GeoJSON positions may carry a third (elevation) element;
+    the batch kernel must ignore it like convert.js reads only
+    ring[j][0]/[1] — including batches that mix 2- and 3-element
+    positions (ragged)."""
+    poly3 = {"type": "Feature", "properties": {},
+             "geometry": {"type": "Polygon", "coordinates": [[
+                 [0.0, 0.0, 10.0], [10.0, 0.0, 20.0], [10.0, 10.0, 30.0],
+                 [0.0, 10.0, 40.0], [0.0, 0.0, 10.0]]]}}
+    line2 = {"type": "Feature", "properties": {},
+             "geometry": {"type": "LineString", "coordinates": [
+                 [-20.0, 5.0], [25.0, -8.0], [40.0, 12.0]]}}
+    pt_mixed = {"type": "Feature", "properties": {},
+                "geometry": {"type": "MultiPoint", "coordinates": [
+                    [1.0, 2.0, 3.0], [4.0, 5.0]]}}
+    for feats in ([poly3], [poly3, line2, pt_mixed], [pt_mixed]):
+        rows = [(i, i, json.dumps(f)) for i, f in enumerate(feats)]
+        opts = TileOptions()
+        assert_records_equal(
+            object_convert_records(rows, opts),
+            convert_rows_to_records(rows, opts),
+            ctx=f"elevation n={len(feats)}")
