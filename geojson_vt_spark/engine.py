@@ -94,10 +94,16 @@ class SparkTileEngine:
         self._drill_tiles: dict[int, dict] = {}
         self._drill_sources: dict[int, list] = {}
         self._consumed_sources: set[int] = set()
-        # driver-side cache of the (small) tile stats table: existence,
-        # has_source and bbox checks become dict lookups instead of one
-        # Spark job per getTile
+        # driver-side cache of the DISTRIBUTED-zoom tile stats (bounded
+        # by the driver-loop frontier, O(parallelism), NOT by the 4^z
+        # subtree output): existence, has_source and bbox checks become
+        # dict lookups instead of one Spark job per getTile.  Subtree
+        # tiles resolve through keyed parquet lookups, memoized below.
         self._stats_cache: dict | None = None
+        self._sub_meta_cache: dict = {}
+        # memoized store readers: parquet listing/schema discovery runs
+        # once per engine lifetime, not once per lookup call
+        self._df_cache: dict = {}
 
     # ------------------------------------------------------------ paths
 
@@ -400,15 +406,22 @@ class SparkTileEngine:
             f.result()
         pool.shutdown()
         self._stats_cache = None
+        self._sub_meta_cache.clear()
+        self._df_cache.clear()
 
     # ------------------------------------------------------------ read side
 
     def _stats(self) -> dict:
-        """(z,x,y) → {has_source, minx..maxy} for every built tile."""
+        """(z,x,y) → {has_source, bbox} for DISTRIBUTED-zoom tiles only.
+
+        The per-zoom stats parquet holds O(driver-loop frontier) rows —
+        it does not grow with the 4^z subtree output, so caching it is
+        driver-safe at any pyramid depth.  Subtree tiles are served by
+        ``_subtree_meta`` keyed lookups instead of being collected."""
         if self._stats_cache is None:
             cache = {}
-            if self._read_lineage():
-                for r in (self.tiles()
+            if self._read_lineage() and os.path.isdir(self._p("tiles")):
+                for r in (self.spark.read.parquet(self._p("tiles"))
                           .select("z", "x", "y", "has_source",
                                   "minx", "miny", "maxx", "maxy").collect()):
                     cache[(r["z"], r["x"], r["y"])] = {
@@ -418,11 +431,59 @@ class SparkTileEngine:
             self._stats_cache = cache
         return self._stats_cache
 
+    def _subtree_meta(self, z, x, y) -> dict | None:
+        """has_source/bbox of one subtree-built tile via a keyed
+        (predicate-pushdown) parquet lookup, memoized per request —
+        driver memory stays O(tiles actually asked about)."""
+        key = (z, x, y)
+        if key in self._sub_meta_cache:
+            return self._sub_meta_cache[key]
+        meta = None
+        sub = self._subtree_df()
+        if sub is not None:
+            rows = (sub.where((F.col("kind") == "tile") &
+                              (F.col("z") == z) & (F.col("x") == x) &
+                              (F.col("y") == y))
+                    .select("has_source", "minx", "miny", "maxx", "maxy")
+                    .collect())
+            if rows:
+                r = rows[0]
+                meta = {"has_source": r["has_source"],
+                        "bbox": (r["minx"], r["miny"],
+                                 r["maxx"], r["maxy"])}
+        self._sub_meta_cache[key] = meta
+        return meta
+
+    def _tile_meta(self, z, x, y) -> dict | None:
+        st = self._stats().get((z, x, y))
+        return st if st is not None else self._subtree_meta(z, x, y)
+
+    def warm(self) -> None:
+        """Open the tile stores for serving: load the (bounded) stats
+        cache and run parquet listing/schema discovery once, so each
+        subsequent get_tile is a single pruned read and an all-hit
+        get_tiles batch is at most two jobs."""
+        self._stats()
+        self._tilefeat_df()
+        self._subtree_df()
+
     def _subtree_df(self) -> DataFrame | None:
-        path = self._p("subtree")
-        if not os.path.isdir(path):
-            return None
-        return self.spark.read.parquet(path)
+        if "subtree" not in self._df_cache:
+            path = self._p("subtree")
+            self._df_cache["subtree"] = (
+                self.spark.read.parquet(path) if os.path.isdir(path)
+                else None)
+        return self._df_cache["subtree"]
+
+    def _tilefeat_df(self) -> DataFrame | None:
+        """Root read of the per-feature tile store — the z partition
+        column comes from directory discovery, so zoom filters prune."""
+        if "tilefeat" not in self._df_cache:
+            path = self._p("tilefeat")
+            self._df_cache["tilefeat"] = (
+                self.spark.read.parquet(path) if os.path.isdir(path)
+                else None)
+        return self._df_cache["tilefeat"]
 
     def tiles(self) -> DataFrame:
         base = (self.spark.read.parquet(self._p("tiles"))
@@ -452,9 +513,9 @@ class SparkTileEngine:
         for row in self.tiles().select("z", "x", "y").collect():
             out[f"z{row['z']}-{row['x']}-{row['y']}"] = []
         grouped: dict[str, list] = {}
-        tf_path = self._p("tilefeat")
-        if os.path.isdir(tf_path):
-            for r in (self.spark.read.parquet(tf_path)
+        tf = self._tilefeat_df()
+        if tf is not None:
+            for r in (tf
                       .select("z", "x", "y", "ord_path", "fjson").collect()):
                 grouped.setdefault(
                     f"z{r['z']}-{r['x']}-{r['y']}", []).append(r)
@@ -508,6 +569,18 @@ class SparkTileEngine:
             return {"features": t["features"], "z": z, "x": x, "y": y}
         if not self._read_lineage():
             return None
+        if (z, x, y) in self._stats():
+            # distributed-zoom tile: zero-job existence, one pruned read
+            # (the subtree root is never re-emitted there, so dist-first
+            # order can't shadow anything)
+            tf = self._tilefeat_df()
+            rows = []
+            if tf is not None:
+                rows = (tf.where((F.col("z") == z) & (F.col("x") == x) &
+                                 (F.col("y") == y))
+                        .select("ord_path", "fjson").collect())
+            return {"features": self._assemble_features(rows),
+                    "z": z, "x": x, "y": y}
         sub = self._subtree_df()
         if sub is not None:
             rows = (sub.where((F.col("kind") == "tile") & (F.col("z") == z) &
@@ -516,16 +589,7 @@ class SparkTileEngine:
             if rows:
                 return {"features": json.loads(rows[0]["features_json"]),
                         "z": z, "x": x, "y": y}
-        if (z, x, y) not in self._stats():
-            return None
-        tf_path = self._p("tilefeat", f"z={z}")
-        rows = []
-        if os.path.isdir(tf_path):
-            rows = (self.spark.read.parquet(tf_path)
-                    .where((F.col("x") == x) & (F.col("y") == y))
-                    .select("ord_path", "fjson").collect())
-        return {"features": self._assemble_features(rows),
-                "z": z, "x": x, "y": y}
+        return None
 
     def _source_rows(self, z, x, y) -> list:
         """Collect retained-source feature records for (z,x,y) from the
@@ -553,7 +617,7 @@ class SparkTileEngine:
         if tid in self._drill_sources:
             feats = self._drill_sources[tid]
             return feats if feats else None
-        st = self._stats().get((z, x, y))
+        st = self._tile_meta(z, x, y)
         if st is None or not st["has_source"]:
             return None
         from .model import record_to_feature
@@ -582,7 +646,12 @@ class SparkTileEngine:
         while stack:
             features, z, x, y, _ords = stack.pop()
             tid = to_id(z, x, y)
-            known = self._tile_exists(tid, z, x, y)
+            # only the drill root pre-exists in the stores (its source
+            # came from a LEAF, which by definition was never split), so
+            # descendants need no per-tile store lookups — just the
+            # in-memory overlay from earlier drills
+            known = (tid in self._drill_tiles
+                     or (z, x, y) == (z0, x0, y0))
             if not known:
                 tile = create_tile(features, z, x, y, opts)
                 transformed = transform_tile(tile, opts.extent)
@@ -631,13 +700,13 @@ class SparkTileEngine:
     def _tile_exists(self, tid, z, x, y) -> bool:
         if tid in self._drill_tiles:
             return True
-        return (z, x, y) in self._stats()
+        return self._tile_meta(z, x, y) is not None
 
     def _tile_bbox(self, tid, z, x, y):
         if tid in self._drill_tiles:
             t = self._drill_tiles[tid]
             return (t["minx"], t["miny"], t["maxx"], t["maxy"])
-        st = self._stats().get((z, x, y))
+        st = self._tile_meta(z, x, y)
         if st is not None:
             return st["bbox"]
         return (2.0, 1.0, -1.0, 0.0)
@@ -645,7 +714,95 @@ class SparkTileEngine:
     def get_tiles(self, coords) -> dict:
         """Batch getTile: resolve many (z, x, y) requests in one sweep.
 
-        Same semantics as per-request get_tile (drill-downs included);
-        the stats cache makes the shared ancestor walks cheap and each
-        retained source is drilled at most once for the whole batch."""
-        return {(z, x, y): self.get_tile(z, x, y) for (z, x, y) in coords}
+        Same semantics as per-request get_tile (drill-downs included),
+        but hits are served in TWO Spark jobs for the whole batch: one
+        pruned read of the tilefeat store covering every requested
+        distributed tile (all zooms OR-ed into a single predicate) and
+        one keyed read of the subtree store for the rest.  Only genuine
+        misses fall back to the drill path, and each retained source is
+        drilled at most once for the whole batch."""
+        norm: dict = {}
+        for c in coords:
+            c = tuple(c)
+            z, x, y = (int(float(v)) for v in c)
+            if z < 0 or z > 24:
+                norm[c] = None
+                continue
+            z2 = 1 << z
+            norm[c] = (z, (x + z2) & (z2 - 1), y)
+
+        want = {k for k in norm.values() if k is not None}
+        feats: dict = {}
+        for key in list(want):
+            t = self._drill_tiles.get(to_id(*key))
+            if t is not None:
+                feats[key] = t["features"]
+                want.discard(key)
+
+        if want and self._read_lineage():
+            dist = [k for k in want if k in self._stats()]
+            tf = self._tilefeat_df() if dist else None
+            if tf is not None:
+                zs = sorted({z for z, _, _ in dist})
+                pred = None
+                for zv in zs:
+                    packed = [_pack_xy(x, y) for (z, x, y) in dist if z == zv]
+                    p = (F.col("z") == zv) & _pack_col().isin(packed)
+                    pred = p if pred is None else (pred | p)
+                grouped: dict = {k: [] for k in dist}
+                for r in (tf.where(F.col("z").isin(zs) & pred)
+                          .select("z", "x", "y", "ord_path", "fjson")
+                          .collect()):
+                    grouped[(r["z"], r["x"], r["y"])].append(r)
+                for k in dist:
+                    feats[k] = self._assemble_features(grouped[k])
+                    want.discard(k)
+            sub = self._subtree_df() if want else None
+            if sub is not None:
+                ids = [to_id(*k) for k in want]
+                for r in (sub.where((F.col("kind") == "tile") &
+                                    F.col("tile_id").isin(ids))
+                          .select("z", "x", "y", "features_json").collect()):
+                    k = (r["z"], r["x"], r["y"])
+                    feats[k] = json.loads(r["features_json"])
+                    want.discard(k)
+
+        out = {}
+        for c, key in norm.items():
+            if key is None:
+                out[c] = None
+            elif key in feats:
+                out[c] = {"features": feats[key],
+                          "z": key[0], "x": key[1], "y": key[2]}
+            else:
+                out[c] = self.get_tile(*key)
+        return out
+
+    def tile_coords(self) -> list[tuple[int, int, int]]:
+        """Insertion-ordered tile enumeration matching the reference's
+        ``tileCoords`` (/root/reference/src/index.js:37,87).
+
+        The reference appends tiles in splitTile's stack order — DFS
+        pre-order visiting children br, tr, bl, tl first — which is
+        fully determined by the built tile SET (a split tile always has
+        all four children), so it is reconstructed here from the stores;
+        drill-down tiles follow in creation order, exactly as getTile
+        appends them.  Enumeration surface (tests/manifests): O(n_tiles)
+        driver memory by nature, not a serving path."""
+        out: list[tuple[int, int, int]] = []
+        if self._read_lineage():
+            present = {(r["z"], r["x"], r["y"])
+                       for r in self.tiles().select("z", "x", "y").collect()}
+            stack = [(0, 0, 0)] if (0, 0, 0) in present else []
+            while stack:
+                z, x, y = stack.pop()
+                out.append((z, x, y))
+                # push tl, bl, tr, br so br pops first (index.js:151-154)
+                stack.extend(k for k in (
+                    (z + 1, 2 * x, 2 * y), (z + 1, 2 * x, 2 * y + 1),
+                    (z + 1, 2 * x + 1, 2 * y),
+                    (z + 1, 2 * x + 1, 2 * y + 1)) if k in present)
+        seen = set(out)
+        out.extend(k for t in self._drill_tiles.values()
+                   if (k := (t["z"], t["x"], t["y"])) not in seen)
+        return out
