@@ -104,11 +104,28 @@ class SparkTileEngine:
         # memoized store readers: parquet listing/schema discovery runs
         # once per engine lifetime, not once per lookup call
         self._df_cache: dict = {}
+        import threading
+        self._lineage_lock = threading.Lock()
 
     # ------------------------------------------------------------ paths
 
     def _p(self, *parts) -> str:
         return os.path.join(self.workdir, *parts)
+
+    @staticmethod
+    def _write_local_parquet(pdf, path: str) -> None:
+        """Overwrite ``path`` with a single parquet file holding the
+        (driver-local, small) pandas frame — spark-readable, no job."""
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(path, "part-00000.parquet"))
+        open(os.path.join(path, "_SUCCESS"), "w").close()
 
     def _read_frontier(self, z: int) -> DataFrame:
         return self.spark.read.parquet(self._p("frontier", f"z={z}"))
@@ -124,8 +141,9 @@ class SparkTileEngine:
             return []
 
     def _append_lineage(self, row: dict) -> None:
-        with open(self._lineage_path(), "a") as fh:
-            fh.write(json.dumps(row) + "\n")
+        with self._lineage_lock:
+            with open(self._lineage_path(), "a") as fh:
+                fh.write(json.dumps(row) + "\n")
 
     # ------------------------------------------------------------ build
 
@@ -148,11 +166,24 @@ class SparkTileEngine:
     # subtrees shrink to task size — the formula self-balances.
     _KERNEL_PTS_PER_TASK = 1_000_000
 
-    def _subtree_threshold(self, z: int) -> int:
+    def _subtree_threshold(self, z: int, n_points: int | None = None) -> int:
         if self.subtree_max_points is not None:
             return self.subtree_max_points
         levels_left = max(1, self.options.index_max_zoom - z)
-        return max(2000, self._KERNEL_PTS_PER_TASK // levels_left)
+        budget = self._KERNEL_PTS_PER_TASK // levels_left
+        par = self.spark.sparkContext.defaultParallelism
+        if n_points is not None and (1 << (2 * z)) < par:
+            # parallelism guard: handing off a handful of fat subtrees
+            # starves the executors (4 tasks on 32 cores), so while the
+            # zoom can't yet hold one tile per core (4^z < parallelism)
+            # keep distributing — tile count grows 4× per level, so the
+            # guard expires after log4(cores) zooms and never chases
+            # skewed hot tiles into deep, sync-round-dominated loops
+            fair = n_points // (2 * par)
+            budget = min(budget, fair)
+        # floor keeps tasks from going microscopic (per-task Arrow +
+        # scheduling overhead dominates under ~20k vertex-levels)
+        return max(20_000, budget)
 
     def _submit_subtree(self, pool, futures, z: int, keys: list) -> None:
         """Async: build the whole descendant pyramid of each light tile."""
@@ -201,7 +232,7 @@ class SparkTileEngine:
         opts = self.options
         spark = self.spark
         par = spark.sparkContext.defaultParallelism
-        pool = ThreadPoolExecutor(max_workers=4)
+        pool = ThreadPoolExecutor(max_workers=6)
         futures: list = []
 
         start_z = 0
@@ -233,6 +264,7 @@ class SparkTileEngine:
 
         z = start_z
         prev_points = 0
+        prev_finalize = None
         while True:
             t0 = time.monotonic()
             frontier = self._read_frontier(z)
@@ -296,7 +328,7 @@ class SparkTileEngine:
                       for r in stats
                       if not (z == opts.index_max_zoom or
                               r["num_points"] <= opts.index_max_points)]
-            threshold = self._subtree_threshold(z)
+            threshold = self._subtree_threshold(z, n_points)
             light = [(x, y) for x, y, np_ in splits if np_ <= threshold]
             heavy = [(x, y) for x, y, np_ in splits if np_ > threshold]
             heavy_points = sum(np_ for _, _, np_ in splits if np_ > threshold)
@@ -314,53 +346,6 @@ class SparkTileEngine:
                            for cy in (2 * py, 2 * py + 1)
                            if (cx, cy) not in present]
             n_empty = len(missing)
-            _t = time.monotonic()
-            import pandas as pd
-            fut_tilefeat.result()
-            _tm["assemble_wait"] = time.monotonic() - _t
-            nsim = {(r["x"], r["y"]): r["ns"] for r in
-                    (spark.read.parquet(tilefeat_path)
-                     .groupBy("x", "y")
-                     .agg(F.sum("n_simplified").alias("ns")).collect())}
-            _t = time.monotonic()
-            split_lookup = {(x, y) for x, y, _ in splits}
-            tiles_pdf = pd.DataFrame({
-                "x": pd.Series([r["x"] for r in stats]
-                               + [c[0] for c in missing], dtype="int32"),
-                "y": pd.Series([r["y"] for r in stats]
-                               + [c[1] for c in missing], dtype="int32"),
-                "num_features": pd.Series(
-                    [r["num_features"] for r in stats] + [0] * n_empty,
-                    dtype="int64"),
-                "num_points": pd.Series(
-                    [r["num_points"] for r in stats] + [0] * n_empty,
-                    dtype="int64"),
-                "num_simplified": pd.Series(
-                    [nsim.get((r["x"], r["y"]), 0) for r in stats]
-                    + [0] * n_empty, dtype="int64"),
-                "minx": pd.Series([r["minx"] for r in stats]
-                                  + [2.0] * n_empty, dtype="float64"),
-                "miny": pd.Series([r["miny"] for r in stats]
-                                  + [1.0] * n_empty, dtype="float64"),
-                "maxx": pd.Series([r["maxx"] for r in stats]
-                                  + [-1.0] * n_empty, dtype="float64"),
-                "maxy": pd.Series([r["maxy"] for r in stats]
-                                  + [0.0] * n_empty, dtype="float64"),
-                "is_split": pd.Series(
-                    [(r["x"], r["y"]) in split_lookup for r in stats]
-                    + [False] * n_empty, dtype="bool"),
-                "has_source": pd.Series(
-                    [(r["x"], r["y"]) not in split_lookup for r in stats]
-                    + [True] * n_empty, dtype="bool"),
-                "tile_id": pd.Series(
-                    [to_id(z, r["x"], r["y"]) for r in stats]
-                    + [to_id(z, cx, cy) for cx, cy in missing],
-                    dtype="int64"),
-            })
-            (spark.createDataFrame(tiles_pdf, _TILE_STATS_SCHEMA)
-             .coalesce(1).write.mode("overwrite")
-             .parquet(self._p("tiles", f"z={z}")))
-            _tm["tiles_write"] = time.monotonic() - _t
 
             # leaf tiles retain their source features for drill-down;
             # positive key filter — the frontier file also holds children
@@ -375,28 +360,94 @@ class SparkTileEngine:
                 .drop("z").write.mode("overwrite")
                 .parquet(self._p("sources", f"z={z}")))
 
-            _t = time.monotonic()
             self._submit_subtree(pool, futures, z, light)
-
             final = not heavy
+
+            # everything below only FINALIZES this zoom (nsim sums,
+            # stats parquet, lineage row); the loop's forward progress
+            # needs none of it, so it runs async — the lineage row lands
+            # only after the zoom's stores are durable, which is exactly
+            # the resume contract (a kill before that re-runs the zoom)
+            def finalize(z=z, stats=stats, missing=missing, splits=splits,
+                         heavy=heavy, light=light, n_points=n_points,
+                         n_empty=n_empty, fut_tilefeat=fut_tilefeat,
+                         fut_sources=fut_sources, final=final,
+                         tilefeat_path=tilefeat_path, _tm=_tm, t0=t0,
+                         prev_fin=prev_finalize):
+                import pandas as pd
+                _t = time.monotonic()
+                fut_tilefeat.result()
+                _tm["assemble_wait"] = time.monotonic() - _t
+                nsim = {(r["x"], r["y"]): r["ns"] for r in
+                        (spark.read.parquet(tilefeat_path)
+                         .groupBy("x", "y")
+                         .agg(F.sum("n_simplified").alias("ns")).collect())}
+                _t = time.monotonic()
+                split_lookup = {(x, y) for x, y, _ in splits}
+                tiles_pdf = pd.DataFrame({
+                    "x": pd.Series([r["x"] for r in stats]
+                                   + [c[0] for c in missing], dtype="int32"),
+                    "y": pd.Series([r["y"] for r in stats]
+                                   + [c[1] for c in missing], dtype="int32"),
+                    "num_features": pd.Series(
+                        [r["num_features"] for r in stats] + [0] * n_empty,
+                        dtype="int64"),
+                    "num_points": pd.Series(
+                        [r["num_points"] for r in stats] + [0] * n_empty,
+                        dtype="int64"),
+                    "num_simplified": pd.Series(
+                        [nsim.get((r["x"], r["y"]), 0) for r in stats]
+                        + [0] * n_empty, dtype="int64"),
+                    "minx": pd.Series([r["minx"] for r in stats]
+                                      + [2.0] * n_empty, dtype="float64"),
+                    "miny": pd.Series([r["miny"] for r in stats]
+                                      + [1.0] * n_empty, dtype="float64"),
+                    "maxx": pd.Series([r["maxx"] for r in stats]
+                                      + [-1.0] * n_empty, dtype="float64"),
+                    "maxy": pd.Series([r["maxy"] for r in stats]
+                                      + [0.0] * n_empty, dtype="float64"),
+                    "is_split": pd.Series(
+                        [(r["x"], r["y"]) in split_lookup for r in stats]
+                        + [False] * n_empty, dtype="bool"),
+                    "has_source": pd.Series(
+                        [(r["x"], r["y"]) not in split_lookup for r in stats]
+                        + [True] * n_empty, dtype="bool"),
+                    "tile_id": pd.Series(
+                        [to_id(z, r["x"], r["y"]) for r in stats]
+                        + [to_id(z, cx, cy) for cx, cy in missing],
+                        dtype="int64"),
+                })
+                # tiny, driver-local — pyarrow write, no Spark job (a
+                # tiny job queues behind the big concurrent stages and
+                # was measured costing seconds of pure scheduler wait)
+                self._write_local_parquet(tiles_pdf,
+                                          self._p("tiles", f"z={z}"))
+                _tm["tiles_write"] = time.monotonic() - _t
+                fut_sources.result()
+                # lineage rows must land in zoom order: "complete up to
+                # z" has to imply every store below z is durable.  The
+                # pool is FIFO, so the previous finalize has started
+                # (or finished) by the time this one runs — no deadlock.
+                if prev_fin is not None:
+                    prev_fin.result()
+                self._append_lineage({
+                    "zoom": z, "n_tiles": len(stats) + n_empty,
+                    "n_split": len(splits), "n_points": n_points,
+                    "heavy": [list(k) for k in heavy],
+                    "handoff": [list(k) for k in light],
+                    "wall_sec": time.monotonic() - t0,
+                    "steps": {k: round(v, 2) for k, v in _tm.items()},
+                    "complete": True, "final": final,
+                })
+
+            prev_finalize = pool.submit(finalize)
+            futures.append(prev_finalize)
+
             _t = time.monotonic()
             if fut_split is not None:
                 fut_split.result()
                 _tm["split_wait"] = time.monotonic() - _t
-            _t = time.monotonic()
-            fut_sources.result()
-            _tm["sources_wait"] = time.monotonic() - _t
             prev_points = heavy_points
-
-            self._append_lineage({
-                "zoom": z, "n_tiles": len(stats) + n_empty,
-                "n_split": len(splits), "n_points": n_points,
-                "heavy": [list(k) for k in heavy],
-                "handoff": [list(k) for k in light],
-                "wall_sec": time.monotonic() - t0,
-                "steps": {k: round(v, 2) for k, v in _tm.items()},
-                "complete": True, "final": final,
-            })
             if final:
                 break
             heavy_prev = heavy
@@ -494,12 +545,40 @@ class SparkTileEngine:
                 sub.where(F.col("kind") == "tile").select(*TILE_COLUMNS))
         return base
 
+    _TILEFEAT_COLS = ["ord_path", "gtype", "coords", "rlens",
+                      "tags_json", "fid_json"]
+    _PACK_COLS = ["ftypes", "fnrings", "frlens", "fcoords",
+                  "ftags", "ffids"]
+
     def _assemble_features(self, rows) -> list:
-        """Join rendered per-feature rows into the tile's features list,
-        ordered by ord_path (the lazily-materialized features_json)."""
+        """Materialize per-feature rows (packed integer geometry) into
+        the tile's features list, ordered by ord_path.  JSON/object
+        rendering happens here at read time — the build stores arrays."""
+        from .kernel.vec import feature_obj
         rows = sorted(rows, key=lambda r: tuple(r["ord_path"]))
-        parts = [r["fjson"] for r in rows if r["fjson"] is not None]
-        return json.loads("[" + ",".join(parts) + "]")
+        return [feature_obj(int(r["gtype"]), r["coords"], r["rlens"],
+                            r["tags_json"], r["fid_json"])
+                for r in rows if r["gtype"]]
+
+    @staticmethod
+    def _unpack_tile_features(r) -> list:
+        """Subtree tile row → features list (same packed encoding,
+        whole tile in one row)."""
+        from .kernel.vec import feature_obj
+        out = []
+        ri = ci = 0
+        frlens = r["frlens"]
+        fcoords = r["fcoords"]
+        for i, t in enumerate(r["ftypes"]):
+            nr = int(r["fnrings"][i])
+            rl = frlens[ri:ri + nr]
+            ri += nr
+            c2 = 2 * int(sum(rl))
+            fc = fcoords[ci:ci + c2]
+            ci += c2
+            out.append(feature_obj(int(t), fc, rl,
+                                   r["ftags"][i], r["ffids"][i]))
+        return out
 
     def enumerate_tiles(self) -> dict[str, list]:
         """genTiles equivalent (/root/reference/test/test-full.js:49-64):
@@ -516,7 +595,8 @@ class SparkTileEngine:
         tf = self._tilefeat_df()
         if tf is not None:
             for r in (tf
-                      .select("z", "x", "y", "ord_path", "fjson").collect()):
+                      .select("z", "x", "y", *self._TILEFEAT_COLS)
+                      .collect()):
                 grouped.setdefault(
                     f"z{r['z']}-{r['x']}-{r['y']}", []).append(r)
         for key, rows in grouped.items():
@@ -524,8 +604,9 @@ class SparkTileEngine:
         sub = self._subtree_df()
         if sub is not None:
             for r in (sub.where(F.col("kind") == "tile")
-                      .select("z", "x", "y", "features_json").collect()):
-                out[f"z{r['z']}-{r['x']}-{r['y']}"] =                     json.loads(r["features_json"])
+                      .select("z", "x", "y", *self._PACK_COLS).collect()):
+                out[f"z{r['z']}-{r['x']}-{r['y']}"] = \
+                    self._unpack_tile_features(r)
         for tid, tile in self._drill_tiles.items():
             out[f"z{tile['z']}-{tile['x']}-{tile['y']}"] = tile["features"]
         return out
@@ -578,16 +659,16 @@ class SparkTileEngine:
             if tf is not None:
                 rows = (tf.where((F.col("z") == z) & (F.col("x") == x) &
                                  (F.col("y") == y))
-                        .select("ord_path", "fjson").collect())
+                        .select(*self._TILEFEAT_COLS).collect())
             return {"features": self._assemble_features(rows),
                     "z": z, "x": x, "y": y}
         sub = self._subtree_df()
         if sub is not None:
             rows = (sub.where((F.col("kind") == "tile") & (F.col("z") == z) &
                               (F.col("x") == x) & (F.col("y") == y))
-                    .select("features_json").collect())
+                    .select(*self._PACK_COLS).collect())
             if rows:
-                return {"features": json.loads(rows[0]["features_json"]),
+                return {"features": self._unpack_tile_features(rows[0]),
                         "z": z, "x": x, "y": y}
         return None
 
@@ -751,7 +832,7 @@ class SparkTileEngine:
                     pred = p if pred is None else (pred | p)
                 grouped: dict = {k: [] for k in dist}
                 for r in (tf.where(F.col("z").isin(zs) & pred)
-                          .select("z", "x", "y", "ord_path", "fjson")
+                          .select("z", "x", "y", *self._TILEFEAT_COLS)
                           .collect()):
                     grouped[(r["z"], r["x"], r["y"])].append(r)
                 for k in dist:
@@ -762,9 +843,10 @@ class SparkTileEngine:
                 ids = [to_id(*k) for k in want]
                 for r in (sub.where((F.col("kind") == "tile") &
                                     F.col("tile_id").isin(ids))
-                          .select("z", "x", "y", "features_json").collect()):
+                          .select("z", "x", "y", *self._PACK_COLS)
+                          .collect()):
                     k = (r["z"], r["x"], r["y"])
-                    feats[k] = json.loads(r["features_json"])
+                    feats[k] = self._unpack_tile_features(r)
                     want.discard(k)
 
         out = {}

@@ -418,6 +418,85 @@ class ClipResult:
         return len(self.gcodes)
 
 
+class ClipRuns:
+    """Flat run table from the stripe-clip walk: one row per emitted
+    slice (ring fragment), vertices in one closed fx/fy/fz block."""
+    __slots__ = ("rid", "poly", "off", "fx", "fy", "fz",
+                 "size", "start", "end")
+
+    def __init__(self, rid, poly, off, fx, fy, fz, size, start, end):
+        self.rid = rid        # global input ring id per run
+        self.poly = poly      # ring belongs to a polygon-type feature
+        self.off = off        # n_runs+1 offsets into fx/fy/fz
+        self.fx = fx
+        self.fy = fy
+        self.fz = fz
+        self.size = size      # carried ring size metric
+        self.start = start    # (lm) slice start metric
+        self.end = end        # (lm) slice end metric
+
+    @property
+    def n(self) -> int:
+        return len(self.rid)
+
+
+_EMPTY_RUNS = ClipRuns(
+    np.empty(0, dtype=np.int64), np.empty(0, dtype=bool),
+    np.zeros(1, dtype=np.int64), np.empty(0), np.empty(0), np.empty(0),
+    np.empty(0), np.empty(0), np.empty(0))
+
+
+class AssembleResult:
+    """Flat transformed-geometry table from ``batch_assemble``: per-
+    feature type codes (0 = dropped) plus a surviving-ring table over
+    one integer pair matrix.  JSON/object rendering happens at READ
+    time (`feature_obj`), never inside the build."""
+    __slots__ = ("ftype", "r_feat", "r_len", "r_off", "pairs")
+
+    def __init__(self, ftype, r_feat, r_len, r_off, pairs):
+        self.ftype = ftype    # int64[n_feats]: 0 dropped, 1/2/3 emitted
+        self.r_feat = r_feat  # int64[n_rings_out] feature per ring
+        self.r_len = r_len    # int64[n_rings_out] pair count per ring
+        self.r_off = r_off    # int64[n_rings_out+1] offsets into pairs
+        self.pairs = pairs    # int64[K,2] transformed, rewind applied
+
+    def feature_offsets(self):
+        """(ring-count offsets fb[n+1], pair offsets pb[n+1]) per
+        feature — both derived, rings are feature-contiguous."""
+        n = len(self.ftype)
+        cnt = np.bincount(self.r_feat, minlength=n).astype(np.int64)
+        fb = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cnt, out=fb[1:])
+        return fb, self.r_off[fb]
+
+
+def geometry_obj(type_code: int, flat_pairs, rlens) -> list:
+    """(type code, flat [x0,y0,x1,y1,...], per-ring pair counts) → the
+    nested-int-list geometry identical to json.loads of the old render."""
+    pr = np.asarray(flat_pairs, dtype=np.int64).reshape(-1, 2)
+    if type_code == 1:
+        return pr.tolist()
+    out = []
+    at = 0
+    for ln in rlens:
+        ln = int(ln)
+        out.append(pr[at:at + ln].tolist())
+        at += ln
+    return out
+
+
+def feature_obj(type_code: int, flat_pairs, rlens, tags_json,
+                fid_json) -> dict:
+    """Read-time feature materialization — byte-equivalent (post-parse)
+    to the old per-feature JSON render."""
+    d = {"geometry": geometry_obj(type_code, flat_pairs, rlens),
+         "type": int(type_code),
+         "tags": json.loads(tags_json) if tags_json else None}
+    if fid_json is not None:
+        d["id"] = json.loads(fid_json)
+    return d
+
+
 def batch_clip(rags: Rags, gcodes, fminx, fminy, fmaxx, fmaxy,
                k1f, k2f, axis: int, line_metrics: bool) -> ClipResult:
     """Vectorized axis stripe clip of a whole feature batch
@@ -444,10 +523,7 @@ def batch_clip(rags: Rags, gcodes, fminx, fminy, fmaxx, fmaxy,
                 if rags.n_rings else np.zeros(n_in, dtype=np.int64))
     f_roff = np.zeros(n_in + 1, dtype=np.int64)
     np.cumsum(f_nrings, out=f_roff[1:])
-    # --- per-input-feature output collection (built below) ---
-    out_feats: list[list | None] = [None] * n_in
-    # each entry: list of (gcode, [(poly, outer, x, y, z, size, start, end)…])
-    # represented compactly as dicts to avoid churn; assembled at the end
+    lens_all = rags.ring_lens()
 
     # ---- trivially accepted features: pass through unchanged
     ta_idx = np.nonzero(ta)[0]
@@ -460,124 +536,208 @@ def batch_clip(rags: Rags, gcodes, fminx, fminy, fmaxx, fmaxy,
     coord = rags.xs if axis == 0 else rags.ys
 
     # ======== point-type features (clip.js:88-96: inclusive both ends)
+    # one compact kept-vertex block, one output ring per point feature
     pt_feats = cr_idx[gcodes[cr_idx] <= GT_MPOINT] if len(cr_idx) else \
         np.empty(0, dtype=np.int64)
-    pt_out = {}
+    pt_fi = np.empty(0, dtype=np.int64)
+    pt_cnt = np.empty(0, dtype=np.int64)
+    pt_off = np.zeros(1, dtype=np.int64)
+    ptx = pty = ptz = np.empty(0)
     if len(pt_feats):
         pt_rings = np.nonzero(np.isin(rags.rfeat, pt_feats))[0]
-        for r in pt_rings:
-            lo, hi = int(rags.roff[r]), int(rags.roff[r + 1])
-            fi = int(rags.rfeat[r])
-            a = coord[lo:hi]
-            keep = (a >= k1f[fi]) & (a <= k2f[fi])
-            if keep.any():
-                pt_out[fi] = (rags.xs[lo:hi][keep], rags.ys[lo:hi][keep],
-                              rags.zs[lo:hi][keep])
+        plens = lens_all[pt_rings]
+        g = np.repeat(rags.roff[pt_rings], plens) + ragged_arange(plens)
+        vfi = np.repeat(rags.rfeat[pt_rings], plens)
+        a = coord[g]
+        keepm = (a >= k1f[vfi]) & (a <= k2f[vfi])
+        ring_of = np.repeat(np.arange(len(pt_rings)), plens)
+        cnts = (np.bincount(ring_of[keepm], minlength=len(pt_rings))
+                .astype(np.int64))
+        sel = g[keepm]
+        ptx, pty, ptz = rags.xs[sel], rags.ys[sel], rags.zs[sel]
+        nz = cnts > 0
+        pt_fi = rags.rfeat[pt_rings[nz]]
+        pt_cnt = cnts[nz]
+        pt_off = np.zeros(len(pt_fi) + 1, dtype=np.int64)
+        np.cumsum(pt_cnt, out=pt_off[1:])
 
-    # ======== line/polygon rings of crossing features
+    # ======== line/polygon rings of crossing features → flat run table
     lp_rings = np.nonzero(cr_set_rings & (rags.rpoly >= -1) &
                           np.isin(rags.rfeat, cr_idx[gcodes[cr_idx] >= GT_LINE])
                           )[0] if len(cr_idx) else np.empty(0, dtype=np.int64)
+    runs = (_clip_line_rings(rags, gcodes, lp_rings, k1f, k2f,
+                             axis, line_metrics, coord)
+            if len(lp_rings) else _EMPTY_RUNS)
 
-    ring_slices = {}   # ring index -> list of slice dicts
-    if len(lp_rings):
-        ring_slices = _clip_line_rings(rags, gcodes, lp_rings, k1f, k2f,
-                                       axis, line_metrics, coord)
+    # ======== output assembly, fully vectorized ========
+    # runs arrive ordered by (feature, ring, slice); every output table
+    # below is built by counting + scatter, no per-feature Python
+    run_rid = runs.rid
+    n_runs = len(run_rid)
+    run_fi = (rags.rfeat[run_rid] if n_runs
+              else np.empty(0, dtype=np.int64))
+    nruns_f = (np.bincount(run_fi, minlength=n_in).astype(np.int64)
+               if n_runs else np.zeros(n_in, dtype=np.int64))
+    first_run = np.zeros(n_in, dtype=np.int64)
+    np.cumsum(nruns_f[:-1], out=first_run[1:])
+    run_local = (np.arange(n_runs, dtype=np.int64) - first_run[run_fi]
+                 if n_runs else np.empty(0, dtype=np.int64))
 
-    # ======== assemble output features in input order
-    o_gcodes, o_src, o_sub = [], [], []
-    o_rings = []       # per out-feature: list of (poly, outer, xyz…meta)
-    for fi in range(n_in):
-        if ta[fi]:
-            o_gcodes.append(int(gcodes[fi]))
-            o_src.append(fi)
-            o_sub.append(0)
-            o_rings.append(("ta", fi))
-            continue
-        if tr[fi]:
-            continue
-        code = int(gcodes[fi])
-        if code <= GT_MPOINT:
-            if fi not in pt_out:
-                continue
-            xs_, ys_, zs_ = pt_out[fi]
-            o_gcodes.append(GT_POINT if len(xs_) == 1 else GT_MPOINT)
-            o_src.append(fi)
-            o_sub.append(0)
-            o_rings.append(("pts", xs_, ys_, zs_))
-            continue
+    # per-input-feature output counts (clip.js emission rules)
+    lml = (cross & (gcodes == GT_LINE)) if line_metrics else \
+        np.zeros(n_in, dtype=bool)
+    other = cross & (gcodes >= GT_LINE) & ~lml
+    counts = np.zeros(n_in, dtype=np.int64)
+    counts[ta] = 1
+    counts[pt_fi] = 1
+    counts[lml] = nruns_f[lml]          # one output per slice
+    counts[other] = nruns_f[other] > 0  # one output if any slice
+    out_roff = np.zeros(n_in + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_roff[1:])
+    n_out = int(out_roff[-1])
 
-        # ring ids of this feature, in order
-        r0, r1 = int(f_roff[fi]), int(f_roff[fi + 1])
-        rids = range(r0, r1)
-        if code == GT_LINE and line_metrics:
-            slices = []
-            for r in rids:
-                slices.extend(ring_slices.get(r, []))
-            for si, s in enumerate(slices):
-                o_gcodes.append(GT_LINE)
-                o_src.append(fi)
-                o_sub.append(si)
-                o_rings.append(("rings", [(0, False, s)]))
-        elif code in (GT_LINE, GT_MLINE):
-            slices = []
-            for r in rids:
-                slices.extend(ring_slices.get(r, []))
-            if not slices:
-                continue
-            o_gcodes.append(GT_LINE if len(slices) == 1 else GT_MLINE)
-            o_src.append(fi)
-            o_sub.append(0)
-            o_rings.append(("rings", [(0, False, s) for s in slices]))
-        elif code == GT_POLY:
-            new_rings = []
-            for r in rids:
-                for s in ring_slices.get(r, []):
-                    new_rings.append((0, len(new_rings) == 0, s))
-            if not new_rings:
-                continue
-            o_gcodes.append(GT_POLY)
-            o_src.append(fi)
-            o_sub.append(0)
-            o_rings.append(("rings", new_rings))
-        else:  # GT_MPOLY
-            new_rings = []
-            n_out_poly = 0
-            cur_poly = None
-            poly_started = False
-            for r in rids:
-                pi = int(rags.rpoly[r])
-                if pi != cur_poly:
-                    cur_poly = pi
-                    poly_started = False
-                for s in ring_slices.get(r, []):
-                    if not poly_started:
-                        poly_started = True
-                        n_out_poly += 1
-                    new_rings.append((n_out_poly - 1, False, s))
-            if not new_rings:
-                continue
-            # mark first ring of each surviving output polygon as outer
-            seen = set()
-            marked = []
-            for pi, _, s in new_rings:
-                outer = pi not in seen
-                seen.add(pi)
-                marked.append((pi, outer, s))
-            o_gcodes.append(GT_MPOLY)
-            o_src.append(fi)
-            o_sub.append(0)
-            o_rings.append(("rings", marked))
+    o_gcodes = np.zeros(n_out, dtype=np.int64)
+    o_src = np.zeros(n_out, dtype=np.int64)
+    o_sub = np.zeros(n_out, dtype=np.int64)
+    if len(ta_idx):
+        pos = out_roff[ta_idx]
+        o_gcodes[pos] = gcodes[ta_idx]
+        o_src[pos] = ta_idx
+    if len(pt_fi):
+        pos = out_roff[pt_fi]
+        o_gcodes[pos] = np.where(pt_cnt == 1, GT_POINT, GT_MPOINT)
+        o_src[pos] = pt_fi
+    run_is_lm = lml[run_fi] if n_runs else np.empty(0, dtype=bool)
+    if n_runs and run_is_lm.any():
+        sel = np.nonzero(run_is_lm)[0]
+        pos = out_roff[run_fi[sel]] + run_local[sel]
+        o_gcodes[pos] = GT_LINE
+        o_src[pos] = run_fi[sel]
+        o_sub[pos] = run_local[sel]
+    osel = np.nonzero(other & (nruns_f > 0))[0]
+    if len(osel):
+        pos = out_roff[osel]
+        gc = gcodes[osel]
+        o_gcodes[pos] = np.where(
+            gc >= GT_POLY, gc,
+            np.where(nruns_f[osel] == 1, GT_LINE, GT_MLINE))
+        o_src[pos] = osel
 
-    return _build_clip_result(rags, gcodes, fminx, fminy, fmaxx, fmaxy,
-                              o_gcodes, o_src, o_sub, o_rings, f_roff)
+    # run rpoly/router (GT_POLY: single output polygon; GT_MPOLY: a new
+    # output polygon starts at the first slice of each input polygon —
+    # clip.js newGeometry grouping — and its first ring is the outer)
+    run_rpoly = np.full(n_runs, -1, dtype=np.int64)
+    run_router = np.zeros(n_runs, dtype=bool)
+    if n_runs:
+        gfr = gcodes[run_fi]
+        p1 = gfr == GT_POLY
+        run_rpoly[p1] = 0
+        run_router[p1] = run_local[p1] == 0
+        mp = gfr == GT_MPOLY
+        if mp.any():
+            in_pi = rags.rpoly[run_rid]
+            newgrp = np.empty(n_runs, dtype=bool)
+            newgrp[0] = True
+            newgrp[1:] = ((run_fi[1:] != run_fi[:-1]) |
+                          (in_pi[1:] != in_pi[:-1]))
+            grp = np.cumsum(newgrp.astype(np.int64))
+            out_pi = grp - grp[first_run[run_fi]]
+            run_rpoly[mp] = out_pi[mp]
+            run_router[mp] = newgrp[mp]
 
+    # ---- merged output-ring table, ordered by (out feature, ring seq)
+    ta_rc = f_nrings[ta_idx]
+    ta_rings = np.repeat(f_roff[ta_idx], ta_rc) + ragged_arange(ta_rc)
+    run_out = (out_roff[run_fi] + np.where(run_is_lm, run_local, 0)
+               if n_runs else np.empty(0, dtype=np.int64))
+    run_seq = (np.where(run_is_lm, 0, run_local)
+               if n_runs else np.empty(0, dtype=np.int64))
+    kind = np.concatenate((
+        np.zeros(len(ta_rings), dtype=np.int64),
+        np.ones(len(pt_fi), dtype=np.int64),
+        np.full(n_runs, 2, dtype=np.int64)))
+    srcidx = np.concatenate((
+        ta_rings, np.arange(len(pt_fi), dtype=np.int64),
+        np.arange(n_runs, dtype=np.int64)))
+    e_out = np.concatenate((
+        np.repeat(out_roff[ta_idx], ta_rc),
+        out_roff[pt_fi] if len(pt_fi) else np.empty(0, dtype=np.int64),
+        run_out))
+    e_seq = np.concatenate((
+        ragged_arange(ta_rc),
+        np.zeros(len(pt_fi), dtype=np.int64),
+        run_seq))
+    order = np.lexsort((e_seq, e_out))
+    kind = kind[order]
+    srcidx = srcidx[order]
+    e_out = e_out[order]
 
-def _feat_ring_span(rags: Rags, fi: int):
-    """[r0, r1) ring-index span of feature fi (rings are contiguous)."""
-    r0 = int(np.searchsorted(rags.rfeat, fi, side="left"))
-    r1 = int(np.searchsorted(rags.rfeat, fi, side="right"))
-    return r0, r1
+    n_ring_out = len(kind)
+    vlen = np.empty(n_ring_out, dtype=np.int64)
+    rpoly_new = np.empty(n_ring_out, dtype=np.int64)
+    router_new = np.zeros(n_ring_out, dtype=bool)
+    rsize_new = np.empty(n_ring_out)
+    rstart_new = np.empty(n_ring_out)
+    rend_new = np.empty(n_ring_out)
+    mta = kind == 0
+    mpt = kind == 1
+    mrun = kind == 2
+    r_ta = srcidx[mta]
+    vlen[mta] = lens_all[r_ta]
+    rpoly_new[mta] = rags.rpoly[r_ta]
+    router_new[mta] = rags.router[r_ta]
+    rsize_new[mta] = rags.rsize[r_ta]
+    rstart_new[mta] = rags.rstart[r_ta]
+    rend_new[mta] = rags.rend[r_ta]
+    i_pt = srcidx[mpt]
+    vlen[mpt] = pt_cnt[i_pt]
+    rpoly_new[mpt] = -1
+    rsize_new[mpt] = np.nan
+    rstart_new[mpt] = np.nan
+    rend_new[mpt] = np.nan
+    i_run = srcidx[mrun]
+    vlen[mrun] = (runs.off[1:] - runs.off[:-1])[i_run]
+    rpoly_new[mrun] = run_rpoly[i_run]
+    router_new[mrun] = run_router[i_run]
+    rsize_new[mrun] = runs.size[i_run]
+    rstart_new[mrun] = runs.start[i_run]
+    rend_new[mrun] = runs.end[i_run]
+
+    # ---- one gather pass per vertex source
+    roff_new = np.zeros(n_ring_out + 1, dtype=np.int64)
+    np.cumsum(vlen, out=roff_new[1:])
+    total_v = int(roff_new[-1])
+    xs_new = np.empty(total_v)
+    ys_new = np.empty(total_v)
+    zs_new = np.empty(total_v)
+    dst_starts = roff_new[:-1]
+    if mta.any():
+        lv = vlen[mta]
+        dst = np.repeat(dst_starts[mta], lv) + ragged_arange(lv)
+        src = np.repeat(rags.roff[:-1][r_ta], lv) + ragged_arange(lv)
+        xs_new[dst] = rags.xs[src]
+        ys_new[dst] = rags.ys[src]
+        zs_new[dst] = rags.zs[src]
+    if mpt.any():
+        lv = vlen[mpt]
+        dst = np.repeat(dst_starts[mpt], lv) + ragged_arange(lv)
+        src = np.repeat(pt_off[:-1][i_pt], lv) + ragged_arange(lv)
+        xs_new[dst] = ptx[src]
+        ys_new[dst] = pty[src]
+        zs_new[dst] = ptz[src]
+    if mrun.any():
+        lv = vlen[mrun]
+        dst = np.repeat(dst_starts[mrun], lv) + ragged_arange(lv)
+        src = np.repeat(runs.off[:-1][i_run], lv) + ragged_arange(lv)
+        xs_new[dst] = runs.fx[src]
+        ys_new[dst] = runs.fy[src]
+        zs_new[dst] = runs.fz[src]
+
+    new = Rags(xs_new, ys_new, zs_new, roff_new, e_out, rsize_new,
+               rstart_new, rend_new, rpoly_new, n_out)
+    new.router = router_new
+    minx, miny, maxx, maxy = feature_bboxes(new, o_gcodes)
+    return ClipResult(new, o_gcodes, o_src, o_sub, minx, miny, maxx, maxy)
 
 
 def _clip_line_rings(rags, gcodes, lp_rings, k1f, k2f, axis,
@@ -720,43 +880,14 @@ def _clip_line_rings(rags, gcodes, lp_rings, k1f, k2f, axis,
     # metrics: cumulative lengths must accumulate per ring in the exact
     # sequential order of the reference's += loop (clip.js:103,115,149),
     # so track rings get their own np.cumsum over [start, seg_len...]
-    start_val = end_val = None
-    if track_ring.any():
-        seg_len = np.zeros(n_v)
-        cum_v = np.zeros(n_v)
-        for ci in np.nonzero(track_ring)[0]:
-            lo, hi = int(c_roff[ci]), int(c_roff[ci + 1])
-            if hi - lo < 2:
-                continue
-            ddx = cxs[lo:hi - 1] - cxs[lo + 1:hi]
-            ddy = cys[lo:hi - 1] - cys[lo + 1:hi]
-            sl = np.sqrt(ddx * ddx + ddy * ddy)
-            seg_len[lo:hi - 1] = sl
-            cum_v[lo:hi] = np.cumsum(
-                np.concatenate(([rags.rstart[lp_rings[ci]]], sl)))
-
-        start_val = {}
-        end_val = {}
-        track_v = np.repeat(track_ring, lens)
-        if len(en_sel):
-            m = track_v[en_sel]
-            for v, t in zip(en_sel[m], t_en[m]):
-                key = (int(ring_of_e[epos[v]]), int(exits_before[v]))
-                start_val[key] = cum_v[v] + seg_len[v] * t
-        if len(ex_sel):
-            m = track_v[ex_sel]
-            for v, t in zip(ex_sel[m], t_ex[m]):
-                key = (int(ring_of_e[epos[v]]), int(exits_before[v]))
-                end_val[key] = cum_v[v] + seg_len[v] * t
-
     # ---- split emissions into (ring, slice) runs — one global change-
     # point scan (runs are contiguous by construction: emissions are in
     # ring order, and slice ids never decrease within a ring), then one
-    # global scatter that also inserts polygon closing points
-    out = {}
+    # global scatter that also inserts polygon closing points.  Output
+    # is a flat run table (no per-run Python objects).
     n_e_total = len(ox)
     if n_e_total == 0:
-        return out
+        return _EMPTY_RUNS
     ring_of_e_b = ring_of_e  # compact ring index per emission
     chg = np.nonzero((ring_of_e_b[1:] != ring_of_e_b[:-1]) |
                      (slice_of_v[1:] != slice_of_v[:-1]))[0] + 1
@@ -787,108 +918,48 @@ def _clip_line_rings(rags, gcodes, lp_rings, k1f, k2f, axis,
         fy[cpos] = oy[run_start[cl]]
         fz[cpos] = oz[run_start[cl]]
 
-    for j in range(len(run_ring)):
-        ci = int(run_ring[j])
-        rid = int(lp_rings[ci])
-        lo, hi = int(new_off[j]), int(new_off[j + 1])
-        st = rags.rstart[rid]
-        en = rags.rend[rid]
-        if start_val is not None and not run_poly[j]:
-            sl = int(slice_of_v[run_start[j]])
-            st = start_val.get((ci, sl), st)
-            en = end_val.get((ci, sl), en)
-        out.setdefault(rid, []).append(
-            {"x": fx[lo:hi], "y": fy[lo:hi], "z": fz[lo:hi],
-             "size": rags.rsize[rid], "start": st, "end": en})
-    return out
+    run_rid = lp_rings[run_ring]
+    run_size = rags.rsize[run_rid]
+    run_st = rags.rstart[run_rid].copy()
+    run_en = rags.rend[run_rid].copy()
 
+    # metrics: cumulative lengths must accumulate per ring in the exact
+    # sequential order of the reference's += loop (clip.js:103,115,149),
+    # so track rings get their own np.cumsum over [start, seg_len...];
+    # the per-slice start/end overrides scatter straight into the run
+    # table (each line slice has at most one enter and one exit)
+    if track_ring.any():
+        seg_len = np.zeros(n_v)
+        cum_v = np.zeros(n_v)
+        for ci in np.nonzero(track_ring)[0]:
+            lo, hi = int(c_roff[ci]), int(c_roff[ci + 1])
+            if hi - lo < 2:
+                continue
+            ddx = cxs[lo:hi - 1] - cxs[lo + 1:hi]
+            ddy = cys[lo:hi - 1] - cys[lo + 1:hi]
+            sl = np.sqrt(ddx * ddx + ddy * ddy)
+            seg_len[lo:hi - 1] = sl
+            cum_v[lo:hi] = np.cumsum(
+                np.concatenate(([rags.rstart[lp_rings[ci]]], sl)))
 
-def _build_clip_result(rags, gcodes_in, fminx, fminy, fmaxx, fmaxy,
-                       o_gcodes, o_src, o_sub, o_rings,
-                       f_roff=None) -> ClipResult:
-    """Materialize output features into a new Rags + bboxes.
+        track_v = np.repeat(track_ring, lens)
+        if len(en_sel):
+            m = track_v[en_sel]
+            v = en_sel[m]
+            if len(v):
+                ridx = np.searchsorted(run_start,
+                                       epos[v] + emit_v[v], "right") - 1
+                run_st[ridx] = cum_v[v] + seg_len[v] * t_en[m]
+        if len(ex_sel):
+            m = track_v[ex_sel]
+            v = ex_sel[m]
+            if len(v):
+                ridx = np.searchsorted(
+                    run_start, epos[v] + emit_v[v] + enter[v], "right") - 1
+                run_en[ridx] = cum_v[v] + seg_len[v] * t_ex[m]
 
-    Per-ring work is list appends of array views only; vertex data is
-    joined with one concatenate per axis and ALL output bboxes come
-    from a single vectorized reduceat pass (min/max are order-free, so
-    recomputing a trivially-accepted feature's bbox from its unchanged
-    coords is bit-identical to the carried value)."""
-    xs_parts, ys_parts, zs_parts = [], [], []
-    roff_l = [0]
-    rfeat_l, rpoly_l, router_l = [], [], []
-    rsize_l, rstart_l, rend_l = [], [], []
-    total = 0
-
-    for oi, spec in enumerate(o_rings):
-        kind = spec[0]
-        if kind == "ta":
-            fi = spec[1]
-            if f_roff is not None:
-                r0, r1 = int(f_roff[fi]), int(f_roff[fi + 1])
-            else:
-                r0, r1 = _feat_ring_span(rags, fi)
-            for r in range(r0, r1):
-                lo, hi = int(rags.roff[r]), int(rags.roff[r + 1])
-                xs_parts.append(rags.xs[lo:hi])
-                ys_parts.append(rags.ys[lo:hi])
-                zs_parts.append(rags.zs[lo:hi])
-                total += hi - lo
-                roff_l.append(total)
-                rfeat_l.append(oi)
-                rpoly_l.append(rags.rpoly[r])
-                router_l.append(rags.router[r])
-                rsize_l.append(rags.rsize[r])
-                rstart_l.append(rags.rstart[r])
-                rend_l.append(rags.rend[r])
-            continue
-        if kind == "pts":
-            _, xs_, ys_, zs_ = spec
-            xs_parts.append(xs_)
-            ys_parts.append(ys_)
-            zs_parts.append(zs_)
-            total += len(xs_)
-            roff_l.append(total)
-            rfeat_l.append(oi)
-            rpoly_l.append(-1)
-            router_l.append(False)
-            rsize_l.append(np.nan)
-            rstart_l.append(np.nan)
-            rend_l.append(np.nan)
-            continue
-        # kind == "rings"
-        is_poly_t = o_gcodes[oi] >= GT_POLY
-        for pi, outer, sl in spec[1]:
-            xs_ = sl["x"]
-            xs_parts.append(xs_)
-            ys_parts.append(sl["y"])
-            zs_parts.append(sl["z"])
-            total += len(xs_)
-            roff_l.append(total)
-            rfeat_l.append(oi)
-            rpoly_l.append(pi if is_poly_t else -1)
-            router_l.append(outer)
-            rsize_l.append(sl["size"])
-            rstart_l.append(sl["start"])
-            rend_l.append(sl["end"])
-
-    o_gcodes = np.asarray(o_gcodes, dtype=np.int64)
-    new = Rags(
-        np.concatenate(xs_parts) if xs_parts else np.empty(0),
-        np.concatenate(ys_parts) if ys_parts else np.empty(0),
-        np.concatenate(zs_parts) if zs_parts else np.empty(0),
-        np.asarray(roff_l, dtype=np.int64),
-        np.asarray(rfeat_l, dtype=np.int64),
-        np.asarray(rsize_l, dtype=np.float64),
-        np.asarray(rstart_l, dtype=np.float64),
-        np.asarray(rend_l, dtype=np.float64),
-        np.asarray(rpoly_l, dtype=np.int64),
-        len(o_gcodes))
-    new.router = np.asarray(router_l, dtype=bool)
-    minx, miny, maxx, maxy = feature_bboxes(new, o_gcodes)
-    return ClipResult(new, o_gcodes,
-                      np.asarray(o_src, dtype=np.int64),
-                      np.asarray(o_sub, dtype=np.int64),
-                      minx, miny, maxx, maxy)
+    return ClipRuns(run_rid, run_poly, new_off, fx, fy, fz,
+                    run_size, run_st, run_en)
 
 
 # ---------------------------------------------------------------- records
@@ -1197,45 +1268,59 @@ def batch_assemble(rags: Rags, gcodes, tz, tx, ty, options):
                 areas[j] = float(np.cumsum(terms[lo:hi])[-1])
         reverse_ring[rw_rings] = (areas > 0) == rags.router[rw_rings]
 
-    # ---- render: one global kept-pair matrix, per-ring views only
-    fjsons: list = [None] * n_feats
+    # ---- geometry output: one global kept-pair matrix, one surviving-
+    # ring table, one gather (reversal folded into the gather indices).
+    # NO per-feature Python and NO JSON — serialization is deferred to
+    # read time (the reference never renders JSON during its build
+    # either; tiles hold integer arrays)
     f_nrings = (np.bincount(rf, minlength=n_feats).astype(np.int64)
                 if rags.n_rings else np.zeros(n_feats, dtype=np.int64))
     f_roff = np.zeros(n_feats + 1, dtype=np.int64)
     np.cumsum(f_nrings, out=f_roff[1:])
 
     kept_idx = np.nonzero(keep_v)[0]
-    pairs = np.empty((len(kept_idx), 2), dtype=np.int64)
-    pairs[:, 0] = txi[kept_idx]
-    pairs[:, 1] = tyi[kept_idx]
+    pairs_all = np.empty((len(kept_idx), 2), dtype=np.int64)
+    pairs_all[:, 0] = txi[kept_idx]
+    pairs_all[:, 1] = tyi[kept_idx]
     koff = np.zeros(rags.n_rings + 1, dtype=np.int64)
     np.cumsum(kept_per_ring, out=koff[1:])
 
-    dumps = json.dumps
-    for fi in range(n_feats):
-        code = int(gcodes[fi])
-        r0, r1 = int(f_roff[fi]), int(f_roff[fi + 1])
-        if code <= GT_MPOINT:
-            lo, hi = int(koff[r0]), int(koff[r1])
-            if hi == lo:
-                continue
-            fjsons[fi] = (1, dumps(pairs[lo:hi].tolist(),
-                                   separators=(",", ":")))
-            continue
-        ring_jsons = []
-        for r in range(r0, r1):
-            if drop_tiny[r]:
-                continue
-            lo, hi = int(koff[r]), int(koff[r + 1])
-            p = pairs[lo:hi]
-            if reverse_ring[r]:
-                p = p[::-1]
-            ring_jsons.append(dumps(p.tolist(), separators=(",", ":")))
-        if ring_jsons:
-            type_code = 3 if code >= GT_POLY else 2
-            fjsons[fi] = (type_code,
-                          "[" + ",".join(ring_jsons) + "]")
-    return fjsons, n_points, n_simplified
+    f_kept = koff[f_roff[1:]] - koff[f_roff[:-1]]   # kept pairs per feature
+    is_pt_f = gcodes <= GT_MPOINT
+    surv_ring = (r_is_lp & ~drop_tiny if rags.n_rings
+                 else np.zeros(0, dtype=bool))
+    surv_per_feat = (np.bincount(rf[surv_ring], minlength=n_feats)
+                     if rags.n_rings else np.zeros(n_feats, dtype=np.int64))
+    ftype = np.zeros(n_feats, dtype=np.int64)
+    ftype[is_pt_f & (f_kept > 0)] = 1
+    lp_emit = ~is_pt_f & (surv_per_feat > 0)
+    ftype[lp_emit] = np.where(gcodes[lp_emit] >= GT_POLY, 3, 2)
+
+    # merged surviving-ring table: a point feature contributes ONE ring
+    # (its flat kept-pair list, possibly spanning multiple input rings);
+    # an emitted line/poly feature contributes its non-tiny rings (an
+    # empty simplified ring still renders as [] — tile.js keeps it)
+    ptf = np.nonzero(ftype == 1)[0]
+    lpr = np.nonzero(surv_ring)[0]
+    e_feat = np.concatenate((ptf, rf[lpr]))
+    e_len = np.concatenate((f_kept[ptf], kept_per_ring[lpr]))
+    e_src = np.concatenate((koff[f_roff[ptf]], koff[lpr]))
+    e_rev = np.concatenate((np.zeros(len(ptf), dtype=bool),
+                            reverse_ring[lpr]))
+    order = np.argsort(e_feat, kind="stable")
+    e_feat = e_feat[order]
+    e_len = e_len[order]
+    e_src = e_src[order]
+    e_rev = e_rev[order]
+
+    r_off = np.zeros(len(e_feat) + 1, dtype=np.int64)
+    np.cumsum(e_len, out=r_off[1:])
+    j = ragged_arange(e_len)
+    rev_rep = np.repeat(e_rev, e_len)
+    src = np.repeat(e_src, e_len) + np.where(
+        rev_rep, np.repeat(e_len - 1, e_len) - j, j)
+    geom = AssembleResult(ftype, e_feat, e_len, r_off, pairs_all[src])
+    return geom, n_points, n_simplified
 
 
 def render_feature_json(type_code: int, geom_json: str, tags_json,
@@ -1290,3 +1375,15 @@ def convert_rows_to_records(rows, options) -> list[dict]:
             "maxx": float(maxx[fi]), "maxy": float(maxy[fi]),
         })
     return records
+
+
+def convert_rows_to_state(rows, options):
+    """Batch convert straight to the split-state tuple — skips the
+    record-dict round trip (build + re-parse) that the parquet-row
+    format needs; used by in-process subtree builds and benchmarks."""
+    ords, gcodes_l, fids, tagss, ringss = parse_feature_rows(rows, options)
+    gcodes = np.asarray(gcodes_l, dtype=np.int64)
+    rags = build_rags(gcodes_l, ringss, options)
+    minx, miny, maxx, maxy = feature_bboxes(rags, gcodes)
+    return (rags, gcodes, minx, miny, maxx, maxy,
+            list(fids), list(tagss), list(ords))

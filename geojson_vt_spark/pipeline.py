@@ -372,115 +372,14 @@ def tile_stats_df(frontier: DataFrame) -> DataFrame:
                  F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy")))
 
 
-ASSEMBLED_SCHEMA = ("z int, x int, y int, num_features long, num_points long, "
-                    "num_simplified long, features_json string, "
-                    "minx double, miny double, maxx double, maxy double")
-
-_MAPPED_SCHEMA = ("z int, x int, y int, ord_path array<long>, fjson string, "
+# per-(feature, tile) rendered rows: geometry rides as flat integer
+# pair arrays (gtype 0 = feature dropped by the tolerance filter but
+# kept for the stats sums); JSON/object form is built at read time
+_MAPPED_SCHEMA = ("z int, x int, y int, ord_path array<long>, gtype int, "
+                  "coords array<int>, rlens array<int>, "
+                  "tags_json string, fid_json string, "
                   "n_points long, n_simplified long, "
                   "minx double, miny double, maxx double, maxy double")
-
-
-def _assemble_record(rec, z, x, y, options: TileOptions):
-    """Lean single-feature assembly on raw SoA arrays — identical
-    semantics to kernel create_tile + transform (tile.js, transform.js)
-    without per-feature kernel-object construction.
-
-    Returns (feature_json | None, num_points_contrib, num_simplified)."""
-    gtype = rec["gtype"]
-    extent = options.extent
-    z2 = 1 << z
-    tolerance = 0.0 if z == options.max_zoom else (
-        options.tolerance / (z2 * extent))
-    sq_tol = tolerance * tolerance
-
-    coords = np.asarray(rec["coords"], dtype=np.float64)
-    pts = coords.reshape(-1, 3)
-    # one vectorized tile-space transform for the whole feature
-    # (JS Math.round == floor(v + 0.5))
-    txi = np.floor(extent * (pts[:, 0] * z2 - x) + 0.5).astype(np.int64)
-    tyi = np.floor(extent * (pts[:, 1] * z2 - y) + 0.5).astype(np.int64)
-
-    n_all = pts.shape[0]
-    if gtype in ("Point", "MultiPoint"):
-        if n_all == 0:
-            return None, 0, 0
-        geom = np.stack((txi, tyi), axis=1).tolist()
-        fjson = (f'{{"geometry":{json.dumps(geom, separators=(",", ":"))},'
-                 f'"type":1,"tags":{rec["tags_json"] or "null"}'
-                 + (f',"id":{rec["fid_json"]}' if rec["fid_json"] is not None else "")
-                 + "}")
-        return fjson, n_all, n_all
-
-    ring_lens = np.asarray(rec["ring_lens"], dtype=np.int64)
-    offs = np.concatenate(([0], np.cumsum(ring_lens))) // 3
-    sizes = np.asarray(rec["ring_size"], dtype=np.float64)
-    is_poly = gtype in ("Polygon", "MultiPolygon")
-
-    # which rings are outer rings (index 0 within their polygon)
-    n_rings = len(ring_lens)
-    if gtype == "MultiPolygon":
-        outer = np.zeros(n_rings, dtype=bool)
-        at = 0
-        for pl in rec["poly_lens"]:
-            outer[at] = True
-            at += int(pl)
-    else:
-        outer = np.zeros(n_rings, dtype=bool)
-        if n_rings:
-            outer[0] = True  # Polygon: ring 0 is outer; lines: unused
-
-    if tolerance > 0:
-        keep_all = pts[:, 2] > sq_tol
-    else:
-        keep_all = np.ones(n_all, dtype=bool)
-
-    n_points = 0
-    n_simplified = 0
-    ring_jsons = []
-    threshold = sq_tol if is_poly else tolerance
-    for r in range(n_rings):
-        lo, hi = int(offs[r]), int(offs[r + 1])
-        nv = hi - lo
-        if tolerance > 0 and sizes[r] < threshold:
-            n_points += nv  # tiny ring dropped early (tile.js:88-91)
-            continue
-        mask = keep_all[lo:hi]
-        kx = txi[lo:hi][mask]
-        ky = tyi[lo:hi][mask]
-        k = kx.shape[0]
-        n_simplified += k
-        n_points += nv
-        if is_poly and k:
-            # rewind on projected floats (decision precedes transform;
-            # reversal commutes with the per-point transform)
-            fx = pts[lo:hi, 0][mask]
-            fy = pts[lo:hi, 1][mask]
-            terms = (fx - np.roll(fx, 1)) * (fy + np.roll(fy, 1))
-            area = float(np.cumsum(terms)[-1]) if k else 0.0
-            if (area > 0) == bool(outer[r]):
-                kx = kx[::-1]
-                ky = ky[::-1]
-        ring_jsons.append(json.dumps(
-            np.stack((kx, ky), axis=1).tolist(), separators=(",", ":")))
-
-    if not ring_jsons:
-        return None, n_points, n_simplified
-
-    tags_json = rec["tags_json"]
-    if gtype == "LineString" and options.line_metrics:
-        tags = json.loads(tags_json) if tags_json else {}
-        size = float(rec["ring_size"][0])
-        tags["mapbox_clip_start"] = float(rec["ring_start"][0]) / size
-        tags["mapbox_clip_end"] = float(rec["ring_end"][0]) / size
-        tags_json = json.dumps(tags)
-
-    type_code = 3 if is_poly else 2
-    fjson = (f'{{"geometry":[{",".join(ring_jsons)}],'
-             f'"type":{type_code},"tags":{tags_json or "null"}'
-             + (f',"id":{rec["fid_json"]}' if rec["fid_json"] is not None else "")
-             + "}")
-    return fjson, n_points, n_simplified
 
 
 def rendered_features_df(frontier: DataFrame,
@@ -498,8 +397,7 @@ def rendered_features_df(frontier: DataFrame,
     explicit ord_path key (Spark guarantees no row order; the reference
     guarantees insertion order, SURVEY.md §2.6 A1)."""
     def per_feature(batches):
-        from .kernel.vec import (GT_LINE, batch_assemble,
-                                 render_feature_json)
+        from .kernel.vec import GT_LINE, batch_assemble
         lm = options.line_metrics
         for pdf in batches:
             (rags, gcodes, mnx, mny, mxx, mxy,
@@ -507,60 +405,39 @@ def rendered_features_df(frontier: DataFrame,
             tz = pdf["z"].to_numpy(dtype=np.int64)
             tx = pdf["x"].to_numpy(dtype=np.int64)
             ty = pdf["y"].to_numpy(dtype=np.int64)
-            fj, n_pts, n_sim = batch_assemble(rags, gcodes, tz, tx, ty,
-                                              options)
+            geom, n_pts, n_sim = batch_assemble(rags, gcodes, tz, tx, ty,
+                                                options)
+            fb, pb = geom.feature_offsets()
+            flat = geom.pairs.reshape(-1).astype(np.int32)
+            rl32 = geom.r_len.astype(np.int32)
+            n = len(gcodes)
+            coords_col = [flat[2 * pb[i]:2 * pb[i + 1]] for i in range(n)]
+            rlens_col = [rl32[fb[i]:fb[i + 1]] for i in range(n)]
+            tags_col = list(tagss)
             if lm:
                 sizes = pdf["ring_size"].to_numpy()
                 starts = pdf["ring_start"].to_numpy()
                 ends = pdf["ring_end"].to_numpy()
-            fjsons = []
-            for fi in range(len(gcodes)):
-                v = fj[fi]
-                if v is None:
-                    fjsons.append(None)
-                    continue
-                type_code, geom_json = v
-                tags_json = tagss[fi]
-                if lm and gcodes[fi] == GT_LINE:
-                    tags = json.loads(tags_json) if tags_json else {}
+                for fi in np.nonzero((geom.ftype > 0) &
+                                     (gcodes == GT_LINE))[0]:
+                    tags = json.loads(tags_col[fi]) if tags_col[fi] else {}
                     size = float(sizes[fi][0])
                     tags["mapbox_clip_start"] = float(starts[fi][0]) / size
                     tags["mapbox_clip_end"] = float(ends[fi][0]) / size
-                    tags_json = json.dumps(tags)
-                fjsons.append(render_feature_json(
-                    type_code, geom_json, tags_json, fids[fi]))
+                    tags_col[fi] = json.dumps(tags)
             yield pd.DataFrame({
                 "z": tz, "x": tx, "y": ty,
                 "ord_path": ords,
-                "fjson": fjsons,
+                "gtype": geom.ftype.astype(np.int32),
+                "coords": coords_col,
+                "rlens": rlens_col,
+                "tags_json": tags_col,
+                "fid_json": list(fids),
                 "n_points": n_pts, "n_simplified": n_sim,
                 "minx": mnx, "miny": mny, "maxx": mxx, "maxy": mxy,
             })
 
     return frontier.mapInPandas(per_feature, _MAPPED_SCHEMA)
-
-
-def assemble_tiles_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
-    """Full per-tile aggregation incl. the joined features_json string.
-    Suitable for small/medium tiles (tests, drill paths); the engine's
-    build loop uses rendered_features_df + a stats-only aggregation so
-    low-zoom tiles never funnel into one reduce task."""
-    mapped = rendered_features_df(frontier, options)
-    kept = F.when(F.col("fjson").isNotNull(),
-                  F.struct(F.col("ord_path"), F.col("fjson")))
-    return (mapped
-            .groupBy("z", "x", "y")
-            .agg(F.count(F.lit(1)).alias("num_features"),
-                 F.sum("n_points").alias("num_points"),
-                 F.sum("n_simplified").alias("num_simplified"),
-                 F.concat(
-                     F.lit("["),
-                     F.array_join(F.transform(
-                         F.array_sort(F.collect_list(kept)),
-                         lambda s: s.getField("fjson")), ","),
-                     F.lit("]")).alias("features_json"),
-                 F.min("minx").alias("minx"), F.min("miny").alias("miny"),
-                 F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy")))
 
 
 # ---------------------------------------------------------------- subtree
@@ -574,7 +451,15 @@ SUBTREE_SCHEMA = T.StructType([
     T.StructField("num_features", T.LongType(), True),
     T.StructField("num_points", T.LongType(), True),
     T.StructField("num_simplified", T.LongType(), True),
-    T.StructField("features_json", T.StringType(), True),
+    # tile feature pack (kind=tile): per emitted feature a type code,
+    # ring count, per-ring pair counts, flat int pairs, tags/fid JSON —
+    # the read side materializes objects from these (no build-time JSON)
+    T.StructField("ftypes", T.ArrayType(T.IntegerType()), True),
+    T.StructField("fnrings", T.ArrayType(T.IntegerType()), True),
+    T.StructField("frlens", T.ArrayType(T.IntegerType()), True),
+    T.StructField("fcoords", T.ArrayType(T.IntegerType()), True),
+    T.StructField("ftags", T.ArrayType(T.StringType(), True), True),
+    T.StructField("ffids", T.ArrayType(T.StringType(), True), True),
     T.StructField("is_split", T.BooleanType(), True),
     T.StructField("has_source", T.BooleanType(), True),
     T.StructField("ord_path", T.ArrayType(T.LongType()), True),
@@ -667,8 +552,8 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
 
     from .kernel.index import to_id
     from .kernel.vec import (GT_LINE, batch_assemble, batch_clip,
-                             concat_rags, records_to_rags,
-                             render_feature_json, take_features)
+                             concat_rags, ragged_arange, records_to_rags,
+                             take_features)
 
     if state is not None:
         (rags, gcodes, fminx, fminy, fmaxx, fmaxy,
@@ -728,51 +613,77 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
     while pending:
         level_arrays.clear()
         z2 = 1 << z
-        fjsons, n_pts, n_simpl = batch_assemble(
+        geom, n_pts, n_simpl = batch_assemble(
             rags, gcodes, np.full(len(gcodes), z), tilex, tiley, options)
+        fb, pb = geom.feature_offsets()
+        rl32 = geom.r_len.astype(np.int32)
+        flat32 = geom.pairs.reshape(-1).astype(np.int32)
 
-        # group features per tile, preserving feature order
-        groups = {key: [] for key in pending}
-        for fi in range(len(gcodes)):
-            groups[(int(tilex[fi]), int(tiley[fi]))].append(fi)
+        # stable grouping by tile (original feature order kept within
+        # each tile) — one lexsort instead of a per-feature Python loop
+        nfe = len(gcodes)
+        perm = np.lexsort((tiley, tilex)) if nfe else \
+            np.empty(0, dtype=np.int64)
+        ptx_ = tilex[perm]
+        pty_ = tiley[perm]
+        if nfe:
+            gcut = np.nonzero((ptx_[1:] != ptx_[:-1]) |
+                              (pty_[1:] != pty_[:-1]))[0] + 1
+            gstart = np.concatenate(([0], gcut))
+            gend = np.concatenate((gcut, [nfe]))
+            span = {(int(ptx_[s]), int(pty_[s])): (int(s), int(e))
+                    for s, e in zip(gstart, gend)}
+        else:
+            span = {}
 
         split_keys = []
         for (gx, gy) in pending:
-            idxs = groups[(gx, gy)]
-            npts = int(sum(int(n_pts[fi]) for fi in idxs))
-            nsim = int(sum(int(n_simpl[fi]) for fi in idxs))
-            parts = []
-            bb = [2.0, 1.0, -1.0, 0.0]
-            for fi in idxs:
-                bb[0] = min(bb[0], float(fminx[fi]))
-                bb[1] = min(bb[1], float(fminy[fi]))
-                bb[2] = max(bb[2], float(fmaxx[fi]))
-                bb[3] = max(bb[3], float(fmaxy[fi]))
-                fj = fjsons[fi]
-                if fj is None:
-                    continue
-                type_code, geom_json = fj
-                tags_json = tagss[fi]
-                if (type_code == 2 and int(gcodes[fi]) == GT_LINE and lm):
-                    tags = json.loads(tags_json) if tags_json else {}
-                    r0 = int(np.searchsorted(rags.rfeat, fi, side="left"))
-                    size = float(rags.rsize[r0])
-                    tags["mapbox_clip_start"] = float(rags.rstart[r0]) / size
-                    tags["mapbox_clip_end"] = float(rags.rend[r0]) / size
-                    tags_json = json.dumps(tags)
-                parts.append(render_feature_json(
-                    type_code, geom_json, tags_json, fids[fi]))
+            lo, hi = span.get((gx, gy), (0, 0))
+            idxs = perm[lo:hi]
+            npts = int(n_pts[idxs].sum())
+            nsim = int(n_simpl[idxs].sum())
+            if len(idxs):
+                bb = [float(fminx[idxs].min()), float(fminy[idxs].min()),
+                      float(fmaxx[idxs].max()), float(fmaxy[idxs].max())]
+            else:
+                bb = [2.0, 1.0, -1.0, 0.0]
             splits = not (z == options.index_max_zoom or
                           npts <= options.index_max_points)
             if z == z0:
                 splits = True  # root: classified upstream; not re-emitted
             else:
+                emitted = idxs[geom.ftype[idxs] > 0]
+                fnr = (fb[emitted + 1] - fb[emitted]).astype(np.int64)
+                rsrc = np.repeat(fb[emitted], fnr) + ragged_arange(fnr)
+                plen = (pb[emitted + 1] - pb[emitted]).astype(np.int64)
+                csrc = np.repeat(2 * pb[emitted], 2 * plen) \
+                    + ragged_arange(2 * plen)
+                ftags = [tagss[int(i)] for i in emitted]
+                if lm:
+                    for k, fi in enumerate(emitted):
+                        fi = int(fi)
+                        if not (geom.ftype[fi] == 2
+                                and int(gcodes[fi]) == GT_LINE):
+                            continue
+                        tags = json.loads(ftags[k]) if ftags[k] else {}
+                        r0 = int(np.searchsorted(rags.rfeat, fi, "left"))
+                        size = float(rags.rsize[r0])
+                        tags["mapbox_clip_start"] = \
+                            float(rags.rstart[r0]) / size
+                        tags["mapbox_clip_end"] = \
+                            float(rags.rend[r0]) / size
+                        ftags[k] = json.dumps(tags)
                 tile_rows.append({
                     "z": z, "x": gx, "y": gy,
                     "tile_id": to_id(z, gx, gy),
                     "num_features": len(idxs),
                     "num_points": npts, "num_simplified": nsim,
-                    "features_json": "[" + ",".join(parts) + "]",
+                    "ftypes": geom.ftype[emitted].astype(np.int32),
+                    "fnrings": fnr.astype(np.int32),
+                    "frlens": rl32[rsrc],
+                    "fcoords": flat32[csrc],
+                    "ftags": ftags,
+                    "ffids": [fids[int(i)] for i in emitted],
                     "is_split": splits, "has_source": not splits,
                     "minx": bb[0], "miny": bb[1],
                     "maxx": bb[2], "maxy": bb[3],
@@ -780,7 +691,8 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
             if splits:
                 split_keys.append((gx, gy))
             else:
-                sources[(z, gx, gy)] = [feature_record(fi) for fi in idxs]
+                sources[(z, gx, gy)] = [feature_record(int(fi))
+                                        for fi in idxs]
 
         if not split_keys:
             break
