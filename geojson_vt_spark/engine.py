@@ -158,13 +158,20 @@ class SparkTileEngine:
         features = wrap_df(features, self.options)
         self.build(features)
 
-    # measured batch-kernel throughput: ~90k vertex-levels/sec per core
-    # (full pipeline incl. source materialization); the handoff
-    # threshold targets ~2s tasks, so T(z) = budget / levels_remaining.
-    # Small inputs hand off near the root (the whole pyramid is a few
-    # core-seconds); big inputs keep distributing until per-tile
-    # subtrees shrink to task size — the formula self-balances.
-    _KERNEL_PTS_PER_TASK = 1_000_000
+    # the handoff threshold targets ~1.5-2s tasks at the measured batch-
+    # kernel rate (~300-500k vertex-levels/sec per core after the round-2
+    # vectorization): T(z) = budget / levels_remaining.  Small inputs
+    # hand off near the root (the whole pyramid is a few core-seconds);
+    # big inputs keep distributing until per-tile subtrees shrink to
+    # task size — the formula self-balances, and a smaller budget also
+    # bounds the skew straggler (the hottest metro tile's subtree task)
+    _KERNEL_PTS_PER_TASK = 600_000
+
+    # skew guard: a split tile that holds > _SKEW_FACTOR x the mean
+    # split-tile mass stays in the distributed loop even when it fits
+    # the task budget — otherwise the hottest metro tile becomes the
+    # one straggler task that gates the whole subtree wave
+    _SKEW_FACTOR = 4
 
     def _subtree_threshold(self, z: int, n_points: int | None = None) -> int:
         if self.subtree_max_points is not None:
@@ -192,9 +199,13 @@ class SparkTileEngine:
         packed = [_pack_xy(int(x), int(y)) for x, y in keys]
 
         def job(z=z, packed=packed):
+            t0 = time.monotonic()
             sel = self._read_frontier(z).where(_pack_col().isin(packed))
             (subtree_stage_df(sel, self.options)
              .write.mode("overwrite").parquet(self._p("subtree", f"b={z}")))
+            self._append_lineage({
+                "subtree_batch": z, "n_keys": len(packed),
+                "wall_sec": round(time.monotonic() - t0, 2)})
 
         futures.append(pool.submit(job))
 
@@ -284,15 +295,29 @@ class SparkTileEngine:
             # classification only decides which children the NEXT
             # iteration reads, so leaves' children are simply never read
             fut_split = None
+            split_group = None
             if z < opts.index_max_zoom:
                 n_parts = max(par, min(
                     4096,
                     prev_points // self.target_points_per_partition + 1))
-                fut_split = pool.submit(
-                    lambda fr=frontier, z=z, n=n_parts:
-                    split_children_df(fr, z, opts).select("*", n_verts)
-                    .repartition(n).write.mode("overwrite")
-                    .parquet(self._p("frontier", f"z={z+1}")))
+                split_group = f"gvt-split-z{z + 1}"
+                split_flag = {"cancelled": False}
+
+                def split_job(fr=frontier, z=z, n=n_parts, grp=split_group,
+                              flag=split_flag):
+                    if flag["cancelled"]:
+                        return
+                    spark.sparkContext.setLocalProperty(
+                        "spark.jobGroup.id", grp)
+                    try:
+                        (split_children_df(fr, z, opts).select("*", n_verts)
+                         .repartition(n).write.mode("overwrite")
+                         .parquet(self._p("frontier", f"z={z+1}")))
+                    finally:
+                        spark.sparkContext.setLocalProperty(
+                            "spark.jobGroup.id", None)
+
+                fut_split = pool.submit(split_job)
 
             # render per-feature tile output rows (tolerance filter,
             # rewind, integer transform, JSON) as a NARROW map — no
@@ -329,6 +354,15 @@ class SparkTileEngine:
                       if not (z == opts.index_max_zoom or
                               r["num_points"] <= opts.index_max_points)]
             threshold = self._subtree_threshold(z, n_points)
+            if splits:
+                # only chase outliers whose subtree task would exceed
+                # ~1.5s of kernel time — splitting smaller ones costs
+                # more in extra sync rounds than the straggler saves
+                mean_sp = sum(p for *_, p in splits) / len(splits)
+                lv = max(1, opts.index_max_zoom - z)
+                threshold = min(threshold,
+                                max(500_000 // lv,
+                                    self._SKEW_FACTOR * mean_sp))
             light = [(x, y) for x, y, np_ in splits if np_ <= threshold]
             heavy = [(x, y) for x, y, np_ in splits if np_ > threshold]
             heavy_points = sum(np_ for _, _, np_ in splits if np_ > threshold)
@@ -445,8 +479,19 @@ class SparkTileEngine:
 
             _t = time.monotonic()
             if fut_split is not None:
-                fut_split.result()
-                _tm["split_wait"] = time.monotonic() - _t
+                if final:
+                    # the optimistic z+1 split is dead work on the last
+                    # round — cancel it so the subtree batches and the
+                    # finalizers get the executors
+                    split_flag["cancelled"] = True
+                    spark.sparkContext.cancelJobGroup(split_group)
+                    try:
+                        fut_split.result()
+                    except Exception:
+                        pass
+                else:
+                    fut_split.result()
+                    _tm["split_wait"] = time.monotonic() - _t
             prev_points = heavy_points
             if final:
                 break

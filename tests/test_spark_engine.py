@@ -83,7 +83,7 @@ def test_spark_resume_mid_pyramid(spark, tmp_path):
     lines = [_json.loads(ln) for ln in
              (tmp_path / "full" / "lineage.json").read_text().splitlines()]
     (part_dir / "lineage.json").write_text(
-        "\n".join(_json.dumps(r) for r in lines if r["zoom"] <= 2) + "\n")
+        "\n".join(_json.dumps(r) for r in lines if r.get("zoom", 99) <= 2) + "\n")
 
     resumed = SparkTileEngine(spark, opts, workdir=str(part_dir))
     df = features_from_json_df(
