@@ -56,6 +56,10 @@ def make_spark(cpus: int):
             .config("spark.default.parallelism", str(cpus))
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            # FAIR lets the build loop's small classification jobs run
+            # alongside long subtree-batch tasks instead of queueing
+            # behind them (FIFO cost the 480k-page pyramid ~2x)
+            .config("spark.scheduler.mode", "FAIR")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
             .config("spark.driver.memory", "16g")

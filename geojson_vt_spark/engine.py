@@ -29,6 +29,11 @@ Scale design notes (SURVEY.md §4/§7):
   pending subtree batches are re-run from their recorded keys;
 - lazy drill-down (getTile miss) replays the same split stages over the
   retained source of the nearest ancestor, pruned to the target path.
+
+Run the session with ``spark.scheduler.mode=FAIR``: the build overlaps
+small classification jobs with long subtree-batch stages, and FIFO
+queues the small jobs behind them (measured ~2x the wall on a 480k-page
+build).
 """
 
 from __future__ import annotations

@@ -579,9 +579,11 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
 
     level_arrays = {}
 
-    def feature_record(fi):
-        """Slice feature fi back into a FEATURE record (ord assigned by
-        caller) using per-level precomputed offset arrays."""
+    def feature_records(idxs):
+        """Slice many features back into FEATURE records (ords assigned
+        by caller) — leaf-tile source retention.  Hot path at scale
+        (every feature lands here once per build): hoisted locals, view
+        slices, no imports, no scalar casts."""
         from .kernel.vec import GT_MPOLY, GTYPES, rags_to_feature_arrays
         if "f_roff" not in level_arrays:
             f_roff_, xyz_ = rags_to_feature_arrays(rags)
@@ -589,26 +591,34 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
             level_arrays["xyz"] = xyz_
             level_arrays["lens3"] = (rags.ring_lens() * 3).astype(np.int32)
         f_roff_ = level_arrays["f_roff"]
-        r0, r1 = int(f_roff_[fi]), int(f_roff_[fi + 1])
-        v0 = int(rags.roff[r0]) if r0 < rags.n_rings else 0
-        v1 = int(rags.roff[r1]) if r0 < rags.n_rings else v0
-        xyz = level_arrays["xyz"][3 * v0:3 * v1]
-        code = int(gcodes[fi])
-        poly_lens = None
-        if code == GT_MPOLY:
-            poly_lens = np.bincount(rags.rpoly[r0:r1]).astype(np.int32)
-        return {
-            "fid_json": fids[fi], "tags_json": tagss[fi],
-            "gtype": GTYPES[code],
-            "coords": xyz,
-            "ring_lens": level_arrays["lens3"][r0:r1],
-            "poly_lens": poly_lens,
-            "ring_size": rags.rsize[r0:r1].copy(),
-            "ring_start": rags.rstart[r0:r1].copy(),
-            "ring_end": rags.rend[r0:r1].copy(),
-            "minx": float(fminx[fi]), "miny": float(fminy[fi]),
-            "maxx": float(fmaxx[fi]), "maxy": float(fmaxy[fi]),
-        }
+        xyz_ = level_arrays["xyz"]
+        lens3 = level_arrays["lens3"]
+        roff = rags.roff
+        rsize, rstart, rend = rags.rsize, rags.rstart, rags.rend
+        rpoly = rags.rpoly
+        n_r = rags.n_rings
+        out = []
+        for fi in idxs:
+            fi = int(fi)
+            r0 = f_roff_[fi]
+            r1 = f_roff_[fi + 1]
+            v0 = roff[r0] if r0 < n_r else 0
+            v1 = roff[r1] if r0 < n_r else v0
+            code = gcodes[fi]
+            out.append({
+                "fid_json": fids[fi], "tags_json": tagss[fi],
+                "gtype": GTYPES[code],
+                "coords": xyz_[3 * v0:3 * v1],
+                "ring_lens": lens3[r0:r1],
+                "poly_lens": (np.bincount(rpoly[r0:r1]).astype(np.int32)
+                              if code == GT_MPOLY else None),
+                "ring_size": rsize[r0:r1],
+                "ring_start": rstart[r0:r1],
+                "ring_end": rend[r0:r1],
+                "minx": float(fminx[fi]), "miny": float(fminy[fi]),
+                "maxx": float(fmaxx[fi]), "maxy": float(fmaxy[fi]),
+            })
+        return out
 
     while pending:
         level_arrays.clear()
@@ -691,8 +701,7 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
             if splits:
                 split_keys.append((gx, gy))
             else:
-                sources[(z, gx, gy)] = [feature_record(int(fi))
-                                        for fi in idxs]
+                sources[(z, gx, gy)] = feature_records(idxs)
 
         if not split_keys:
             break
@@ -835,10 +844,28 @@ def subtree_stage_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
 
         for t in tile_rows:
             emit({"kind": "tile", **t})
-        for (sz, sx, sy), srecs in sources.items():
+
+        # source rows column-major: one comprehension per column beats
+        # a per-record emit() by ~6x at corpus scale (every feature
+        # lands here once per build)
+        recs, keys, ords = [], [], []
+        for szxy, srecs in sources.items():
             for i, rec in enumerate(srecs):
-                rec["ord_path"] = [i]
-                emit({"kind": "source", "z": sz, "x": sx, "y": sy, **rec})
+                recs.append(rec)
+                keys.append(szxy)
+                ords.append([i])
+        if recs:
+            n = len(recs)
+            rows["kind"].extend(["source"] * n)
+            rows["z"].extend(k[0] for k in keys)
+            rows["x"].extend(k[1] for k in keys)
+            rows["y"].extend(k[2] for k in keys)
+            rows["ord_path"].extend(ords)
+            filled = {"kind", "z", "x", "y", "ord_path"}
+            for c in _SUBTREE_COLUMNS:
+                if c in filled:
+                    continue
+                rows[c].extend([r.get(c) for r in recs])
         return pd.DataFrame(rows, columns=_SUBTREE_COLUMNS)
 
     return frontier.groupBy("z", "x", "y").applyInPandas(run, SUBTREE_SCHEMA)

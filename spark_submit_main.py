@@ -37,6 +37,7 @@ def main() -> None:
     spark = (SparkSession.builder.appName("geojson-vt-spark")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.scheduler.mode", "FAIR")
              .getOrCreate())
 
     opts = TileOptions(index_max_zoom=args.index_max_zoom,

@@ -12,6 +12,7 @@ def spark():
              .config("spark.ui.enabled", "false")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.scheduler.mode", "FAIR")
              .getOrCreate())
     yield spark
     spark.stop()
