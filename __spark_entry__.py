@@ -346,6 +346,12 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, [0, 1, 2, 3, 4], k=5)
 
 
+def q_ann_lsh(spark, sf_dir):
+    from geojson_vt_spark.operators import lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, [0, 1, 2, 3, 4], k=5)
+
+
 def q_corpus_extract(spark, sf_dir):
     """Geo extraction (the real Arrow-batched regex operator) over the
     SQL-constructible documents→pages bridge; coordinates re-parsed
@@ -404,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
         "corpus_extract": q_corpus_extract,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
@@ -532,6 +539,34 @@ def _simhash_oracle() -> str:
         FROM cap l JOIN cap r
           ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
         WHERE bit_count(xor(l.sim, r.sim)) <= {_SH_MAXHAM}
+    """
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of lsh_topk(query_ids=[0..4], k=5): the 8 hyperplane
+    normals (numpy RandomState(7), identical literals) sign-hash every
+    vector to a bucket; candidates share the query's bucket; exact
+    6dp-rounded rerank inside."""
+    import numpy as np
+    planes = np.random.RandomState(7).standard_normal((8, 64))
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in planes[p])}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)" for p in range(8))
+    return f"""
+        WITH base AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS v
+                      FROM embeddings),
+        bk AS (SELECT nbr_id, v, {terms} AS bucket FROM base),
+        q AS (SELECT nbr_id AS query_id, v AS qv, bucket FROM bk
+              WHERE nbr_id IN (0, 1, 2, 3, 4)),
+        sc AS (SELECT q.query_id, b.nbr_id,
+                      {_cos_sql('q.qv', 'b.v', 6)} AS cosine
+               FROM q JOIN bk b USING (bucket)
+               WHERE b.nbr_id != q.query_id),
+        r AS (SELECT query_id, nbr_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, nbr_id) AS rank
+              FROM sc)
+        SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= 5
     """
 
 
@@ -788,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_oracle(),
         "simhash_pairs": _simhash_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
+        "ann_lsh": _ann_lsh_oracle(),
         "corpus_extract": """
             WITH base AS (
                 SELECT doc_id,

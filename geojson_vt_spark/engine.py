@@ -203,9 +203,15 @@ class SparkTileEngine:
             return
         packed = [_pack_xy(int(x), int(y)) for x, y in keys]
 
-        def job(z=z, packed=packed):
+        def job(z=z, packed=packed, keys=keys):
             t0 = time.monotonic()
-            sel = self._read_frontier(z).where(_pack_col().isin(packed))
+            # x/y isin conjuncts are parquet-pushdownable (row-group
+            # pruning); the packed-pair filter alone is an expression
+            # over two columns and forces a full scan of the frontier
+            sel = self._read_frontier(z).where(
+                F.col("x").isin([int(x) for x, _ in keys]) &
+                F.col("y").isin([int(y) for _, y in keys]) &
+                _pack_col().isin(packed))
             (subtree_stage_df(sel, self.options)
              .write.mode("overwrite").parquet(self._p("subtree", f"b={z}")))
             self._append_lineage({
@@ -393,9 +399,14 @@ class SparkTileEngine:
             split_set = {(x, y) for x, y, _ in splits}
             leaf_packed = [_pack_xy(x, y) for (x, y) in present
                            if (x, y) not in split_set]
+            leaf_keys = [(x, y) for (x, y) in present
+                         if (x, y) not in split_set]
             fut_sources = pool.submit(
-                lambda z=z, lp=list(leaf_packed):
-                self._read_frontier(z).where(_pack_col().isin(lp))
+                lambda z=z, lp=list(leaf_packed), lk=leaf_keys:
+                self._read_frontier(z).where(
+                    F.col("x").isin([int(x) for x, _ in lk]) &
+                    F.col("y").isin([int(y) for _, y in lk]) &
+                    _pack_col().isin(lp))
                 .drop("z").write.mode("overwrite")
                 .parquet(self._p("sources", f"z={z}")))
 
