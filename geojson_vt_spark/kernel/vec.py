@@ -312,18 +312,35 @@ def build_rags(gcodes, ringss, options) -> Rags:
         np.zeros(0, dtype=bool)
     is_poly_ring = rpoly >= 0
 
-    # per-ring size metric: sequential per-ring accumulation (parity
-    # with the JS += loop; reduceat would change float order)
+    # per-ring size metric.  The reference accumulates sequentially
+    # (JS += loop), so the fold ORDER within a ring is part of float
+    # parity — reduceat/pairwise would change it.  Instead of a Python
+    # loop per ring, do a WAVE fold: compute every segment term
+    # globally, then add term k of every still-active ring at once —
+    # a strict left fold per ring, bit-identical to the scalar loop,
+    # in O(max_ring_len) vector ops instead of O(n_rings) Python turns.
     rsize = np.zeros(len(rlens))
-    for r in np.nonzero(is_line_or_poly & (rlens > 1))[0]:
-        lo, hi = roff[r], roff[r + 1]
-        x = xs[lo:hi]
-        y = ys[lo:hi]
-        if is_poly_ring[r]:
-            terms = (x[:-1] * y[1:] - x[1:] * y[:-1]) / 2
-        else:
-            terms = np.sqrt((x[1:] - x[:-1]) ** 2 + (y[1:] - y[:-1]) ** 2)
-        rsize[r] = math.fabs(float(np.cumsum(terms)[-1]))
+    mrings = np.nonzero(is_line_or_poly & (rlens > 1))[0]
+    if len(mrings):
+        mlens = rlens[mrings] - 1              # segment counts
+        mstart = roff[mrings]
+        seg = np.repeat(mstart, mlens) + ragged_arange(mlens)
+        x0, y0 = xs[seg], ys[seg]
+        x1, y1 = xs[seg + 1], ys[seg + 1]
+        poly_m = np.repeat(is_poly_ring[mrings], mlens)
+        terms = np.where(poly_m,
+                         (x0 * y1 - x1 * y0) / 2,
+                         np.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2))
+        toff = np.zeros(len(mrings), dtype=np.int64)
+        np.cumsum(mlens[:-1], out=toff[1:])
+        acc = np.zeros(len(mrings))
+        alive = np.arange(len(mrings))
+        k = 0
+        while len(alive):
+            acc[alive] = acc[alive] + terms[toff[alive] + k]
+            k += 1
+            alive = alive[mlens[alive] > k]
+        rsize[mrings] = np.abs(acc)
 
     # DP importances for line/polygon rings; endpoints forced to 1
     line_rings = np.nonzero(is_line_or_poly & (rlens > 0))[0]
