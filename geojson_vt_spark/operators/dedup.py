@@ -30,9 +30,17 @@ def _spread(df: DataFrame) -> DataFrame:
     would serialize the whole signature stage onto a single core; a
     round-robin repartition of the (cheap, pre-shingle) rows fixes that.
     Inputs already wider than half the default parallelism are left
-    untouched — at real scale the scan supplies the parallelism."""
+    untouched — at real scale the scan supplies the parallelism.
+
+    Width is estimated from the scan's file list (no RDD conversion, no
+    job); non-file inputs (unions, post-shuffle frames) inherited their
+    parallelism from upstream and pass through."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par // 2:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files and len(files) < par // 2:
         return df.repartition(par)
     return df
 
