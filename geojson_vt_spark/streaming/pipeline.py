@@ -82,3 +82,47 @@ def streaming_dedup_by_url(pages: DataFrame, watermark: str = "30 seconds",
     return (pages
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["url"]))
+
+
+def streaming_heavy_tiles(pages: DataFrame, res: int = 6,
+                          max_points: int = 1000,
+                          ts_col: str = "warc_ts") -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): the
+    streaming twin of the engine's heavy-tile stop rule.
+
+    Per tile cell, keep a running cumulative page count across
+    micro-batches and EMIT a row only when the count first crosses
+    ``max_points`` — the signal that a tile has outgrown its slice and
+    the batch engine should re-split it.  Cumulative cross-batch state
+    with emit-on-transition is not expressible as a windowed aggregate,
+    which is exactly what applyInPandasWithState is for; state is one
+    (long, bool) per ACTIVE tile and is dropped after an hour idle."""
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    cells = (_page_centroids(pages)
+             .withColumn("cell", cell_col(F.col("lon"), F.col("lat"), res))
+             .select("cell"))
+
+    def track(key, pdfs, state: GroupState):
+        new = 0
+        for pdf in pdfs:
+            new += len(pdf)
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        total, fired = state.get if state.exists else (0, False)
+        total += new
+        crossed = (not fired) and total > max_points
+        state.update((total, fired or crossed))
+        state.setTimeoutDuration(3600 * 1000)
+        if crossed:
+            yield pd.DataFrame({"cell": [key[0]],
+                                "num_points": [total]})
+
+    return (cells.groupBy("cell").applyInPandasWithState(
+        track,
+        outputStructType="cell long, num_points long",
+        stateStructType="total long, fired boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

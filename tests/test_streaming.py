@@ -57,3 +57,31 @@ def test_streaming_dedup_by_url(spark, tmp_path):
         q.stop()
     assert len(urls) >= 10
     assert len(urls) == len(set(urls)), "urls must be unique after dedup"
+
+
+def test_streaming_heavy_tiles_stateful(spark, tmp_path):
+    """applyInPandasWithState heavy-tile detector: a tile fires exactly
+    once, when its cumulative count first crosses the threshold."""
+    from geojson_vt_spark.streaming import (streaming_heavy_tiles,
+                                            streaming_synth_pages)
+    pages = streaming_synth_pages(spark, rows_per_second=3000)
+    heavy = streaming_heavy_tiles(pages, res=2, max_points=50)
+    q = (heavy.writeStream.format("memory").queryName("heavy_tiles")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if (q.exception() is None
+                    and spark.table("heavy_tiles").count() >= 1):
+                break
+            time.sleep(2)
+        rows = spark.table("heavy_tiles").collect()
+    finally:
+        q.stop()
+    assert len(rows) >= 1
+    cells = [r.cell for r in rows]
+    assert len(cells) == len(set(cells)), "each tile fires at most once"
+    assert all(r.num_points > 50 for r in rows)
+    assert all(c % 32 == 2 for c in cells), "valid z=2 tile ids"
