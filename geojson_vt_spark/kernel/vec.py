@@ -33,7 +33,6 @@ and ordered.
 from __future__ import annotations
 
 import json
-import math
 
 import numpy as np
 
@@ -1338,14 +1337,6 @@ def batch_assemble(rags: Rags, gcodes, tz, tx, ty, options):
         rev_rep, np.repeat(e_len - 1, e_len) - j, j)
     geom = AssembleResult(ftype, e_feat, e_len, r_off, pairs_all[src])
     return geom, n_points, n_simplified
-
-
-def render_feature_json(type_code: int, geom_json: str, tags_json,
-                        fid_json) -> str:
-    return (f'{{"geometry":{geom_json},'
-            f'"type":{type_code},"tags":{tags_json or "null"}'
-            + (f',"id":{fid_json}' if fid_json is not None else "")
-            + "}")
 
 
 def convert_rows_to_records(rows, options) -> list[dict]:

@@ -786,37 +786,6 @@ def _empty_state():
     return rags, np.empty(0, dtype=np.int64)
 
 
-def _state_feature_record(rg, g, mnx, mny, mxx, mxy, fids, tagss, fi):
-    import numpy as np
-
-    from .kernel.vec import GT_MPOLY, GTYPES
-    r0 = int(np.searchsorted(rg.rfeat, fi, side="left"))
-    r1 = int(np.searchsorted(rg.rfeat, fi, side="right"))
-    v0 = int(rg.roff[r0]) if r0 < rg.n_rings else 0
-    v1 = int(rg.roff[r1]) if r0 < rg.n_rings else 0
-    xyz = np.empty(3 * (v1 - v0))
-    xyz[0::3] = rg.xs[v0:v1]
-    xyz[1::3] = rg.ys[v0:v1]
-    xyz[2::3] = rg.zs[v0:v1]
-    code = int(g[fi])
-    poly_lens = None
-    if code == GT_MPOLY:
-        poly_lens = np.bincount(rg.rpoly[r0:r1]).astype(np.int32)
-    return {
-        "fid_json": fids[fi], "tags_json": tagss[fi],
-        "gtype": GTYPES[code],
-        "coords": xyz,
-        "ring_lens": ((rg.roff[r0 + 1:r1 + 1] - rg.roff[r0:r1]) * 3
-                      ).astype(np.int32),
-        "poly_lens": poly_lens,
-        "ring_size": rg.rsize[r0:r1].copy(),
-        "ring_start": rg.rstart[r0:r1].copy(),
-        "ring_end": rg.rend[r0:r1].copy(),
-        "minx": float(mnx[fi]), "miny": float(mny[fi]),
-        "maxx": float(mxx[fi]), "maxy": float(mxy[fi]),
-    }
-
-
 def subtree_stage_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
     """Grouped-map handoff: each light splitting tile's features become
     one Arrow batch; the whole descendant pyramid of that tile is built
