@@ -302,6 +302,15 @@ def q_embedding_pairs_exact(spark, sf_dir):
             .where(F.col("cosine") >= 0.25))
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Hyperplane-LSH near-duplicate pairs (bucketed candidates, exact
+    cosine verify) — the LSH scale path whose exact twin is
+    embedding_pairs_exact."""
+    from geojson_vt_spark.operators import embedding_near_dup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, threshold=0.5)
+
+
 def q_events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (ev.groupBy(F.date_format(F.date_trunc("day", "ts"),
@@ -406,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "embedding_pairs_exact": q_embedding_pairs_exact,
+        "embedding_near_dup": q_embedding_near_dup,
         "events_window": q_events_window,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -567,6 +577,26 @@ def _ann_lsh_oracle() -> str:
                                         ORDER BY cosine DESC, nbr_id) AS rank
               FROM sc)
         SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= 5
+    """
+
+
+def _near_dup_oracle() -> str:
+    """DuckDB twin of embedding_near_dup_pairs(threshold=0.5): 12
+    hyperplane normals (RandomState(42)), same-bucket candidates,
+    exact 6dp cosine verify."""
+    import numpy as np
+    planes = np.random.RandomState(42).standard_normal((12, 64))
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in planes[p])}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)" for p in range(12))
+    return f"""
+        WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                      FROM embeddings),
+        bk AS (SELECT id, v, {terms} AS bucket FROM base)
+        SELECT l.id AS id_a, r.id AS id_b,
+               {_cos_sql('l.v', 'r.v', 6)} AS cosine
+        FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.id < r.id
+        WHERE {_cos_sql('l.v', 'r.v', 6)} >= 0.5
     """
 
 
@@ -824,6 +854,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
+        "embedding_near_dup": _near_dup_oracle(),
         "corpus_extract": """
             WITH base AS (
                 SELECT doc_id,

@@ -179,6 +179,33 @@ def bench_text(spark) -> tuple[float, dict]:
     return time.monotonic() - t0, {}
 
 
+def bench_serve(spark) -> tuple[float, dict]:
+    """Batch tile serving: build a small pyramid (outside the timed
+    span), then serve EVERY built tile through warmed get_tiles batches
+    — the getTile(z,x,y) surface at bulk-request shape."""
+    from geojson_vt_spark import TileOptions
+    from geojson_vt_spark.engine import SparkTileEngine
+    opts = TileOptions(index_max_zoom=6, index_max_points=500)
+    wd = tempfile.mkdtemp(prefix="gvt_serve_")
+    eng = SparkTileEngine(spark, opts, workdir=wd)
+    from geojson_vt_spark.pipeline import features_from_json_df
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+    pages = synth_pages_df(spark, min(N_PAGES, 10000), seed=42)
+    feats = features_from_json_df(extract_geo_features_df(pages), opts)
+    eng.build_from_converted(feats)
+    eng.warm()
+    coords = eng.tile_coords()
+    t0 = time.monotonic()
+    served = 0
+    for i in range(0, len(coords), 256):
+        batch = eng.get_tiles(coords[i:i + 256])
+        served += sum(1 for v in batch.values() if v is not None)
+    dt = time.monotonic() - t0
+    return dt, {"tiles_served": served,
+                "tiles_per_sec": served / dt if dt else 0.0}
+
+
 BENCHES = {
     "pyramid": bench_pyramid,
     "pip_join": bench_pip,
@@ -188,6 +215,7 @@ BENCHES = {
     "dedup_exact": bench_dedup_exact,
     "ann_cosine_topk": bench_ann,
     "text_suite": bench_text,
+    "tile_serve": bench_serve,
 }
 
 
