@@ -302,6 +302,13 @@ def q_embedding_pairs_exact(spark, sf_dir):
             .where(F.col("cosine") >= 0.25))
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprints — position-robust document
+    fingerprints, one row per selected k-gram hash."""
+    from geojson_vt_spark.operators import winnow_fingerprints_df
+    return winnow_fingerprints_df(_docs(spark, sf_dir))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Hyperplane-LSH near-duplicate pairs (bucketed candidates, exact
     cosine verify) — the LSH scale path whose exact twin is
@@ -413,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "cosine_topk": q_cosine_topk,
         "embedding_pairs_exact": q_embedding_pairs_exact,
         "embedding_near_dup": q_embedding_near_dup,
@@ -577,6 +585,36 @@ def _ann_lsh_oracle() -> str:
                                         ORDER BY cosine DESC, nbr_id) AS rank
               FROM sc)
         SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= 5
+    """
+
+
+def _winnow_oracle(k: int = 8, window: int = 4) -> str:
+    """DuckDB twin of winnow_fingerprints_df: identical Rabin k-gram
+    hashes (mod-reduced per term, one final mod — both engines sum k
+    terms < 2^42 in int64) and identical per-window minima."""
+    m = (1 << 31) - 1
+    pows = [pow(257, j, m) for j in range(k)]
+    term = " + ".join(
+        f"(CAST(cp[CAST(i + {j} AS INT)] AS BIGINT)"
+        f" * {pows[k - 1 - j]}) % {m}" for j in range(k))
+    return f"""
+        WITH c AS (
+            SELECT doc_id, list_transform(range(1, len(text) + 1),
+                i -> ascii(substr(text, CAST(i AS INT), 1))) AS cp
+            FROM documents),
+        h AS (
+            SELECT doc_id, list_transform(
+                range(1, greatest(len(cp) - {k} + 1, 0) + 1),
+                i -> CAST(({term}) % {m} AS BIGINT)) AS hs
+            FROM c WHERE len(cp) >= {k}),
+        w AS (
+            SELECT doc_id, CASE WHEN len(hs) <= {window}
+                THEN [list_min(hs)]
+                ELSE list_transform(range(1, len(hs) - {window} + 1 + 1),
+                    i -> list_min(hs[i:i + {window} - 1])) END AS mins
+            FROM h)
+        SELECT DISTINCT doc_id, CAST(u.fp AS BIGINT) AS fp
+        FROM w, LATERAL (SELECT unnest(mins) AS fp) u
     """
 
 
@@ -855,6 +893,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
         "embedding_near_dup": _near_dup_oracle(),
+        "winnow_fingerprint": _winnow_oracle(),
         "corpus_extract": """
             WITH base AS (
                 SELECT doc_id,

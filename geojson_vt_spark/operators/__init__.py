@@ -5,7 +5,7 @@ from .similarity import cosine_topk, ivf_topk, lsh_topk
 from .spatial_join import (knn_join, point_in_polygon_join, points_in_ring,
                            raster_vector_overlay)
 from .text import (bpe_ish_token_count_col, fingerprint_df, lang_id_df,
-                   quality_score_df, token_count_col)
+                   quality_score_df, token_count_col, winnow_fingerprints_df)
 
 __all__ = [
     "bpe_ish_token_count_col", "cosine_col", "cosine_topk",
@@ -14,4 +14,5 @@ __all__ = [
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "point_in_polygon_join",
     "points_in_ring", "quality_score_df", "raster_vector_overlay",
     "shingles_col", "simhash_col", "simhash_pairs", "token_count_col",
+    "winnow_fingerprints_df",
 ]

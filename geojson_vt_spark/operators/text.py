@@ -9,6 +9,8 @@ correctness oracle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 STOPWORDS = {
@@ -89,3 +91,48 @@ def fingerprint_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
     oracle can verify byte-for-byte)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def winnow_fingerprints_df(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8,
+                           window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme, Schleimer et
+    al. 2003): Rabin rolling hash over k-grams of codepoints, then the
+    minimum hash of each sliding window of ``window`` k-grams — a
+    position-robust fingerprint set that survives local edits, unlike a
+    whole-document digest.
+
+    Emits one (id, fp) row per DISTINCT selected hash (rows, not
+    arrays, so results stay hashable/oracle-comparable).  The hash is
+    pure modular arithmetic over codepoints, so a SQL oracle reproduces
+    it exactly; the Spark side runs one Arrow-batched numpy pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    B, M = 257, (1 << 31) - 1
+    pows = np.array([pow(B, j, M) for j in range(k)], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            codes = np.fromiter((ord(c) for c in t), dtype=np.int64,
+                                count=len(t))
+            n = len(codes) - k + 1
+            if n <= 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            acc = np.zeros(n, dtype=np.int64)
+            for j in range(k):
+                acc += (codes[j:j + n] * pows[k - 1 - j]) % M
+            h = acc % M
+            if len(h) <= window:
+                mins = np.array([h.min()], dtype=np.int64)
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(
+                    h, window).min(axis=1)
+            out.append(np.unique(mins))
+        return pd.Series(out)
+
+    return (docs.select(F.col(id_col),
+                        F.explode(fps(F.col(text_col))).alias("fp"))
+            .distinct())

@@ -254,3 +254,26 @@ def test_md5_hash_variants_match_defaults_semantics(spark, docs_with_dups):
           for r in simhash_pairs(docs_with_dups, max_hamming=4,
                                  hash_fn="md5").collect()}
     assert {(i, i + 100000) for i in range(20)} <= sh
+
+
+def test_winnow_fingerprints_robust_to_local_edits(spark):
+    """Winnowing property: a doc with a small local edit shares most
+    fingerprints with the original; an unrelated doc shares few."""
+    from geojson_vt_spark.operators import winnow_fingerprints_df
+    import pandas as pd
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain in spain stays mainly in the plain " * 3)
+    edited = base.replace("lazy dog", "sleepy cat", 1)
+    other = ("entirely different content about tile pyramids and "
+             "mercator projections in distributed systems " * 3)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2],
+                      "text": [base, edited, other]}))
+    rows = winnow_fingerprints_df(docs).collect()
+    fps = {i: set() for i in range(3)}
+    for r in rows:
+        fps[r.doc_id].add(r.fp)
+    j_edit = len(fps[0] & fps[1]) / len(fps[0] | fps[1])
+    j_other = len(fps[0] & fps[2]) / len(fps[0] | fps[2])
+    assert j_edit > 0.6, f"local edit should preserve fingerprints, {j_edit}"
+    assert j_other < 0.1, f"unrelated docs should share few, {j_other}"
