@@ -393,6 +393,12 @@ def q_multimodal_features(spark, sf_dir):
           for i in range(16)])
 
 
+def q_multimodal_resize(spark, sf_dir):
+    from geojson_vt_spark.operators.multimodal import (assets_from_documents,
+                                                       resize_df)
+    return resize_df(assets_from_documents(_docs(spark, sf_dir)))
+
+
 def q_frame_sample(spark, sf_dir):
     from geojson_vt_spark.operators.multimodal import (assets_from_documents,
                                                        frame_sample_df)
@@ -431,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "corpus_extract": q_corpus_extract,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
         "frame_sample": q_frame_sample,
         # rows-only (full geometry-kernel pyramid; pinned byte-identical
         # to the reference by the golden-fixture pytest suite):
@@ -919,6 +926,25 @@ def oracle_sql() -> dict[str, str]:
                 f"CAST('0x' || substr(h, {2*j+33}, 2) AS BIGINT)) / 2.0) "
                 f"/ 255.0, 6) AS f{j:02d}" for j in range(16)) +
             " FROM d"),
+        # pooled pixel (ry,rx) of the sha256-derived 8x16 fake grid:
+        # rows repeat every 2, so the 2x2 block mean is
+        # (d[2rx] + d[2rx+1] + d[16+2rx] + d[16+2rx+1]) / 4 / 255
+        "multimodal_resize": """
+            WITH d AS (SELECT doc_id AS asset_id, sha256(text) AS h
+                       FROM documents),
+            g AS (SELECT asset_id, h, CAST(p.ry AS INT) AS ry,
+                         CAST(p.rx AS INT) AS rx
+                  FROM d, LATERAL (SELECT r.ry, c.rx
+                                   FROM range(0, 4) r(ry),
+                                        range(0, 8) c(rx)) p)
+            SELECT asset_id, ry, rx,
+                   round(((CAST('0x' || substr(h, 4*rx + 1, 2) AS BIGINT)
+                         + CAST('0x' || substr(h, 4*rx + 3, 2) AS BIGINT)
+                         + CAST('0x' || substr(h, 4*rx + 33, 2) AS BIGINT)
+                         + CAST('0x' || substr(h, 4*rx + 35, 2) AS BIGINT))
+                        / 4.0) / 255.0, 6) AS value
+            FROM g
+        """,
         "frame_sample": """
             WITH v AS (
                 SELECT doc_id AS asset_id, text,

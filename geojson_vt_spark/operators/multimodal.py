@@ -87,6 +87,40 @@ def extract_features_df(assets: DataFrame, fake: bool = True) -> DataFrame:
         run, "asset_id long, kind string, features array<double>")
 
 
+def resize_df(assets: DataFrame, out_h: int = 4, out_w: int = 8,
+              fake: bool = True) -> DataFrame:
+    """Image resize: decode → block-mean pooling to (out_h, out_w) —
+    one Arrow batch pass, one output row per pooled pixel (rows, not
+    arrays, so results stay hashable/oracle-comparable).  The real
+    resampler would sit where the fake decoder is; the Spark-side
+    plumbing (batch shape, explode, schema) is the real thing."""
+    fh, fw = 8 // out_h, 16 // out_w
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, rys, rxs, vals = [], [], [], []
+            for asset_id, payload, kind in zip(pdf["asset_id"],
+                                               pdf["payload"], pdf["kind"]):
+                px = (_fake_decode(bytes(payload), kind) if fake
+                      else real_decode(bytes(payload), kind))
+                pooled = (px.astype(np.float64)
+                          .reshape(out_h, fh, out_w, fw).mean(axis=(1, 3))
+                          / 255.0)
+                for ry in range(out_h):
+                    for rx in range(out_w):
+                        ids.append(asset_id)
+                        rys.append(ry)
+                        rxs.append(rx)
+                        vals.append(round(float(pooled[ry, rx]), 6))
+            yield pd.DataFrame({"asset_id": ids, "ry": rys, "rx": rxs,
+                                "value": vals})
+
+    return assets.mapInPandas(
+        run, "asset_id long, ry int, rx int, value double")
+
+
 def frame_sample_df(assets: DataFrame, every_ms: int = 1000,
                     fake: bool = True) -> DataFrame:
     """Video frame sampling: one output row per sampled timestamp —
