@@ -224,7 +224,10 @@ def run(cpus: int, only: list[str] | None = None) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     queries = {}
     throughput = {}
-    names = only or list(BENCHES)
+    # tile_serve is opt-in (BENCH_QUERIES=tile_serve): it measures the
+    # read surface, and adding it to the default set would make the
+    # headline total incomparable across rounds
+    names = only or [n for n in BENCHES if n != "tile_serve"]
     for name in names:
         dt, extra = BENCHES[name](spark)
         queries[name] = round(dt, 3)
