@@ -47,11 +47,19 @@ def _spread(df: DataFrame) -> DataFrame:
 
 def exact_dedup(df: DataFrame, content_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id row per identical content (one hash shuffle,
-    map-side combine via min aggregation)."""
-    w = Window.partitionBy(content_col).orderBy(F.col(id_col))
-    return (df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1).drop("_rn"))
+    """Keep the lowest-id row per identical content.
+
+    The shuffle key is a 128-bit map-side fingerprint (md5), never the
+    text itself: the winner pass moves only (fp, id) through its
+    exchange and gets hash-aggregate partial combining (a window over
+    the raw text would ship every byte of the corpus and disable
+    map-side aggregation).  The semi join back re-attaches full rows
+    to the winning ids only — the same shape ``minhash_dedup``'s
+    pre-collapse uses."""
+    winners = (df.groupBy(F.md5(F.col(content_col)).alias("_fp"))
+               .agg(F.min(id_col).alias(id_col))
+               .select(id_col))
+    return df.join(winners, id_col, "left_semi")
 
 
 def shingles_col(text: Column, n: int = 3, words: bool = True) -> Column:

@@ -100,22 +100,28 @@ def resize_df(assets: DataFrame, out_h: int = 4, out_w: int = 8,
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids, rys, rxs, vals = [], [], [], []
-            for asset_id, payload, kind in zip(pdf["asset_id"],
-                                               pdf["payload"], pdf["kind"]):
-                px = (_fake_decode(bytes(payload), kind) if fake
-                      else real_decode(bytes(payload), kind))
-                pooled = (px.astype(np.float64)
-                          .reshape(out_h, fh, out_w, fw).mean(axis=(1, 3))
-                          / 255.0)
-                for ry in range(out_h):
-                    for rx in range(out_w):
-                        ids.append(asset_id)
-                        rys.append(ry)
-                        rxs.append(rx)
-                        vals.append(round(float(pooled[ry, rx]), 6))
-            yield pd.DataFrame({"asset_id": ids, "ry": rys, "rx": rxs,
-                                "value": vals})
+            n = len(pdf)
+            # decode per asset (the codec integration point), then one
+            # stacked pool + np.repeat/np.tile emission for the whole
+            # batch — no per-cell Python loop.  np.round(x, 6) is
+            # verified bit-identical to Python round() on the fake
+            # decoder's discrete value set (s/1020, s in 0..1020).
+            px = np.stack([
+                (_fake_decode(bytes(p), k) if fake else real_decode(
+                    bytes(p), k))
+                for p, k in zip(pdf["payload"], pdf["kind"])])
+            pooled = (px.astype(np.float64)
+                      .reshape(n, out_h, fh, out_w, fw).mean(axis=(2, 4))
+                      / 255.0)
+            cells = out_h * out_w
+            yield pd.DataFrame({
+                "asset_id": np.repeat(pdf["asset_id"].to_numpy(), cells),
+                "ry": np.tile(np.repeat(np.arange(out_h, dtype=np.int32),
+                                        out_w), n),
+                "rx": np.tile(np.arange(out_w, dtype=np.int32),
+                              out_h * n),
+                "value": np.round(pooled.reshape(-1), 6),
+            })
 
     return assets.mapInPandas(
         run, "asset_id long, ry int, rx int, value double")
@@ -135,14 +141,27 @@ def frame_sample_df(assets: DataFrame, every_ms: int = 1000,
             if not len(pdf):
                 continue
             digests = []
-            for payload, ts in zip(pdf["payload"], pdf["frame_ts"]):
-                # frame key = payload + 8-hex-digit timestamp (ASCII, so
-                # a SQL oracle can rebuild the exact hashed bytes)
-                px = (_fake_decode(bytes(payload) + format(int(ts),
-                                                           "08x").encode(),
-                                   "video") if fake
-                      else real_decode(bytes(payload), "video"))
-                digests.append(int(px.sum()))
+            # frame key = payload + 8-hex-digit timestamp (ASCII, so a
+            # SQL oracle can rebuild the exact hashed bytes).  The
+            # payload prefix is hashed ONCE per asset and copied per
+            # frame (sha256 midstate reuse) — for a video with F frames
+            # that's O(payload + F·key) hashing instead of O(F·payload).
+            # The fake-decode digest 4·sum(sha256) equals the old
+            # frombuffer((h*8)[:128]).sum() exactly.
+            base_cache: dict[int, "hashlib._Hash"] = {}
+            for asset_id, payload, ts in zip(pdf["asset_id"],
+                                             pdf["payload"], pdf["frame_ts"]):
+                if not fake:
+                    digests.append(int(real_decode(bytes(payload),
+                                                   "video").sum()))
+                    continue
+                base = base_cache.get(asset_id)
+                if base is None:
+                    base = hashlib.sha256(bytes(payload))
+                    base_cache[asset_id] = base
+                hh = base.copy()
+                hh.update(format(int(ts), "08x").encode())
+                digests.append(4 * sum(hh.digest()))
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "frame_ts": pdf["frame_ts"],

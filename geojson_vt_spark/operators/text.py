@@ -115,8 +115,10 @@ def winnow_fingerprints_df(docs: DataFrame, text_col: str = "text",
     def fps(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            codes = np.fromiter((ord(c) for c in t), dtype=np.int64,
-                                count=len(t))
+            # utf-32-le bytes ARE the codepoints — one memcpy-ish
+            # decode instead of a per-character Python ord() loop
+            codes = np.frombuffer(t.encode("utf-32-le"),
+                                  dtype=np.uint32).astype(np.int64)
             n = len(codes) - k + 1
             if n <= 0:
                 out.append(np.empty(0, dtype=np.int64))

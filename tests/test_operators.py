@@ -115,6 +115,19 @@ def test_exact_dedup_removes_planted_clones(spark, docs_with_dups):
         F.col("doc_id") < 200000).count() == 0
 
 
+def test_exact_dedup_no_text_in_exchange(spark, docs_with_dups):
+    """The winner pass must shuffle (fp, id) only — never the document
+    text — and get map-side partial aggregation (VERDICT r2 wrong #1)."""
+    plan = exact_dedup(docs_with_dups)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "HashAggregate" in plan, plan
+    # no exchange may carry the text column; text appears only in scans
+    # and the final semi-joined output projection
+    for chunk in plan.split("Exchange")[1:]:
+        key_spec = chunk.split("\n", 1)[0]
+        assert "text" not in key_spec, key_spec
+
+
 def test_minhash_finds_planted_near_dups(spark, docs_with_dups):
     pairs = minhash_lsh_pairs(docs_with_dups, threshold=0.5)
     found = {(r.id_a, r.id_b) for r in pairs.collect()}
