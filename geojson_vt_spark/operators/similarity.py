@@ -56,28 +56,83 @@ def _centroid_structs(cents: list[tuple[int, list[float]]],
     return out
 
 
+def ivf_fit(df: DataFrame, n_centroids: int = 16, iters: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            dim: int = 64) -> list[tuple[int, list[float]]]:
+    """Train an IVF quantizer with distributed spherical k-means and
+    return the model: a plain ``[(centroid_id, vector), ...]`` list,
+    reusable across ``ivf_topk`` calls (train once, probe many).
+
+    Every stage is a DataFrame job sized for the cluster, never the
+    driver: init picks ``n_centroids`` seeds by hash order (a
+    distributed TakeOrdered over xxhash64(id) — a deterministic uniform
+    sample, unlike lowest-id which inherits whatever id order encodes);
+    each Lloyd round assigns rows with the same broadcast-literal
+    struct-argmax the query path uses (no N×C explode, no window) and
+    re-estimates means with one hash-aggregate of D per-dimension sums
+    + a count (map-side partial combine; only C×(D+1) numbers reach the
+    driver).  Cosine assignment is scale-invariant, so means serve as
+    spherical centroids without normalization; a cluster that loses all
+    members keeps its previous centroid."""
+    base = df.select(F.col(id_col).alias("nbr_id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    seed_rows = (base.orderBy(F.xxhash64(F.col("nbr_id").cast("string")),
+                              "nbr_id")
+                 .limit(n_centroids).collect())
+    cents = [(i, [float(x) for x in r["v"]])
+             for i, r in enumerate(seed_rows)]
+
+    for _ in range(iters):
+        best = F.array_max(F.array(*_centroid_structs(cents, F.col("v"))))
+        assigned = base.withColumn("centroid_id",
+                                   (-best["nid"]).cast("long"))
+        sums = (assigned.groupBy("centroid_id")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(F.col("v")[d]).alias(f"s{d}")
+                       for d in range(dim)])
+                .collect())
+        by_id = {int(r["centroid_id"]): r for r in sums}
+        new = []
+        for cid, old in cents:
+            r = by_id.get(cid)
+            if r is None or r["n"] == 0:
+                new.append((cid, old))
+            else:
+                n = float(r["n"])
+                new.append((cid, [float(r[f"s{d}"]) / n
+                                  for d in range(dim)]))
+        cents = new
+    return cents
+
+
 def ivf_topk(df: DataFrame, query_ids: list[int], k: int = 5,
              n_centroids: int = 16, nprobe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF-flat ANN: centroids = the ``n_centroids`` lowest-id vectors
-    (distributed TakeOrdered, collected — C is small by construction);
-    every vector is assigned to its nearest list by a per-row expression
-    over the broadcast centroid literals (no N×C explode, no window, no
-    shuffle); queries probe only the ``nprobe`` nearest lists.  At scale
-    the centroid pick becomes a k-means job; assignment and probe stay
-    the same.
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: list[tuple[int, list[float]]] | None = None) -> DataFrame:
+    """IVF-flat ANN.  ``centroids`` is the model object — pass the list
+    returned by :func:`ivf_fit` to search with a trained quantizer (and
+    to amortize training across calls); without it, centroids default to
+    the ``n_centroids`` lowest-id vectors (distributed TakeOrdered,
+    collected — C is small by construction), the deterministic variant
+    the DuckDB oracle replays exactly.
 
-    The only shuffle in the whole plan is the final per-query top-k over
-    the ~N·nprobe/C candidate rows."""
+    Every vector is assigned to its nearest list by a per-row expression
+    over the broadcast centroid literals (no N×C explode, no window, no
+    shuffle); queries probe only the ``nprobe`` nearest lists.  The only
+    shuffle in the whole plan is the final per-query top-k over the
+    ~N·nprobe/C candidate rows."""
     base = df.select(F.col(id_col).alias("nbr_id"),
                      F.col(vec_col).cast("array<double>").alias("v"))
 
-    # deterministic centroids — orderBy().limit() is a distributed
-    # TakeOrdered (per-partition top-C, merged on the driver), unlike a
-    # global row_number window which funnels N rows through one task
-    cent_rows = base.orderBy("nbr_id").limit(n_centroids).collect()
-    cents = [(int(r["nbr_id"]), [float(x) for x in r["v"]])
-             for r in cent_rows]
+    if centroids is not None:
+        cents = centroids
+    else:
+        # deterministic centroids — orderBy().limit() is a distributed
+        # TakeOrdered (per-partition top-C, merged on the driver), unlike
+        # a global row_number window which funnels N rows through one task
+        cent_rows = base.orderBy("nbr_id").limit(n_centroids).collect()
+        cents = [(int(r["nbr_id"]), [float(x) for x in r["v"]])
+                 for r in cent_rows]
 
     def nearest(vcol):
         best = F.array_max(F.array(*_centroid_structs(cents, vcol)))
