@@ -1,5 +1,7 @@
 """Structured Streaming surface: windowed tile rollups and streaming
-dedup over the rate-replayed corpus."""
+dedup over the rate-replayed corpus, plus batch-equivalence oracles —
+the same corpus replayed through a file source with an availableNow
+trigger must produce exactly the batch rollup/dedup results."""
 
 import time
 
@@ -85,3 +87,75 @@ def test_streaming_heavy_tiles_stateful(spark, tmp_path):
     assert len(cells) == len(set(cells)), "each tile fires at most once"
     assert all(r.num_points > 50 for r in rows)
     assert all(c % 32 == 2 for c in cells), "valid z=2 tile ids"
+
+
+def _replay_stream(spark, src_dir, schema):
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
+def test_streaming_tile_counts_equals_batch_rollup(spark, tmp_path):
+    """Oracle: streaming_tile_counts over a file-source replay of the
+    batch corpus (availableNow trigger) == the batch window rollup,
+    restricted to windows the final watermark released (every window
+    whose end <= max_ts - watermark delay; the 4-year warc_ts span
+    makes that all but the last one)."""
+    from geojson_vt_spark.sources.corpus import synth_pages_df
+    from geojson_vt_spark.streaming import streaming_tile_counts
+
+    pages = synth_pages_df(spark, 2000, seed=42)
+    src = str(tmp_path / "pages_src")
+    pages.write.parquet(src)
+    static = spark.read.parquet(src)
+
+    stream = _replay_stream(spark, src, static.schema)
+    counts = streaming_tile_counts(stream, res=4, window="30 days",
+                                   watermark="1 hour", ts_col="warc_ts")
+    q = (counts.writeStream.format("memory").queryName("tc_oracle")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_tc"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.win_start, r.cell, r.n_pages)
+           for r in spark.table("tc_oracle").collect()}
+
+    from geojson_vt_spark.functions.geo import cell_col
+    from geojson_vt_spark.streaming.pipeline import _page_centroids
+    max_ts = static.agg(F.max("warc_ts")).collect()[0][0]
+    batch = (_page_centroids(static)
+             .groupBy(F.window("warc_ts", "30 days").alias("win"),
+                      cell_col(F.col("lon"), F.col("lat"), 4).alias("cell"))
+             .agg(F.count(F.lit(1)).alias("n_pages"))
+             .where(F.col("win.end") <= F.lit(max_ts) - F.expr(
+                 "INTERVAL 1 HOUR"))
+             .select(F.col("win.start").alias("win_start"), "cell",
+                     "n_pages"))
+    want = {(r.win_start, r.cell, r.n_pages) for r in batch.collect()}
+    assert len(want) > 20
+    assert got == want
+
+
+def test_streaming_dedup_equals_batch_dedup(spark, tmp_path):
+    """Oracle: streaming_dedup_by_url over a replayed corpus with every
+    page duplicated == the batch url-distinct set (duplicates are
+    byte-identical rows, so full-row equality holds regardless of which
+    copy wins)."""
+    from geojson_vt_spark.sources.corpus import synth_pages_df
+    from geojson_vt_spark.streaming import streaming_dedup_by_url
+
+    pages = synth_pages_df(spark, 1000, seed=42)
+    src = str(tmp_path / "dup_src")
+    pages.unionByName(pages).write.parquet(src)
+    static = spark.read.parquet(src)
+
+    stream = _replay_stream(spark, src, static.schema)
+    deduped = streaming_dedup_by_url(stream, watermark="1 hour",
+                                     ts_col="warc_ts")
+    q = (deduped.writeStream.format("memory").queryName("dd_oracle")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_dd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.url, r.warc_ts, r.text)
+                 for r in spark.table("dd_oracle").collect())
+    want = sorted((r.url, r.warc_ts, r.text) for r in pages.collect())
+    assert got == want
