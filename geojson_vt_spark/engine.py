@@ -109,8 +109,26 @@ class SparkTileEngine:
         # memoized store readers: parquet listing/schema discovery runs
         # once per engine lifetime, not once per lookup call
         self._df_cache: dict = {}
+        self._kernel_session = None
         import threading
         self._lineage_lock = threading.Lock()
+
+    def _kernel_spark(self) -> SparkSession:
+        """Session clone for the grouped-map handoff jobs (shared JVM,
+        independent SQL conf).  AQE partition coalescing folds the small
+        handoff shuffle into ~1MB-floor partitions, gluing kernel groups
+        into the same task and serializing them — with a handful of
+        CPU-heavy groups, partitions must track GROUPS, not bytes.  The
+        clone turns coalescing off and widens the shuffle so each light
+        tile's subtree build is its own task."""
+        if self._kernel_session is None:
+            s = self.spark.newSession()
+            s.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "false")
+            par = self.spark.sparkContext.defaultParallelism
+            s.conf.set("spark.sql.shuffle.partitions", str(max(4 * par, 256)))
+            self._kernel_session = s
+        return self._kernel_session
 
     # ------------------------------------------------------------ paths
 
@@ -132,8 +150,24 @@ class SparkTileEngine:
                        os.path.join(path, "part-00000.parquet"))
         open(os.path.join(path, "_SUCCESS"), "w").close()
 
-    def _read_frontier(self, z: int) -> DataFrame:
-        return self.spark.read.parquet(self._p("frontier", f"z={z}"))
+    def _read_frontier(self, z: int, session: SparkSession | None = None) -> DataFrame:
+        """Frontier DataFrame for zoom z.  z=0 has a zero-copy mode: when
+        no dateline wrap is needed, the z0 frontier IS the converted
+        features checkpoint plus constant columns, served as a view —
+        the whole corpus is not rewritten a second time just to gain
+        (z=0, x=0, y=0) literals."""
+        spark = session or self.spark
+        path = self._p("frontier", f"z={z}")
+        if z == 0 and not os.path.isdir(path):
+            from .pipeline import _ord_extend
+            n_verts = (F.size("coords") / 3).cast("long").alias("n_verts")
+            return (spark.read.parquet(self._p("features"))
+                    .withColumn("ord_path", _ord_extend(1, F.lit(0)))
+                    .withColumn("z", F.lit(0))
+                    .withColumn("x", F.lit(0))
+                    .withColumn("y", F.lit(0))
+                    .select(*TILED_COLUMNS, n_verts))
+        return spark.read.parquet(path)
 
     def _lineage_path(self) -> str:
         return self._p("lineage.json")
@@ -184,13 +218,21 @@ class SparkTileEngine:
         levels_left = max(1, self.options.index_max_zoom - z)
         budget = self._KERNEL_PTS_PER_TASK // levels_left
         par = self.spark.sparkContext.defaultParallelism
-        if n_points is not None and (1 << (2 * z)) < par:
+        if (n_points is not None and (1 << (2 * z)) < par
+                and n_points * levels_left > par * self._KERNEL_PTS_PER_TASK):
             # parallelism guard: handing off a handful of fat subtrees
             # starves the executors (4 tasks on 32 cores), so while the
             # zoom can't yet hold one tile per core (4^z < parallelism)
             # keep distributing — tile count grows 4× per level, so the
             # guard expires after log4(cores) zooms and never chases
-            # skewed hot tiles into deep, sync-round-dominated loops
+            # skewed hot tiles into deep, sync-round-dominated loops.
+            # It only pays when the REMAINING work exceeds one fleet
+            # wave of budget-sized tasks (par × task budget): below
+            # that, the whole rest of the pyramid completes in a single
+            # handoff wave, and every extra distributed round is a pure
+            # ~2s sync cost that no added parallelism can win back —
+            # the round-3 profile showed a 30k-page build spending 8 of
+            # its 14 s on exactly those guard-forced rounds
             fair = n_points // (2 * par)
             budget = min(budget, fair)
         # floor keeps tasks from going microscopic (per-task Arrow +
@@ -208,7 +250,7 @@ class SparkTileEngine:
             # x/y isin conjuncts are parquet-pushdownable (row-group
             # pruning); the packed-pair filter alone is an expression
             # over two columns and forces a full scan of the frontier
-            sel = self._read_frontier(z).where(
+            sel = self._read_frontier(z, self._kernel_spark()).where(
                 F.col("x").isin([int(x) for x, _ in keys]) &
                 F.col("y").isin([int(y) for _, y in keys]) &
                 _pack_col().isin(packed))
@@ -235,19 +277,60 @@ class SparkTileEngine:
     def build_from_converted(self, features_df: DataFrame,
                              resume: bool = False) -> None:
         """Checkpoint the (expensive) converted-features stage to parquet
-        before the wrap decision, so ingest/convert executes exactly once
-        — wrap's candidate agg and the z0 frontier write both re-read the
-        checkpoint instead of re-running the whole upstream pipeline."""
-        path = self._p("features")
-        if not (resume and os.path.exists(os.path.join(path, "_SUCCESS"))):
-            features_df.write.mode("overwrite").parquet(path)
-        feats = self.spark.read.parquet(path)
-        self.build(wrap_df(feats, self.options), resume=resume)
+        before the wrap decision, so ingest/convert executes exactly once.
 
-    def build(self, features_df: DataFrame, resume: bool = False) -> None:
+        The wrap-candidate counts ride the SAME write job as observed
+        metrics (no separate agg pass), and in the common no-wrap case
+        the z0 frontier is served as a view over this checkpoint
+        (``_read_frontier``) — one materialization of the corpus
+        total, not two."""
+        from pyspark.sql import Observation
+
+        opts = self.options
+        b = opts.buffer / opts.extent
+        path = self._p("features")
+        counts = z0_stats = None
+        if not (resume and os.path.exists(os.path.join(path, "_SUCCESS"))):
+            obs = Observation()
+            (features_df.observe(
+                obs,
+                F.sum((F.col("minx") <= b).cast("long")).alias("l"),
+                F.sum((F.col("maxx") >= 1 - b).cast("long")).alias("r"),
+                # z0 holds exactly one tile, so its classification stats
+                # are global aggregates — free in this same write job
+                F.count(F.lit(1)).alias("num_features"),
+                F.sum((F.size("coords") / 3).cast("long")).alias("num_points"),
+                F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+                F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"))
+             .write.mode("overwrite").parquet(path))
+            got = obs.get
+            counts = (int(got["l"] or 0), int(got["r"] or 0))
+            if got["num_features"]:
+                z0_stats = [{"x": 0, "y": 0,
+                             "num_features": int(got["num_features"]),
+                             "num_points": int(got["num_points"]),
+                             "minx": float(got["minx"]),
+                             "miny": float(got["miny"]),
+                             "maxx": float(got["maxx"]),
+                             "maxy": float(got["maxy"])}]
+        feats = self.spark.read.parquet(path)
+        if counts is None:
+            row = feats.agg(
+                F.sum((F.col("minx") <= b).cast("long")).alias("l"),
+                F.sum((F.col("maxx") >= 1 - b).cast("long")).alias("r")).first()
+            counts = (row["l"] or 0, row["r"] or 0)
+        if counts[0] or counts[1]:
+            self.build(wrap_df(feats, opts, counts=counts), resume=resume)
+        else:
+            self.build(None, resume=resume, z0_stats=z0_stats)
+
+    def build(self, features_df: DataFrame | None, resume: bool = False,
+              z0_stats: list[dict] | None = None) -> None:
         """First-pass pyramid (cz == null path of splitTile).
 
-        features_df: FEATURE_SCHEMA rows, already converted + wrapped.
+        features_df: FEATURE_SCHEMA rows, already converted + wrapped —
+        or None, meaning the z0 frontier is the features checkpoint
+        served as a view (no-wrap fast path of build_from_converted).
         With resume=True, restarts after the last zoom whose lineage row
         is complete, reusing the checkpointed frontier.
         """
@@ -277,12 +360,21 @@ class SparkTileEngine:
 
         n_verts = (F.size("coords") / 3).cast("long").alias("n_verts")
         if start_z == 0:
-            frontier = (features_df
-                        .withColumn("z", F.lit(0))
-                        .withColumn("x", F.lit(0))
-                        .withColumn("y", F.lit(0))
-                        .select(*TILED_COLUMNS, n_verts))
-            frontier.write.mode("overwrite").parquet(self._p("frontier", "z=0"))
+            if features_df is not None:
+                frontier = (features_df
+                            .withColumn("z", F.lit(0))
+                            .withColumn("x", F.lit(0))
+                            .withColumn("y", F.lit(0))
+                            .select(*TILED_COLUMNS, n_verts))
+                frontier.write.mode("overwrite").parquet(
+                    self._p("frontier", "z=0"))
+            else:
+                # view mode: clear any stale materialized z0 frontier so
+                # _read_frontier(0) serves the features-checkpoint view
+                import shutil
+                p0 = self._p("frontier", "z=0")
+                if os.path.isdir(p0):
+                    shutil.rmtree(p0)
 
         z = start_z
         prev_points = 0
@@ -304,10 +396,21 @@ class SparkTileEngine:
             # OPTIMISTIC SPLIT: start producing zoom z+1 children for
             # every tile now, concurrently with assembly — the stop-rule
             # classification only decides which children the NEXT
-            # iteration reads, so leaves' children are simply never read
+            # iteration reads, so leaves' children are simply never read.
+            # DEFERRED once the remaining work fits a single handoff
+            # wave (the same bound as the threshold guard): there the
+            # round is overwhelmingly likely the last, the optimistic
+            # clip of the whole frontier is dead work competing with the
+            # subtree batches, and if a straggler tile does stay heavy
+            # the split runs after classification over the HEAVY parents
+            # only (a strict subset of the optimistic job)
             fut_split = None
             split_group = None
-            if z < opts.index_max_zoom:
+            defer_split = (
+                heavy_prev is not None
+                and prev_points * max(1, opts.index_max_zoom - z)
+                <= par * self._KERNEL_PTS_PER_TASK)
+            if z < opts.index_max_zoom and not defer_split:
                 n_parts = max(par, min(
                     4096,
                     prev_points // self.target_points_per_partition + 1))
@@ -347,16 +450,20 @@ class SparkTileEngine:
             # dropped later, tile.js:89 — exactly sum(size(coords)/3)),
             # so the stop rules never wait for the render job
             # n_verts was precomputed at frontier-write time, so this
-            # agg scans only slim integer/double columns
-            stats = (frontier
-                     .groupBy("x", "y")
-                     .agg(F.count(F.lit(1)).alias("num_features"),
-                          F.sum("n_verts").alias("num_points"),
-                          F.min("minx").alias("minx"),
-                          F.min("miny").alias("miny"),
-                          F.max("maxx").alias("maxx"),
-                          F.max("maxy").alias("maxy"))
-                     .collect())
+            # agg scans only slim integer/double columns.  z0 stats may
+            # arrive precomputed (observed during the features write)
+            if z == 0 and z0_stats is not None:
+                stats = z0_stats
+            else:
+                stats = (frontier
+                         .groupBy("x", "y")
+                         .agg(F.count(F.lit(1)).alias("num_features"),
+                              F.sum("n_verts").alias("num_points"),
+                              F.min("minx").alias("minx"),
+                              F.min("miny").alias("miny"),
+                              F.max("maxx").alias("maxx"),
+                              F.max("maxy").alias("maxy"))
+                         .collect())
             _tm = {"stats": time.monotonic() - t0}
             present = {(r["x"], r["y"]) for r in stats}
             n_points = sum(r["num_points"] for r in stats)
@@ -401,14 +508,16 @@ class SparkTileEngine:
                            if (x, y) not in split_set]
             leaf_keys = [(x, y) for (x, y) in present
                          if (x, y) not in split_set]
-            fut_sources = pool.submit(
-                lambda z=z, lp=list(leaf_packed), lk=leaf_keys:
-                self._read_frontier(z).where(
-                    F.col("x").isin([int(x) for x, _ in lk]) &
-                    F.col("y").isin([int(y) for _, y in lk]) &
-                    _pack_col().isin(lp))
-                .drop("z").write.mode("overwrite")
-                .parquet(self._p("sources", f"z={z}")))
+            fut_sources = None
+            if leaf_keys:
+                fut_sources = pool.submit(
+                    lambda z=z, lp=list(leaf_packed), lk=leaf_keys:
+                    self._read_frontier(z).where(
+                        F.col("x").isin([int(x) for x, _ in lk]) &
+                        F.col("y").isin([int(y) for _, y in lk]) &
+                        _pack_col().isin(lp))
+                    .drop("z").write.mode("overwrite")
+                    .parquet(self._p("sources", f"z={z}")))
 
             self._submit_subtree(pool, futures, z, light)
             final = not heavy
@@ -473,7 +582,8 @@ class SparkTileEngine:
                 self._write_local_parquet(tiles_pdf,
                                           self._p("tiles", f"z={z}"))
                 _tm["tiles_write"] = time.monotonic() - _t
-                fut_sources.result()
+                if fut_sources is not None:
+                    fut_sources.result()
                 # lineage rows must land in zoom order: "complete up to
                 # z" has to imply every store below z is durable.  The
                 # pool is FIFO, so the previous finalize has started
@@ -508,6 +618,21 @@ class SparkTileEngine:
                 else:
                     fut_split.result()
                     _tm["split_wait"] = time.monotonic() - _t
+            elif not final and z < opts.index_max_zoom:
+                # deferred split: the heavy set is known, so clip only
+                # the heavy parents' rows — light/leaf children come
+                # from the subtree batches and are never read
+                hp = [_pack_xy(x, y) for x, y in heavy]
+                fr_heavy = frontier.where(
+                    F.col("x").isin([int(x) for x, _ in heavy]) &
+                    F.col("y").isin([int(y) for _, y in heavy]) &
+                    _pack_col().isin(hp))
+                n_parts = max(par, min(
+                    4096, heavy_points // self.target_points_per_partition + 1))
+                (split_children_df(fr_heavy, z, opts).select("*", n_verts)
+                 .repartition(n_parts).write.mode("overwrite")
+                 .parquet(self._p("frontier", f"z={z+1}")))
+                _tm["split_sync"] = time.monotonic() - _t
             prev_points = heavy_points
             if final:
                 break

@@ -213,7 +213,8 @@ def _shift_df(df: DataFrame, offset: float) -> DataFrame:
             .withColumn("maxx", F.col("maxx") + offset))
 
 
-def wrap_df(df: DataFrame, options: TileOptions) -> DataFrame:
+def wrap_df(df: DataFrame, options: TileOptions,
+            counts: tuple[int, int] | None = None) -> DataFrame:
     """Distributed dateline wrap (/root/reference/src/wrap.js:5-19).
 
     ord_path gains a [world, ..., slice] envelope; world 0/1/2 =
@@ -227,11 +228,13 @@ def wrap_df(df: DataFrame, options: TileOptions) -> DataFrame:
     so the bbox test errs exclusively on the safe side."""
     b = options.buffer / options.extent
 
-    counts = df.agg(
-        F.sum((F.col("minx") <= b).cast("long")).alias("l"),
-        F.sum((F.col("maxx") >= 1 - b).cast("long")).alias("r")).first()
-    has_left = bool(counts["l"])
-    has_right = bool(counts["r"])
+    if counts is None:
+        row = df.agg(
+            F.sum((F.col("minx") <= b).cast("long")).alias("l"),
+            F.sum((F.col("maxx") >= 1 - b).cast("long")).alias("r")).first()
+        counts = (row["l"] or 0, row["r"] or 0)
+    has_left = bool(counts[0])
+    has_right = bool(counts[1])
 
     if not has_left and not has_right:
         return df.withColumn("ord_path", _ord_extend(1, F.lit(0)))
@@ -798,8 +801,10 @@ def subtree_stage_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
     threshold, so no group can exceed executor memory."""
     def run(key, pdf):
         z0, x0, y0 = int(key[0]), int(key[1]), int(key[2])
-        order = sorted(range(len(pdf)),
-                       key=lambda i: tuple(pdf["ord_path"].iloc[i]))
+        # materialize sort keys once — a per-comparison .iloc lambda
+        # costs ~10µs/row and was a visible slice of the task wall
+        ords = [tuple(v) for v in pdf["ord_path"]]
+        order = sorted(range(len(ords)), key=ords.__getitem__)
         pdf = pdf.iloc[order].reset_index(drop=True)
         state = _pdf_state(pdf)
         tile_rows, sources = batch_split_subtree(None, z0, x0, y0, options,
