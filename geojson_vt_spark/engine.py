@@ -859,21 +859,24 @@ class SparkTileEngine:
         return None
 
     def _source_rows(self, z, x, y) -> list:
-        """Collect retained-source feature records for (z,x,y) from the
-        per-zoom sources store and the subtree batches."""
-        rows = []
+        """Collect retained-source feature records (plain dicts) for
+        (z,x,y) from the per-zoom sources store (row per feature) and
+        the subtree batches (one packed row per leaf tile)."""
+        from .pipeline import SOURCE_PACK_COLUMNS, unpack_source_pack
+        rows: list[dict] = []
         p1 = self._p("sources", f"z={z}")
         if os.path.isdir(p1):
             rows.extend(
-                self.spark.read.parquet(p1)
+                r.asDict() for r in self.spark.read.parquet(p1)
                 .where((F.col("x") == x) & (F.col("y") == y))
                 .select(*FEATURE_COLUMNS).collect())
         sub = self._subtree_df()
         if sub is not None:
-            rows.extend(
-                sub.where((F.col("kind") == "source") & (F.col("z") == z) &
-                          (F.col("x") == x) & (F.col("y") == y))
-                .select(*FEATURE_COLUMNS).collect())
+            for r in (sub.where((F.col("kind") == "source") &
+                                (F.col("z") == z) &
+                                (F.col("x") == x) & (F.col("y") == y))
+                      .select(*SOURCE_PACK_COLUMNS).collect()):
+                rows.extend(unpack_source_pack(r))
         return rows
 
     def _lookup_source(self, z, x, y):
@@ -888,7 +891,7 @@ class SparkTileEngine:
         if st is None or not st["has_source"]:
             return None
         from .model import record_to_feature
-        feats = sorted((record_to_feature(r.asDict())
+        feats = sorted((record_to_feature(r)
                         for r in self._source_rows(z, x, y)),
                        key=lambda t: t[0])
         return feats if feats else None

@@ -465,16 +465,26 @@ SUBTREE_SCHEMA = T.StructType([
     T.StructField("ffids", T.ArrayType(T.StringType(), True), True),
     T.StructField("is_split", T.BooleanType(), True),
     T.StructField("has_source", T.BooleanType(), True),
-    T.StructField("ord_path", T.ArrayType(T.LongType()), True),
-    T.StructField("fid_json", T.StringType(), True),
-    T.StructField("tags_json", T.StringType(), True),
-    T.StructField("gtype", T.StringType(), True),
-    T.StructField("coords", T.ArrayType(T.DoubleType()), True),
-    T.StructField("ring_lens", T.ArrayType(T.IntegerType()), True),
-    T.StructField("poly_lens", T.ArrayType(T.IntegerType()), True),
-    T.StructField("ring_size", T.ArrayType(T.DoubleType()), True),
-    T.StructField("ring_start", T.ArrayType(T.DoubleType()), True),
-    T.StructField("ring_end", T.ArrayType(T.DoubleType()), True),
+    # retained-source pack (kind=source): ONE row per leaf tile holding
+    # every source feature in flat concatenated arrays.  A per-feature
+    # row layout here was the measured straggler term of the handoff
+    # stage (a budget-sized group emits ~1M nested rows); the pack is a
+    # handful of big flat arrays instead — O(1) rows per tile
+    T.StructField("sp_gcode", T.ArrayType(T.IntegerType()), True),
+    T.StructField("sp_fids", T.ArrayType(T.StringType(), True), True),
+    T.StructField("sp_tags", T.ArrayType(T.StringType(), True), True),
+    T.StructField("sp_nrings", T.ArrayType(T.IntegerType()), True),
+    T.StructField("sp_ringlens", T.ArrayType(T.IntegerType()), True),
+    T.StructField("sp_npoly", T.ArrayType(T.IntegerType()), True),
+    T.StructField("sp_polylens", T.ArrayType(T.IntegerType()), True),
+    T.StructField("sp_coords", T.ArrayType(T.DoubleType()), True),
+    T.StructField("sp_rsize", T.ArrayType(T.DoubleType()), True),
+    T.StructField("sp_rstart", T.ArrayType(T.DoubleType()), True),
+    T.StructField("sp_rend", T.ArrayType(T.DoubleType()), True),
+    T.StructField("sp_minx", T.ArrayType(T.DoubleType()), True),
+    T.StructField("sp_miny", T.ArrayType(T.DoubleType()), True),
+    T.StructField("sp_maxx", T.ArrayType(T.DoubleType()), True),
+    T.StructField("sp_maxy", T.ArrayType(T.DoubleType()), True),
     T.StructField("minx", T.DoubleType(), True),
     T.StructField("miny", T.DoubleType(), True),
     T.StructField("maxx", T.DoubleType(), True),
@@ -482,6 +492,47 @@ SUBTREE_SCHEMA = T.StructType([
 ])
 
 _SUBTREE_COLUMNS = [f.name for f in SUBTREE_SCHEMA.fields]
+
+SOURCE_PACK_COLUMNS = [f.name for f in SUBTREE_SCHEMA.fields
+                       if f.name.startswith("sp_")]
+
+
+def unpack_source_pack(row) -> list[dict]:
+    """kind=source subtree row (flat sp_* arrays) → per-feature FEATURE
+    record dicts, ord_path = emission position.  Read-side twin of
+    feature_pack; runs per drill-target tile, so plain Python slicing
+    is fine here."""
+    from .kernel.vec import GTYPES
+    gcodes = row["sp_gcode"] or []
+    nrings = row["sp_nrings"] or []
+    ringlens = row["sp_ringlens"] or []
+    npoly = row["sp_npoly"] or []
+    polylens = row["sp_polylens"] or []
+    out = []
+    ri = ci = pi = 0
+    for i, code in enumerate(gcodes):
+        nr = int(nrings[i])
+        rl = ringlens[ri:ri + nr]
+        c2 = int(sum(rl))
+        npl = int(npoly[i])
+        out.append({
+            "ord_path": [i],
+            "fid_json": row["sp_fids"][i],
+            "tags_json": row["sp_tags"][i],
+            "gtype": GTYPES[int(code)],
+            "coords": row["sp_coords"][ci:ci + c2],
+            "ring_lens": rl,
+            "poly_lens": polylens[pi:pi + npl] if npl else None,
+            "ring_size": row["sp_rsize"][ri:ri + nr],
+            "ring_start": row["sp_rstart"][ri:ri + nr],
+            "ring_end": row["sp_rend"][ri:ri + nr],
+            "minx": row["sp_minx"][i], "miny": row["sp_miny"][i],
+            "maxx": row["sp_maxx"][i], "maxy": row["sp_maxy"][i],
+        })
+        ri += nr
+        ci += c2
+        pi += npl
+    return out
 
 
 def split_subtree(features, z0: int, x0: int, y0: int, options: TileOptions):
@@ -549,7 +600,8 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
     splitTile, first-pass stop rules).
 
     Returns (tile_rows, sources) where tile_rows are dicts of the
-    subtree 'tile' kind and sources maps (z,x,y) → FEATURE record list.
+    subtree 'tile' kind and sources maps leaf (z,x,y) → a packed-array
+    dict (see feature_pack / SUBTREE_SCHEMA sp_* columns).
     """
     import numpy as np
 
@@ -582,12 +634,14 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
 
     level_arrays = {}
 
-    def feature_records(idxs):
-        """Slice many features back into FEATURE records (ords assigned
-        by caller) — leaf-tile source retention.  Hot path at scale
-        (every feature lands here once per build): hoisted locals, view
-        slices, no imports, no scalar casts."""
-        from .kernel.vec import GT_MPOLY, GTYPES, rags_to_feature_arrays
+    def feature_pack(idxs):
+        """All of a leaf tile's retained-source features as ONE dict of
+        flat concatenated arrays (the kind=source subtree row).  Hot
+        path at scale (every feature lands here once per build): pure
+        index-math gathers — no per-feature dict, slice, or cast.  The
+        only Python loops left are the string lists (fids/tags) and the
+        rare MultiPolygon ring-count split."""
+        from .kernel.vec import GT_MPOLY, rags_to_feature_arrays
         if "f_roff" not in level_arrays:
             f_roff_, xyz_ = rags_to_feature_arrays(rags)
             level_arrays["f_roff"] = f_roff_
@@ -597,31 +651,39 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
         xyz_ = level_arrays["xyz"]
         lens3 = level_arrays["lens3"]
         roff = rags.roff
-        rsize, rstart, rend = rags.rsize, rags.rstart, rags.rend
+        idxs = np.asarray(idxs, dtype=np.int64)
+        fnr = (f_roff_[idxs + 1] - f_roff_[idxs]).astype(np.int64)
+        rsrc = np.repeat(f_roff_[idxs], fnr) + ragged_arange(fnr)
+        rl = lens3[rsrc]
+        rl64 = rl.astype(np.int64)
+        csrc = np.repeat(3 * roff[rsrc], rl64) + ragged_arange(rl64)
+        gsel = gcodes[idxs] if len(idxs) else np.empty(0, dtype=np.int64)
+        npoly = np.zeros(len(idxs), dtype=np.int32)
+        polylens = []
         rpoly = rags.rpoly
-        n_r = rags.n_rings
-        out = []
-        for fi in idxs:
-            fi = int(fi)
-            r0 = f_roff_[fi]
-            r1 = f_roff_[fi + 1]
-            v0 = roff[r0] if r0 < n_r else 0
-            v1 = roff[r1] if r0 < n_r else v0
-            code = gcodes[fi]
-            out.append({
-                "fid_json": fids[fi], "tags_json": tagss[fi],
-                "gtype": GTYPES[code],
-                "coords": xyz_[3 * v0:3 * v1],
-                "ring_lens": lens3[r0:r1],
-                "poly_lens": (np.bincount(rpoly[r0:r1]).astype(np.int32)
-                              if code == GT_MPOLY else None),
-                "ring_size": rsize[r0:r1],
-                "ring_start": rstart[r0:r1],
-                "ring_end": rend[r0:r1],
-                "minx": float(fminx[fi]), "miny": float(fminy[fi]),
-                "maxx": float(fmaxx[fi]), "maxy": float(fmaxy[fi]),
-            })
-        return out
+        for k in np.nonzero(gsel == GT_MPOLY)[0]:
+            fi = int(idxs[k])
+            pl = np.bincount(
+                rpoly[f_roff_[fi]:f_roff_[fi + 1]]).astype(np.int32)
+            npoly[k] = len(pl)
+            polylens.append(pl)
+        return {
+            "n": len(idxs),
+            "sp_gcode": gsel.astype(np.int32),
+            "sp_fids": [fids[int(i)] for i in idxs],
+            "sp_tags": [tagss[int(i)] for i in idxs],
+            "sp_nrings": fnr.astype(np.int32),
+            "sp_ringlens": rl,
+            "sp_npoly": npoly,
+            "sp_polylens": (np.concatenate(polylens) if polylens
+                            else np.empty(0, dtype=np.int32)),
+            "sp_coords": xyz_[csrc],
+            "sp_rsize": rags.rsize[rsrc],
+            "sp_rstart": rags.rstart[rsrc],
+            "sp_rend": rags.rend[rsrc],
+            "sp_minx": fminx[idxs], "sp_miny": fminy[idxs],
+            "sp_maxx": fmaxx[idxs], "sp_maxy": fmaxy[idxs],
+        }
 
     while pending:
         level_arrays.clear()
@@ -704,7 +766,7 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
             if splits:
                 split_keys.append((gx, gy))
             else:
-                sources[(z, gx, gy)] = feature_records(idxs)
+                sources[(z, gx, gy)] = feature_pack(idxs)
 
         if not split_keys:
             break
@@ -819,27 +881,14 @@ def subtree_stage_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
         for t in tile_rows:
             emit({"kind": "tile", **t})
 
-        # source rows column-major: one comprehension per column beats
-        # a per-record emit() by ~6x at corpus scale (every feature
-        # lands here once per build)
-        recs, keys, ords = [], [], []
-        for szxy, srecs in sources.items():
-            for i, rec in enumerate(srecs):
-                recs.append(rec)
-                keys.append(szxy)
-                ords.append([i])
-        if recs:
-            n = len(recs)
-            rows["kind"].extend(["source"] * n)
-            rows["z"].extend(k[0] for k in keys)
-            rows["x"].extend(k[1] for k in keys)
-            rows["y"].extend(k[2] for k in keys)
-            rows["ord_path"].extend(ords)
-            filled = {"kind", "z", "x", "y", "ord_path"}
-            for c in _SUBTREE_COLUMNS:
-                if c in filled:
-                    continue
-                rows[c].extend([r.get(c) for r in recs])
+        # retained sources: ONE packed row per leaf tile (the flat
+        # arrays were built by feature_pack; a per-feature row layout
+        # here was the handoff stage's measured straggler term)
+        for (sz, sx, sy), pack in sources.items():
+            if pack["n"] == 0:
+                continue
+            emit({"kind": "source", "z": sz, "x": sx, "y": sy,
+                  **{k: v for k, v in pack.items() if k != "n"}})
         return pd.DataFrame(rows, columns=_SUBTREE_COLUMNS)
 
     return frontier.groupBy("z", "x", "y").applyInPandas(run, SUBTREE_SCHEMA)
