@@ -1,7 +1,8 @@
 from .dedup import (cosine_col, embedding_near_dup_pairs, exact_dedup,
                     minhash_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
                     shingles_col, simhash_col, simhash_pairs)
-from .similarity import cosine_topk, ivf_fit, ivf_topk, lsh_topk
+from .similarity import (cosine_topk, ivf_assign, ivf_fit,
+                         ivf_index, ivf_topk, lsh_topk)
 from .spatial_join import (knn_join, point_in_polygon_join, points_in_ring,
                            raster_vector_overlay)
 from .text import (bpe_ish_token_count_col, fingerprint_df, lang_id_df,
@@ -10,7 +11,7 @@ from .text import (bpe_ish_token_count_col, fingerprint_df, lang_id_df,
 __all__ = [
     "bpe_ish_token_count_col", "cosine_col", "cosine_topk",
     "embedding_near_dup_pairs", "exact_dedup", "fingerprint_df",
-    "ivf_fit", "ivf_topk",
+    "ivf_assign", "ivf_fit", "ivf_index", "ivf_topk",
     "knn_join", "lang_id_df", "lsh_topk", "minhash_dedup",
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "point_in_polygon_join",
     "points_in_ring", "quality_score_df", "raster_vector_overlay",

@@ -206,6 +206,26 @@ def test_ivf_kmeans_recall_on_clustered_data(spark):
     assert "SinglePartition" not in plan
 
 
+def test_ivf_index_materialized_lists(spark, tmp_path):
+    """ivf_topk over a materialized centroid_id-partitioned index must
+    return exactly the per-call-assignment result, and the probe scan
+    must be pruned to the probed partitions (partition filters on
+    centroid_id reach the parquet source)."""
+    from geojson_vt_spark.operators import ivf_fit, ivf_index
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    model = ivf_fit(emb, n_centroids=8, iters=2)
+    idx = ivf_index(emb, model, str(tmp_path / "ivf_idx"))
+    qids = [0, 1, 2, 3, 4]
+    direct = ivf_topk(emb, qids, k=5, nprobe=2, centroids=model)
+    via_idx = ivf_topk(emb, qids, k=5, nprobe=2, centroids=model,
+                       assigned=idx)
+    assert sorted(map(tuple, direct.collect())) == \
+        sorted(map(tuple, via_idx.collect()))
+    plan = via_idx._jdf.queryExecution().executedPlan().toString()
+    assert any("centroid_id" in chunk[:200]
+               for chunk in plan.split("PartitionFilters: [")[1:]), plan
+
+
 def test_corpus_text_invariant_across_parallelism(spark):
     from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
                                                  synth_pages_df)
