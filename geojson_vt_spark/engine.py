@@ -106,6 +106,11 @@ class SparkTileEngine:
         # tiles resolve through keyed parquet lookups, memoized below.
         self._stats_cache: dict | None = None
         self._sub_meta_cache: dict = {}
+        # batched-drill source cache: (z,x,y) → list of FEATURE record
+        # dicts, filled by _prefetch_drill so a miss-driven get_tiles
+        # batch drills entirely on warm caches (O(ancestors asked
+        # about), not data-proportional)
+        self._source_rows_cache: dict = {}
         # memoized store readers: parquet listing/schema discovery runs
         # once per engine lifetime, not once per lookup call
         self._df_cache: dict = {}
@@ -644,6 +649,7 @@ class SparkTileEngine:
         pool.shutdown()
         self._stats_cache = None
         self._sub_meta_cache.clear()
+        self._source_rows_cache.clear()
         self._df_cache.clear()
 
     # ------------------------------------------------------------ read side
@@ -850,6 +856,12 @@ class SparkTileEngine:
                     "z": z, "x": x, "y": y}
         sub = self._subtree_df()
         if sub is not None:
+            # known-absent shortcut: a batched meta probe may have
+            # already proven this tile does not exist in the subtree
+            # store — skip the per-tile read entirely
+            if (z, x, y) in self._sub_meta_cache and \
+                    self._sub_meta_cache[(z, x, y)] is None:
+                return None
             rows = (sub.where((F.col("kind") == "tile") & (F.col("z") == z) &
                               (F.col("x") == x) & (F.col("y") == y))
                     .select(*self._PACK_COLS).collect())
@@ -863,6 +875,8 @@ class SparkTileEngine:
         (z,x,y) from the per-zoom sources store (row per feature) and
         the subtree batches (one packed row per leaf tile)."""
         from .pipeline import SOURCE_PACK_COLUMNS, unpack_source_pack
+        if (z, x, y) in self._source_rows_cache:
+            return self._source_rows_cache[(z, x, y)]
         rows: list[dict] = []
         p1 = self._p("sources", f"z={z}")
         if os.path.isdir(p1):
@@ -981,6 +995,102 @@ class SparkTileEngine:
             return st["bbox"]
         return (2.0, 1.0, -1.0, 0.0)
 
+    def _prefetch_drill(self, misses) -> None:
+        """Batch every store lookup a miss-driven drill will need, so
+        the per-tile get_tile fallbacks run purely on warm caches and
+        the in-process kernel (VERDICT r2 #8 — deep drills were one
+        keyed read per ancestor per miss).
+
+        Two jobs bound the whole batch regardless of miss count: one
+        keyed subtree probe covering every requested tile + ancestor
+        chain (also caching proven ABSENCE, so the misses' own lookups
+        go jobless), and one source fetch per touched store for every
+        has_source ancestor."""
+        if not self._read_lineage():
+            return
+        from .pipeline import SOURCE_PACK_COLUMNS, unpack_source_pack
+        chains: dict = {}
+        universe: set = set()
+        for k in misses:
+            z, x, y = k
+            chain = []
+            while z > 0:
+                z -= 1
+                x >>= 1
+                y >>= 1
+                chain.append((z, x, y))
+            chains[k] = chain
+            universe.add(k)
+            universe.update(chain)
+        stats = self._stats()
+        sub = self._subtree_df()
+        need_meta = [a for a in universe
+                     if a not in stats and a not in self._sub_meta_cache]
+        if sub is not None and need_meta:
+            ids = [to_id(*a) for a in need_meta]
+            found = {}
+            for r in (sub.where((F.col("kind") == "tile") &
+                                F.col("tile_id").isin(ids))
+                      .select("z", "x", "y", "has_source",
+                              "minx", "miny", "maxx", "maxy").collect()):
+                found[(r["z"], r["x"], r["y"])] = {
+                    "has_source": r["has_source"],
+                    "bbox": (r["minx"], r["miny"],
+                             r["maxx"], r["maxy"])}
+            for a in need_meta:
+                self._sub_meta_cache[a] = found.get(a)
+
+        # every has_source ancestor can end up the drill root (a nearer
+        # one may hold an empty source, sending the walk further up)
+        want_src: set = set()
+        for chain in chains.values():
+            for a in chain:
+                meta = stats.get(a) or self._sub_meta_cache.get(a)
+                if meta is not None and meta["has_source"]:
+                    want_src.add(a)
+        fetch = [a for a in want_src
+                 if a not in self._source_rows_cache
+                 and to_id(*a) not in self._drill_sources
+                 and to_id(*a) not in self._consumed_sources]
+        if not fetch:
+            return
+        for a in fetch:
+            self._source_rows_cache[a] = []
+        by_z: dict = {}
+        for (z, x, y) in fetch:
+            by_z.setdefault(z, []).append((x, y))
+        for z, keys in sorted(by_z.items()):
+            p1 = self._p("sources", f"z={z}")
+            if not os.path.isdir(p1):
+                continue
+            sel = (self.spark.read.parquet(p1)
+                   .where(F.col("x").isin([x for x, _ in keys]) &
+                          F.col("y").isin([y for _, y in keys]) &
+                          _pack_col().isin([_pack_xy(x, y)
+                                            for x, y in keys]))
+                   .select("x", "y", *FEATURE_COLUMNS))
+            for r in sel.collect():
+                d = r.asDict()
+                key = (z, d.pop("x"), d.pop("y"))
+                if key in self._source_rows_cache:
+                    self._source_rows_cache[key].append(d)
+        if sub is not None:
+            ids = [to_id(*a) for a in fetch]
+            zs = sorted({z for z, _, _ in fetch})
+            pred = None
+            for zv in zs:
+                packed = [_pack_xy(x, y) for (z, x, y) in fetch if z == zv]
+                p = (F.col("z") == zv) & _pack_col().isin(packed)
+                pred = p if pred is None else (pred | p)
+            for r in (sub.where((F.col("kind") == "source") &
+                                F.col("z").isin(zs) & pred)
+                      .select("z", "x", "y", *SOURCE_PACK_COLUMNS)
+                      .collect()):
+                key = (r["z"], r["x"], r["y"])
+                if key in self._source_rows_cache:
+                    self._source_rows_cache[key].extend(
+                        unpack_source_pack(r))
+
     def get_tiles(self, coords) -> dict:
         """Batch getTile: resolve many (z, x, y) requests in one sweep.
 
@@ -1037,6 +1147,17 @@ class SparkTileEngine:
                     k = (r["z"], r["x"], r["y"])
                     feats[k] = self._unpack_tile_features(r)
                     want.discard(k)
+            if sub is not None:
+                for k in want:
+                    # the keyed fetch just proved these absent — cache
+                    # that so their per-tile lookups go jobless
+                    self._sub_meta_cache.setdefault(k, None)
+            if want:
+                # genuine misses: batch the meta/source lookups their
+                # drills will need (2 jobs for the whole batch), then
+                # the get_tile fallbacks below run on warm caches + the
+                # in-process kernel
+                self._prefetch_drill(sorted(want))
 
         out = {}
         for c, key in norm.items():
