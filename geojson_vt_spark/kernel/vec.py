@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import json
 
+from .fastjson import dumps as _jdumps, loads as _jloads
+
 import numpy as np
 
 from .jsmath import js_log, js_sin
@@ -243,8 +245,8 @@ def parse_feature_rows(rows, options):
             raise ValueError(INVALID_GEOJSON_MSG)
         ords.append((ordv, ci))
         gcodes.append(GT_CODE[gtype])
-        fids.append(None if fid is None else json.dumps(fid))
-        tagss.append(None if props is None else json.dumps(props))
+        fids.append(None if fid is None else _jdumps(fid))
+        tagss.append(None if props is None else _jdumps(props))
         ringss.append(rings)
         return ci + 1
 
@@ -270,7 +272,7 @@ def parse_feature_rows(rows, options):
         return emit(ordv, ci, gtype, fid, geojson.get("properties"), coords)
 
     for input_ord, gen_index, fjson in rows:
-        one(int(input_ord), 0, json.loads(fjson), gen_index)
+        one(int(input_ord), 0, _jloads(fjson), gen_index)
     return ords, gcodes, fids, tagss, ringss
 
 
@@ -507,9 +509,9 @@ def feature_obj(type_code: int, flat_pairs, rlens, tags_json,
     to the old per-feature JSON render."""
     d = {"geometry": geometry_obj(type_code, flat_pairs, rlens),
          "type": int(type_code),
-         "tags": json.loads(tags_json) if tags_json else None}
+         "tags": _jloads(tags_json) if tags_json else None}
     if fid_json is not None:
-        d["id"] = json.loads(fid_json)
+        d["id"] = _jloads(fid_json)
     return d
 
 

@@ -16,6 +16,8 @@ row order.
 from __future__ import annotations
 
 import json
+
+from .kernel.fastjson import dumps as _jdumps, loads as _jloads
 import math
 
 import numpy as np
@@ -71,8 +73,8 @@ def feature_to_record(ord_path, f: VTFeature) -> dict:
               if rings else np.empty(0))
     rec = {
         "ord_path": [int(v) for v in ord_path],
-        "fid_json": None if f.id is None else json.dumps(f.id),
-        "tags_json": None if f.tags is None else json.dumps(f.tags),
+        "fid_json": None if f.id is None else _jdumps(f.id),
+        "tags_json": None if f.tags is None else _jdumps(f.tags),
         "gtype": f.type,
         "coords": coords,
         "ring_lens": np.asarray([len(r.xyz) for r in rings], dtype=np.int32),
@@ -117,10 +119,10 @@ def record_to_feature(rec) -> tuple[tuple, VTFeature]:
     fid_json = rec["fid_json"]
     tags_json = rec["tags_json"]
     f = VTFeature(
-        id=None if fid_json is None else json.loads(fid_json),
+        id=None if fid_json is None else _jloads(fid_json),
         type=gtype,
         geometry=geometry,
-        tags=None if tags_json is None else json.loads(tags_json),
+        tags=None if tags_json is None else _jloads(tags_json),
         minx=float(rec["minx"]), miny=float(rec["miny"]),
         maxx=float(rec["maxx"]), maxy=float(rec["maxy"]),
     )
