@@ -170,6 +170,12 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
            .withColumn("sig", minhash_signature_col(F.col("hs"), num_hashes,
                                                     seed))
            .drop("hs"))
+    # the signature stage feeds BOTH the band explode and the verify-
+    # side shingle re-attach; an A/B with .persist() measured NO win at
+    # bench scale (cache materialization offsets the recompute), so the
+    # plan stays cache-free — at corpus scale the right call is to
+    # checkpoint signatures to storage once and run many band configs
+    # against them, which callers do by persisting `df` themselves
 
     # the band self-join moves only (id, band, bucket) through the
     # shuffle; the heavy shingle arrays are re-attached to the few
