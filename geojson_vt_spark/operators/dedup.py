@@ -62,8 +62,42 @@ def exact_dedup(df: DataFrame, content_col: str = "text",
     return df.join(winners, id_col, "left_semi")
 
 
-def shingles_col(text: Column, n: int = 3, words: bool = True) -> Column:
-    """Distinct n-gram shingles (word-level by default) as an array."""
+def shingles_col(text: Column, n: int = 3, words: bool = True,
+                 arrow: bool = True) -> Column:
+    """Distinct n-gram shingles (word-level by default) as an array.
+
+    The Column expression (``arrow=False``) is the SQL-portable SPEC —
+    the DuckDB oracle replicates it.  The default Arrow path computes
+    the identical shingle list in one pandas batch: interpreted
+    higher-order-function lambdas cost ~10µs per element (they sit
+    outside codegen), which made shingling ~70% of the whole minhash
+    wall at bench scale.  Parity of the two paths is pinned by
+    ``tests/test_operators.py::test_shingles_arrow_matches_column``
+    down to Java-regex whitespace classes (``\\s`` is ASCII-only in
+    Java, unicode in Python) and Spark ``trim``'s space-only trimming.
+    """
+    if words and arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def sh_udf(texts: pd.Series) -> pd.Series:
+            import re
+            ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, not Python \s
+            out = []
+            for t in texts:
+                toks = ws.split(t.strip(" ").lower())  # trim = spaces only
+                hi = max(len(toks) - n, 0)
+                seen: set = set()
+                res: list = []
+                for i in range(hi + 1):
+                    s = " ".join(toks[i:i + n])
+                    if s not in seen:
+                        seen.add(s)
+                        res.append(s)
+                out.append(res)
+            return pd.Series(out)
+
+        return sh_udf(text)
     if words:
         toks = F.split(F.trim(F.lower(text)), r"\s+")
         idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
@@ -190,14 +224,28 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
                     ",", F.slice("sig", bnd * rows_per_band + 1, rows_per_band)
                 )).alias("bucket")))).alias("bk"))
 
-    lhs = _cap_buckets(
-        banded.select("id", F.col("bk.band").alias("band"),
-                      F.col("bk.bucket").alias("bucket")), bucket_cap)
-    cand = (lhs.alias("l")
-            .join(lhs.alias("r"), ["band", "bucket"])
-            .where(F.col("l.id") < F.col("r.id"))
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    # candidate pairs via ONE grouping of the slim (id, band, bucket)
+    # rows: collect each bucket's sorted id list, cap it, and emit the
+    # in-bucket combinations with an array expression — one exchange
+    # where the window-count + self-join shape needed two passes over
+    # the banded rows.  sort_array makes id_a < id_b deterministic.
+    lhs = banded.select("id", F.col("bk.band").alias("band"),
+                        F.col("bk.bucket").alias("bucket"))
+    grouped = (lhs.groupBy("band", "bucket")
+               .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+               .where(F.size("ids") >= 2))
+    if bucket_cap is not None:
+        # same guard as _cap_buckets: an over-full bucket is a
+        # near-dup CLUSTER whose pairs re-surface in other bands'
+        # smaller buckets; emitting its b·(b-1)/2 pairs makes one
+        # task quadratic
+        grouped = grouped.where(F.size("ids") <= bucket_cap)
+    cand = (grouped.select(F.explode(F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS id_a, b AS id_b))))")).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"]))
 
     sh = sig.select("id", "sh")
     pairs = (cand

@@ -115,6 +115,37 @@ def test_exact_dedup_removes_planted_clones(spark, docs_with_dups):
         F.col("doc_id") < 200000).count() == 0
 
 
+def test_shingles_arrow_matches_column(spark):
+    """The Arrow shingle path must equal the SQL-portable Column spec
+    exactly — including Java-vs-Python whitespace class, space-only
+    trim, and short/empty/degenerate texts."""
+    import pandas as pd
+    from geojson_vt_spark.operators import shingles_col
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "a b", "", "   ", "one", "\tleading tab kept",
+             "trailing spaces   ", "double  space", "a\nb\nc d e f",
+             "x \x0b y \f z w", "Mixed CASE Text Repeat repeat REPEAT",
+             "a b c a b c a b c"]
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts}))
+    for n in (2, 3):
+        got = {r.doc_id: r.sh for r in docs.select(
+            "doc_id", shingles_col(F.col("text"), n).alias("sh")).collect()}
+        want = {r.doc_id: r.sh for r in docs.select(
+            "doc_id", shingles_col(F.col("text"), n,
+                                   arrow=False).alias("sh")).collect()}
+        assert got == want
+
+    sf = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {r.doc_id: r.sh for r in sf.select(
+        "doc_id", shingles_col(F.col("text")).alias("sh")).collect()}
+    want = {r.doc_id: r.sh for r in sf.select(
+        "doc_id", shingles_col(F.col("text"),
+                               arrow=False).alias("sh")).collect()}
+    assert got == want
+
+
 def test_exact_dedup_no_text_in_exchange(spark, docs_with_dups):
     """The winner pass must shuffle (fp, id) only — never the document
     text — and get map-side partial aggregation (VERDICT r2 wrong #1)."""
