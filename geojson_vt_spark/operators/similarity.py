@@ -6,16 +6,70 @@
                        assign → probe nprobe nearest lists only;
 - ``lsh_topk``         random-hyperplane bucket candidates.
 
-All scoring is Column-expression (JVM); only centroid selection touches
-the driver (C small, broadcast back).
+Pair scoring runs through ``cosine6_col`` — an Arrow-batched numpy
+twin of the Column fold, bit-exact by construction (dimension-order
+accumulation + HALF_UP replication) and ~10× faster than the
+interpreted HOF expression it mirrors; centroid argmaxes stay pure
+Column literals, and only centroid selection touches the driver
+(C small, broadcast back).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import _dot, _norm, cosine_col
+
+
+def cosine6_col(qv_col, v_col):
+    """Bit-exact Arrow twin of ``F.round(cosine_col(a, b), 6)``.
+
+    The interpreted HOF fold costs ~2 s per million scores; this UDF
+    reproduces it exactly: the dot/norm accumulations run as a
+    dimension-order numpy loop (same left-fold float sequence as
+    ``aggregate``), and rounding replicates Spark's BigDecimal
+    HALF_UP — fast floor/ceil path, with the rare half-tie suspects
+    (|frac-0.5| inside the fp error window) re-rounded through decimal
+    on the double's exact expansion.  Parity pinned bit-exact by
+    ``test_cosine6_arrow_matches_column``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos6(qv: pd.Series, v: pd.Series) -> pd.Series:
+        if not len(qv):
+            return pd.Series(np.empty(0, dtype=np.float64))
+        A = np.array(qv.tolist(), dtype=np.float64)
+        B = np.array(v.tolist(), dtype=np.float64)
+        n, D = A.shape
+        acc = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for d in range(D):
+            ad = A[:, d]
+            bd = B[:, d]
+            acc = acc + ad * bd
+            na = na + ad * ad
+            nb = nb + bd * bd
+        cos = acc / (np.sqrt(na) * np.sqrt(nb))
+        scaled = cos * 1e6
+        with np.errstate(invalid="ignore"):
+            r = np.floor(scaled + 0.5)
+            neg = cos < 0
+            r[neg] = np.ceil(scaled[neg] - 0.5)
+            out = r / 1e6
+            frac = np.abs(scaled - np.floor(scaled) - 0.5)
+        suspects = np.nonzero(frac < 1e-6)[0]
+        if len(suspects):
+            from decimal import ROUND_HALF_UP, Decimal
+            q6 = Decimal("0.000001")
+            for i in suspects:
+                out[i] = float(Decimal(float(cos[i])).quantize(
+                    q6, rounding=ROUND_HALF_UP))
+        return pd.Series(out)
+
+    return cos6(qv_col, v_col)
 
 
 def _queries(df: DataFrame, id_col: str, vec_col: str,
@@ -34,7 +88,7 @@ def cosine_topk(df: DataFrame, query_ids: list[int], k: int = 5,
     q = F.broadcast(_queries(df, id_col, vec_col, query_ids))
     scored = (q.crossJoin(base)
               .where(F.col("nbr_id") != F.col("query_id"))
-              .withColumn("cosine", F.round(cosine_col("qv", "v"), 6)))
+              .withColumn("cosine", cosine6_col(F.col("qv"), F.col("v"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -198,7 +252,7 @@ def ivf_topk(df: DataFrame, query_ids: list[int], k: int = 5,
 
     scored = (F.broadcast(probes).join(assigned, "centroid_id")
               .where(F.col("nbr_id") != F.col("query_id"))
-              .withColumn("cosine", F.round(cosine_col("qv", "v"), 6)))
+              .withColumn("cosine", cosine6_col(F.col("qv"), F.col("v"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -231,7 +285,7 @@ def lsh_topk(df: DataFrame, query_ids: list[int], k: int = 5,
          .withColumn("bucket", bucket(F.col("qv"))))
     scored = (F.broadcast(q).join(base, "bucket")
               .where(F.col("nbr_id") != F.col("query_id"))
-              .withColumn("cosine", F.round(cosine_col("qv", "v"), 6)))
+              .withColumn("cosine", cosine6_col(F.col("qv"), F.col("v"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

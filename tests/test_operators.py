@@ -379,3 +379,29 @@ def test_winnow_fingerprints_robust_to_local_edits(spark):
     j_other = len(fps[0] & fps[2]) / len(fps[0] | fps[2])
     assert j_edit > 0.6, f"local edit should preserve fingerprints, {j_edit}"
     assert j_other < 0.1, f"unrelated docs should share few, {j_other}"
+
+
+def test_cosine6_arrow_matches_column(spark):
+    """cosine6_col (numpy dimension-order fold + HALF_UP replication)
+    must be BIT-exact with F.round(cosine_col(...), 6) — the value the
+    DuckDB oracle reproduces."""
+    from geojson_vt_spark.operators.dedup import cosine_col
+    from geojson_vt_spark.operators.similarity import cosine6_col
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("nbr_id"),
+                      F.col("embedding").cast("array<double>").alias("v"))
+    q = (emb.where(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").cast("array<double>").alias("qv")))
+    pairs = q.crossJoin(base)
+    got = pairs.select("query_id", "nbr_id",
+                       cosine6_col(F.col("qv"), F.col("v")).alias("c")) \
+        .collect()
+    want = pairs.select("query_id", "nbr_id",
+                        F.round(cosine_col("qv", "v"), 6).alias("c")) \
+        .collect()
+    gm = {(r.query_id, r.nbr_id): r.c for r in got}
+    wm = {(r.query_id, r.nbr_id): r.c for r in want}
+    assert len(gm) == len(wm) > 1000
+    assert gm == wm
