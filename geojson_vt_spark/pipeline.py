@@ -717,61 +717,103 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
             span = {}
 
         split_keys = []
-        for (gx, gy) in pending:
-            lo, hi = span.get((gx, gy), (0, 0))
-            idxs = perm[lo:hi]
-            npts = int(n_pts[idxs].sum())
-            nsim = int(n_simpl[idxs].sum())
-            if len(idxs):
-                bb = [float(fminx[idxs].min()), float(fminy[idxs].min()),
-                      float(fmaxx[idxs].max()), float(fmaxy[idxs].max())]
-            else:
-                bb = [2.0, 1.0, -1.0, 0.0]
-            splits = not (z == options.index_max_zoom or
-                          npts <= options.index_max_points)
-            if z == z0:
-                splits = True  # root: classified upstream; not re-emitted
-            else:
-                emitted = idxs[geom.ftype[idxs] > 0]
-                fnr = (fb[emitted + 1] - fb[emitted]).astype(np.int64)
-                rsrc = np.repeat(fb[emitted], fnr) + ragged_arange(fnr)
-                plen = (pb[emitted + 1] - pb[emitted]).astype(np.int64)
-                csrc = np.repeat(2 * pb[emitted], 2 * plen) \
-                    + ragged_arange(2 * plen)
-                ftags = tagss[emitted].tolist()
+        if z == z0:
+            # root level: exactly one pending tile, classified upstream,
+            # never re-emitted (index.js skips the root in splitTile)
+            split_keys = [(x0, y0)]
+        else:
+            # ---- per-GROUP aggregates + ONE global emitted-feature
+            # table for the whole level: a deep build emits 4^z tiles,
+            # so per-tile numpy calls (the previous shape) became the
+            # measured straggler term — here every array op runs once
+            # per level and tiles take slices of the shared tables
+            if nfe:
+                g_npts = np.add.reduceat(n_pts[perm], gstart).astype(np.int64)
+                g_nsim = np.add.reduceat(n_simpl[perm], gstart).astype(np.int64)
+                g_minx = np.minimum.reduceat(fminx[perm], gstart)
+                g_miny = np.minimum.reduceat(fminy[perm], gstart)
+                g_maxx = np.maximum.reduceat(fmaxx[perm], gstart)
+                g_maxy = np.maximum.reduceat(fmaxy[perm], gstart)
+                g_cnt = gend - gstart
+                g_index = {(int(ptx_[s]), int(pty_[s])): gi
+                           for gi, s in enumerate(gstart)}
+                em_mask = geom.ftype[perm] > 0
+                em = perm[em_mask]
+                ecnt = np.add.reduceat(em_mask.astype(np.int64), gstart)
+                e_off = np.concatenate(([0], np.cumsum(ecnt)))
+                fnr_all = (fb[em + 1] - fb[em]).astype(np.int64)
+                rsrc_all = np.repeat(fb[em], fnr_all) + ragged_arange(fnr_all)
+                plen2_all = 2 * (pb[em + 1] - pb[em]).astype(np.int64)
+                csrc_all = np.repeat(2 * pb[em], plen2_all) \
+                    + ragged_arange(plen2_all)
+                ftypes_all = geom.ftype[em].astype(np.int32)
+                fnr32_all = fnr_all.astype(np.int32)
+                frlens_all = rl32[rsrc_all]
+                fcoords_all = flat32[csrc_all]
+                ftags_all = tagss[em]  # fancy index copies — safe to edit
+                ffids_all = fids[em]
+                roff_em = np.concatenate(([0], np.cumsum(fnr_all)))
+                coff_em = np.concatenate(([0], np.cumsum(plen2_all)))
                 if lm:
-                    for k, fi in enumerate(emitted):
-                        fi = int(fi)
-                        if not (geom.ftype[fi] == 2
-                                and int(gcodes[fi]) == GT_LINE):
-                            continue
-                        tags = _jloads(ftags[k]) if ftags[k] else {}
+                    for k in np.nonzero((ftypes_all == 2) &
+                                        (gcodes[em] == GT_LINE))[0]:
+                        fi = int(em[k])
+                        tags = (_jloads(ftags_all[k])
+                                if ftags_all[k] else {})
                         r0 = int(np.searchsorted(rags.rfeat, fi, "left"))
                         size = float(rags.rsize[r0])
                         tags["mapbox_clip_start"] = \
                             float(rags.rstart[r0]) / size
                         tags["mapbox_clip_end"] = \
                             float(rags.rend[r0]) / size
-                        ftags[k] = _jdumps(tags)
+                        ftags_all[k] = _jdumps(tags)
+            else:
+                g_index = {}
+            _empty32 = np.empty(0, dtype=np.int32)
+            for (gx, gy) in pending:
+                gi = g_index.get((gx, gy))
+                if gi is None:
+                    npts = nsim = cnt = 0
+                    bb = (2.0, 1.0, -1.0, 0.0)
+                else:
+                    npts = int(g_npts[gi])
+                    nsim = int(g_nsim[gi])
+                    cnt = int(g_cnt[gi])
+                    bb = (float(g_minx[gi]), float(g_miny[gi]),
+                          float(g_maxx[gi]), float(g_maxy[gi]))
+                splits = not (z == options.index_max_zoom or
+                              npts <= options.index_max_points)
+                if gi is None:
+                    ftypes = fnr32 = frlens = fcoords = _empty32
+                    ftags = ffids = []
+                else:
+                    e0, e1 = int(e_off[gi]), int(e_off[gi + 1])
+                    r0_, r1_ = int(roff_em[e0]), int(roff_em[e1])
+                    c0_, c1_ = int(coff_em[e0]), int(coff_em[e1])
+                    ftypes = ftypes_all[e0:e1]
+                    fnr32 = fnr32_all[e0:e1]
+                    frlens = frlens_all[r0_:r1_]
+                    fcoords = fcoords_all[c0_:c1_]
+                    ftags = ftags_all[e0:e1].tolist()
+                    ffids = ffids_all[e0:e1].tolist()
                 tile_rows.append({
                     "z": z, "x": gx, "y": gy,
                     "tile_id": to_id(z, gx, gy),
-                    "num_features": len(idxs),
+                    "num_features": cnt,
                     "num_points": npts, "num_simplified": nsim,
-                    "ftypes": geom.ftype[emitted].astype(np.int32),
-                    "fnrings": fnr.astype(np.int32),
-                    "frlens": rl32[rsrc],
-                    "fcoords": flat32[csrc],
-                    "ftags": ftags,
-                    "ffids": fids[emitted].tolist(),
+                    "ftypes": ftypes, "fnrings": fnr32,
+                    "frlens": frlens, "fcoords": fcoords,
+                    "ftags": ftags, "ffids": ffids,
                     "is_split": splits, "has_source": not splits,
                     "minx": bb[0], "miny": bb[1],
                     "maxx": bb[2], "maxy": bb[3],
                 })
-            if splits:
-                split_keys.append((gx, gy))
-            else:
-                sources[(z, gx, gy)] = feature_pack(idxs)
+                if splits:
+                    split_keys.append((gx, gy))
+                else:
+                    lo, hi = (gstart[gi], gend[gi]) if gi is not None \
+                        else (0, 0)
+                    sources[(z, gx, gy)] = feature_pack(perm[lo:hi])
 
         if not split_keys:
             break
