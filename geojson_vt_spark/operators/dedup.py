@@ -8,16 +8,20 @@ Five strategies, all shuffle-conscious:
 - ngram-Jaccard: exact token-shingle Jaccard on candidate pairs;
 - embedding:    cosine near-dup via random-hyperplane buckets.
 
-Signatures are built with pure Column expressions (xxhash64 + array
-HOFs) so the heavy per-token work stays inside whole-stage codegen —
-no Python UDFs anywhere in this module.
+String/bit hashing stays JVM-side (xxhash64 / md5 Column expressions);
+the per-element array passes (shingling, minhash slot minima) run as
+Arrow-batched pandas UDFs with Column-expression SPECS kept for the
+SQL oracle — interpreted higher-order-function lambdas sit outside
+codegen and cost ~10-25µs per element, which measured as the dominant
+term of both stages.  Candidate generation is ONE grouping of slim
+(id, band, bucket) rows per strategy; no per-row Python anywhere.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # Mersenne-31: keeps a·h + b within int64 under ANSI overflow checking
 _MERSENNE = (1 << 31) - 1
@@ -170,21 +174,6 @@ def minhash_signature_col(hashed: Column, num_hashes: int = 32,
     return mh(hashed)
 
 
-def _cap_buckets(lhs: DataFrame, bucket_cap: int | None) -> DataFrame:
-    """Drop over-full (band, bucket) groups before the self-join: a
-    bucket of b members yields b·(b-1)/2 candidate pairs, so one cluster
-    of thousands of near-identical docs makes a single task quadratic.
-    Capping is safe for dedup recall when exact duplicates are collapsed
-    first (see ``minhash_dedup``): surviving mega-buckets are near-dup
-    *clusters*, whose pairs are overwhelmingly re-found in the other
-    bands' (smaller) buckets.  SQL-portable (count window ↔ QUALIFY)."""
-    if bucket_cap is None:
-        return lhs
-    wb = Window.partitionBy("band", "bucket")
-    return (lhs.withColumn("_bn", F.count(F.lit(1)).over(wb))
-            .where(F.col("_bn") <= bucket_cap).drop("_bn"))
-
-
 def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       bands: int = 8, shingle_n: int = 3,
@@ -235,10 +224,11 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
                .where(F.size("ids") >= 2))
     if bucket_cap is not None:
-        # same guard as _cap_buckets: an over-full bucket is a
-        # near-dup CLUSTER whose pairs re-surface in other bands'
-        # smaller buckets; emitting its b·(b-1)/2 pairs makes one
-        # task quadratic
+        # mega-bucket guard: an over-full bucket is a near-dup CLUSTER
+        # whose pairs re-surface in other bands' smaller buckets (exact
+        # duplicates are collapsed first in minhash_dedup); emitting
+        # its b·(b-1)/2 pairs would make one task quadratic.
+        # SQL-portable (size(list) ↔ HAVING count(*))
         grouped = grouped.where(F.size("ids") <= bucket_cap)
     cand = (grouped.select(F.explode(F.expr(
         "flatten(transform(ids, (a, i) -> "
@@ -362,20 +352,35 @@ def simhash_pairs(df: DataFrame, content_col: str = "text",
     sh = _spread(df).select(F.col(id_col).alias("id"),
                             simhash_col(content_col,
                                         hash_fn=hash_fn).alias("sim"))
-    banded = sh.withColumn("bk", F.explode(F.expr(
-        f"transform(sequence(0, {bands - 1}), "
-        f"b -> struct(b AS band, "
-        f"shiftright(sim, b * {width}) & {(1 << width) - 1} AS bucket))")))
-    lhs = _cap_buckets(
-        banded.select("id", "sim", F.col("bk.band").alias("band"),
-                      F.col("bk.bucket").alias("bucket")), bucket_cap)
-    return (lhs.alias("l").join(lhs.alias("r"), ["band", "bucket"])
-            .where(F.col("l.id") < F.col("r.id"))
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                    F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim")))
-                    .alias("hamming"))
-            .dropDuplicates(["id_a", "id_b"])
-            .where(F.col("hamming") <= max_hamming))
+    banded = sh.select(
+        "id", "sim",
+        F.explode(F.expr(
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> struct(b AS band, "
+            f"shiftright(sim, b * {width}) & {(1 << width) - 1} AS bucket))"
+        )).alias("bk"))
+    # ONE grouping of the slim banded rows produces capped in-bucket
+    # combinations carrying both signatures — no window pass, no
+    # self-join, no verify re-join (same shape as minhash_lsh_pairs;
+    # sort_array orders by id so id_a < id_b deterministically)
+    grouped = (banded
+               .groupBy(F.col("bk.band").alias("band"),
+                        F.col("bk.bucket").alias("bucket"))
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("id", "sim"))).alias("ms"))
+               .where(F.size("ms") >= 2))
+    if bucket_cap is not None:
+        grouped = grouped.where(F.size("ms") <= bucket_cap)
+    return (grouped.select(F.explode(F.expr(
+        "flatten(transform(ms, (a, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), "
+        "b -> struct(a.id AS id_a, b.id AS id_b, "
+        "a.sim AS sim_a, b.sim AS sim_b))))")).alias("p"))
+        .select("p.id_a", "p.id_b",
+                F.bit_count(F.col("p.sim_a").bitwiseXOR(F.col("p.sim_b")))
+                .alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming))
 
 
 def _dot(a: Column, b: Column) -> Column:
