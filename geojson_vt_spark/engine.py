@@ -188,6 +188,117 @@ class SparkTileEngine:
         with self._lineage_lock:
             with open(self._lineage_path(), "a") as fh:
                 fh.write(json.dumps(row) + "\n")
+            self._commit_snapshot(row)
+
+    # ------------------------------------------------ snapshot metadata
+
+    def _snap_dir(self) -> str:
+        return self._p("snapshots")
+
+    def _version_path(self) -> str:
+        return self._p("VERSION.json")
+
+    def current_snapshot_id(self) -> int:
+        try:
+            with open(self._version_path()) as fh:
+                return int(json.load(fh)["snapshot_id"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return 0
+
+    def _commit_snapshot(self, row: dict) -> None:
+        """Iceberg-style commit metadata, written per lineage append
+        (caller holds the lineage lock).
+
+        Each commit records WHICH store directories it made durable and
+        their exact file manifests (name + byte size), then atomically
+        advances VERSION.json (write-temp + rename — the same
+        single-pointer commit protocol Iceberg's version-hint uses).
+        A reader that follows VERSION → snapshot → manifests sees only
+        complete commits; ``verify_snapshot`` audits the manifests
+        against the filesystem, catching truncated or deleted files
+        that a bare directory listing would miss.  The container has no
+        Iceberg runtime (BENCH notes); this reproduces the metadata
+        semantics the north rule needs — snapshot isolation for
+        resume — on plain parquet dirs."""
+        if "zoom" in row:
+            z = row["zoom"]
+            op = "append-zoom"
+            stores = [f"tiles/z={z}", f"tilefeat/z={z}",
+                      f"frontier/z={z}", f"sources/z={z}", "features"]
+        elif "subtree_batch" in row:
+            op = "subtree-batch"
+            stores = [f"subtree/b={row['subtree_batch']}"]
+        else:
+            op = "misc"
+            stores = []
+        manifests = {}
+        for s in stores:
+            p = self._p(*s.split("/"))
+            if not os.path.isdir(p):
+                continue
+            manifests[s] = [
+                {"name": fn, "bytes": os.path.getsize(os.path.join(p, fn))}
+                for fn in sorted(os.listdir(p))]
+        prev = self.current_snapshot_id()
+        sid = prev + 1
+        os.makedirs(self._snap_dir(), exist_ok=True)
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": prev or None,
+            "operation": op,
+            "committed_at": time.time(),
+            "commit": {k: v for k, v in row.items()
+                       if k in ("zoom", "subtree_batch", "n_tiles",
+                                "n_split", "n_points", "n_keys",
+                                "complete", "final")},
+            "manifests": manifests,
+        }
+        with open(os.path.join(self._snap_dir(), f"v{sid:06d}.json"),
+                  "w") as fh:
+            json.dump(snap, fh)
+        tmp = self._version_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"snapshot_id": sid}, fh)
+        os.replace(tmp, self._version_path())
+
+    def snapshots(self) -> list[dict]:
+        """All committed snapshots up to the current VERSION pointer,
+        oldest first."""
+        cur = self.current_snapshot_id()
+        out = []
+        for sid in range(1, cur + 1):
+            try:
+                with open(os.path.join(self._snap_dir(),
+                                       f"v{sid:06d}.json")) as fh:
+                    out.append(json.load(fh))
+            except FileNotFoundError:
+                continue
+        return out
+
+    def verify_snapshot(self, snapshot_id: int | None = None) -> list[str]:
+        """Audit a snapshot's manifests against the filesystem; returns
+        a list of problems (empty = intact).  Run before trusting a
+        workdir for resume or serving."""
+        sid = snapshot_id or self.current_snapshot_id()
+        problems = []
+        seen = False
+        for snap in self.snapshots():
+            if snap["snapshot_id"] > sid:
+                break
+            seen = True
+            for store, files in snap["manifests"].items():
+                base = self._p(*store.split("/"))
+                for f in files:
+                    p = os.path.join(base, f["name"])
+                    if not os.path.exists(p):
+                        problems.append(f"{store}/{f['name']}: missing")
+                    elif os.path.getsize(p) != f["bytes"]:
+                        problems.append(
+                            f"{store}/{f['name']}: size "
+                            f"{os.path.getsize(p)} != {f['bytes']}")
+        if not seen and sid:
+            problems.append(f"snapshot v{sid} not found")
+        return problems
 
     # ------------------------------------------------------------ build
 
@@ -362,6 +473,13 @@ class SparkTileEngine:
                 heavy_prev = [tuple(k) for k in last_row.get("heavy", [])]
         if not resume and os.path.exists(self._lineage_path()):
             os.remove(self._lineage_path())
+        if not resume:
+            # a fresh build starts a fresh snapshot history
+            import shutil
+            if os.path.isdir(self._snap_dir()):
+                shutil.rmtree(self._snap_dir())
+            if os.path.exists(self._version_path()):
+                os.remove(self._version_path())
 
         n_verts = (F.size("coords") / 3).cast("long").alias("n_verts")
         if start_z == 0:
