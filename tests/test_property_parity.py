@@ -137,3 +137,60 @@ def test_random_cases_match_reference(seed):
             got[f"probe-{z}-{x}-{y}"] = r["features"] if r else None
         assert got == expected["tiles"], \
             f"case {i} seed {seed}: options={case['options']}"
+
+
+@pytest.mark.slow
+def test_spark_engine_matches_live_node_on_corpus(spark, tmp_path):
+    """The FULL distributed engine (convert → wrap → per-zoom loop →
+    subtree handoff → serving) must match the live reference engine
+    tile-for-tile on corpus-extracted polygons and an unpinned config —
+    the strongest end-to-end oracle, previously only run by hand."""
+    import shutil as _shutil
+
+    if _shutil.which("node") is None:
+        pytest.skip("node not available")
+
+    from geojson_vt_spark.engine import SparkTileEngine
+    from geojson_vt_spark.pipeline import features_from_json_df
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+
+    pages = synth_pages_df(spark, 3000, seed=11)
+    rows = sorted(extract_geo_features_df(pages).collect(),
+                  key=lambda r: r.input_ord)
+    options = {"maxZoom": 9, "indexMaxZoom": 5, "indexMaxPoints": 300,
+               "tolerance": 3, "buffer": 64, "lineMetrics": False}
+    data = {"type": "FeatureCollection",
+            "features": [json.loads(r.feature_json) for r in rows]}
+    probes = [[7, 40, 50], [8, 100, 90], [9, 200, 180], [6, 20, 25]]
+
+    ref = json.loads(subprocess.run(
+        ["node", "-e", NODE_HARNESS],
+        input=json.dumps([{"data": data, "options": options,
+                           "probes": probes}]),
+        capture_output=True, text=True, check=True).stdout)[0]
+    assert "error" not in ref, ref
+
+    eng = SparkTileEngine(spark, _py_options(options),
+                          workdir=str(tmp_path))
+    df = spark.createDataFrame(
+        [(r.input_ord, r.gen_index, r.feature_json) for r in rows],
+        "input_ord long, gen_index long, feature_json string")
+    eng.build_from_converted(features_from_json_df(df, _py_options(options)))
+
+    got = eng.enumerate_tiles()
+    want = {k: v for k, v in ref["tiles"].items()
+            if not k.startswith("probe-")}
+    assert set(got) == set(want), (
+        f"tile sets differ: {len(got)} vs {len(want)}")
+    mism = [k for k in want if got[k] != want[k]]
+    assert not mism, f"{len(mism)} tiles differ, e.g. {mism[:3]}"
+    assert len(want) > 100
+
+    for (z, x, y) in probes:
+        want_t = ref["tiles"][f"probe-{z}-{x}-{y}"]
+        got_t = eng.get_tile(z, x, y)
+        if want_t is None:
+            assert got_t is None, (z, x, y)
+        else:
+            assert got_t["features"] == want_t, (z, x, y)
