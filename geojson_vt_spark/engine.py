@@ -499,9 +499,32 @@ class SparkTileEngine:
                 if os.path.isdir(p0):
                     shutil.rmtree(p0)
 
+        def _child_obs_metrics(children):
+            """Per-child conditional aggregates: the next zoom's
+            classification stats, observed during the split job itself
+            (used only while the child set is small — the blocking
+            stats agg disappears for the low zooms where it is pure
+            round latency)."""
+            metrics = []
+            for (cx, cy) in children:
+                cond = (F.col("x") == cx) & (F.col("y") == cy)
+                p = f"c{cx}_{cy}"
+                metrics += [
+                    F.sum(F.when(cond, 1).otherwise(0)).alias(f"{p}_nf"),
+                    F.sum(F.when(cond, F.col("n_verts"))).alias(f"{p}_np"),
+                    F.min(F.when(cond, F.col("minx"))).alias(f"{p}_minx"),
+                    F.min(F.when(cond, F.col("miny"))).alias(f"{p}_miny"),
+                    F.max(F.when(cond, F.col("maxx"))).alias(f"{p}_maxx"),
+                    F.max(F.when(cond, F.col("maxy"))).alias(f"{p}_maxy"),
+                ]
+            return metrics
+
+        _OBS_MAX_CHILDREN = 16
+
         z = start_z
         prev_points = 0
         prev_finalize = None
+        split_obs = None  # (Observation, child_keys) from the last split
         while True:
             t0 = time.monotonic()
             frontier = self._read_frontier(z)
@@ -533,22 +556,39 @@ class SparkTileEngine:
                 heavy_prev is not None
                 and prev_points * max(1, opts.index_max_zoom - z)
                 <= par * self._KERNEL_PTS_PER_TASK)
+            next_obs = None
             if z < opts.index_max_zoom and not defer_split:
                 n_parts = max(par, min(
                     4096,
                     prev_points // self.target_points_per_partition + 1))
                 split_group = f"gvt-split-z{z + 1}"
                 split_flag = {"cancelled": False}
+                cur_keys = ([(0, 0)] if heavy_prev is None else
+                            [(2 * px + dx, 2 * py + dy)
+                             for px, py in heavy_prev
+                             for dx in (0, 1) for dy in (0, 1)])
+                obs = children = None
+                if 4 * len(cur_keys) <= _OBS_MAX_CHILDREN:
+                    from pyspark.sql import Observation
+                    children = [(2 * cx + dx, 2 * cy + dy)
+                                for cx, cy in cur_keys
+                                for dx in (0, 1) for dy in (0, 1)]
+                    obs = Observation()
+                    next_obs = (obs, children)
 
                 def split_job(fr=frontier, z=z, n=n_parts, grp=split_group,
-                              flag=split_flag):
+                              flag=split_flag, obs=obs, children=children):
                     if flag["cancelled"]:
                         return
                     spark.sparkContext.setLocalProperty(
                         "spark.jobGroup.id", grp)
                     try:
-                        (split_children_df(fr, z, opts).select("*", n_verts)
-                         .repartition(n).write.mode("overwrite")
+                        out = split_children_df(fr, z, opts).select(
+                            "*", n_verts)
+                        if obs is not None:
+                            out = out.observe(
+                                obs, *_child_obs_metrics(children))
+                        (out.repartition(n).write.mode("overwrite")
                          .parquet(self._p("frontier", f"z={z+1}")))
                     finally:
                         spark.sparkContext.setLocalProperty(
@@ -577,6 +617,27 @@ class SparkTileEngine:
             # arrive precomputed (observed during the features write)
             if z == 0 and z0_stats is not None:
                 stats = z0_stats
+            elif split_obs is not None:
+                # this zoom's stats were observed during the split job
+                # that produced its frontier; restrict to children of
+                # heavy parents (the same filter the frontier read uses)
+                got = split_obs[0].get
+                hp = set(heavy_prev or [])
+                stats = []
+                for (cx, cy) in split_obs[1]:
+                    if (cx >> 1, cy >> 1) not in hp:
+                        continue
+                    nf = got.get(f"c{cx}_{cy}_nf")
+                    if not nf:
+                        continue
+                    p = f"c{cx}_{cy}"
+                    stats.append({
+                        "x": cx, "y": cy, "num_features": int(nf),
+                        "num_points": int(got[f"{p}_np"] or 0),
+                        "minx": float(got[f"{p}_minx"]),
+                        "miny": float(got[f"{p}_miny"]),
+                        "maxx": float(got[f"{p}_maxx"]),
+                        "maxy": float(got[f"{p}_maxy"])})
             else:
                 stats = (frontier
                          .groupBy("x", "y")
@@ -752,10 +813,20 @@ class SparkTileEngine:
                     _pack_col().isin(hp))
                 n_parts = max(par, min(
                     4096, heavy_points // self.target_points_per_partition + 1))
-                (split_children_df(fr_heavy, z, opts).select("*", n_verts)
-                 .repartition(n_parts).write.mode("overwrite")
+                out = split_children_df(fr_heavy, z, opts).select(
+                    "*", n_verts)
+                if 4 * len(heavy) <= _OBS_MAX_CHILDREN:
+                    from pyspark.sql import Observation
+                    children = [(2 * hx + dx, 2 * hy + dy)
+                                for hx, hy in heavy
+                                for dx in (0, 1) for dy in (0, 1)]
+                    dobs = Observation()
+                    out = out.observe(dobs, *_child_obs_metrics(children))
+                    next_obs = (dobs, children)
+                (out.repartition(n_parts).write.mode("overwrite")
                  .parquet(self._p("frontier", f"z={z+1}")))
                 _tm["split_sync"] = time.monotonic() - _t
+            split_obs = next_obs if not final else None
             prev_points = heavy_points
             if final:
                 break
