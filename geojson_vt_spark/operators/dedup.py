@@ -417,8 +417,17 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
 
     b = _spread(df).select(F.col(id_col).alias("id"), vec.alias("v"),
                            sig.alias("bucket"))
-    return (b.alias("l").join(b.alias("r"), "bucket")
-            .where(F.col("l.id") < F.col("r.id"))
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                    F.round(cosine_col("l.v", "r.v"), 6).alias("cosine"))
-            .where(F.col("cosine") >= threshold))
+    # one grouping per bucket (sorted so id_a < id_b), in-bucket
+    # combinations carry both vectors — no vector-laden self-join
+    grouped = (b.groupBy("bucket")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("id", "v"))).alias("ms"))
+               .where(F.size("ms") >= 2))
+    return (grouped.select(F.explode(F.expr(
+        "flatten(transform(ms, (a, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), "
+        "b -> struct(a.id AS id_a, b.id AS id_b, "
+        "a.v AS v_a, b.v AS v_b))))")).alias("p"))
+        .select("p.id_a", "p.id_b",
+                F.round(cosine_col("p.v_a", "p.v_b"), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold))
