@@ -210,13 +210,17 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, res: int = 6,
                 .select("query_id", "point_id", "dist", "rank"))
 
         # a query is settled if it has k hits and the kth is inside the
-        # guaranteed-complete radius (or the ring already spans the grid)
+        # guaranteed-complete radius (or the ring already spans the
+        # grid).  Both facts are visible in the top-k rows themselves —
+        # a query with fewer than k hits has no rank-k row — so no
+        # separate aggregation pass is needed
         guarantee = r * cell_size
-        kth = (topk.groupBy("query_id")
-               .agg(F.max("rank").alias("nhits"), F.max("dist").alias("kth")))
-        done_ids = kth.where(
-            ((F.col("nhits") == k) & (F.col("kth") < guarantee)) |
-            F.lit(r >= max_ring)).select("query_id")
+        if r >= max_ring:
+            done_ids = topk.select("query_id").distinct()
+        else:
+            done_ids = (topk.where((F.col("rank") == k) &
+                                   (F.col("dist") < guarantee))
+                        .select("query_id"))
 
         settled = topk.join(done_ids, "query_id")
         results = settled if results is None else results.unionByName(settled)
