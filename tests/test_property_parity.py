@@ -140,7 +140,9 @@ def test_random_cases_match_reference(seed):
 
 
 @pytest.mark.slow
-def test_spark_engine_matches_live_node_on_corpus(spark, tmp_path):
+@pytest.mark.parametrize("promote_id", [False, True])
+def test_spark_engine_matches_live_node_on_corpus(spark, tmp_path,
+                                                  promote_id):
     """The FULL distributed engine (convert → wrap → per-zoom loop →
     subtree handoff → serving) must match the live reference engine
     tile-for-tile on corpus-extracted polygons and an unpinned config —
@@ -160,6 +162,8 @@ def test_spark_engine_matches_live_node_on_corpus(spark, tmp_path):
                   key=lambda r: r.input_ord)
     options = {"maxZoom": 9, "indexMaxZoom": 5, "indexMaxPoints": 300,
                "tolerance": 3, "buffer": 64, "lineMetrics": False}
+    if promote_id:
+        options["promoteId"] = "url"  # string feature ids end-to-end
     data = {"type": "FeatureCollection",
             "features": [json.loads(r.feature_json) for r in rows]}
     probes = [[7, 40, 50], [8, 100, 90], [9, 200, 180], [6, 20, 25]]
