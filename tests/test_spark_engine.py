@@ -201,3 +201,47 @@ def test_spark_batch_deep_drill_bounded_jobs(spark, tmp_path):
             assert batch[c] is None, c
         else:
             assert batch[c]["features"] == want["features"], c
+
+
+def test_spark_resume_view_mode_corpus(spark, tmp_path):
+    """Kill-and-resume through build_from_converted's no-wrap fast path,
+    where the z0 frontier is a VIEW over the features checkpoint (no
+    frontier/z=0 directory exists on disk)."""
+    import json as _json
+    import shutil
+
+    from geojson_vt_spark.pipeline import features_from_json_df
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+
+    opts = TileOptions(index_max_zoom=4, index_max_points=200)
+    pages = synth_pages_df(spark, 2000, seed=5)
+    feats = features_from_json_df(extract_geo_features_df(pages), opts)
+
+    full = SparkTileEngine(spark, opts, workdir=str(tmp_path / "full"),
+                           subtree_max_points=500)
+    full.build_from_converted(feats)
+    assert not (tmp_path / "full" / "frontier" / "z=0").exists(), \
+        "no-wrap corpus build must use the z0 view"
+
+    # simulate a kill after zoom 1: features + early checkpoints only
+    part = tmp_path / "part"
+    shutil.copytree(tmp_path / "full" / "features", part / "features")
+    for sub in ("frontier", "tiles", "tilefeat", "sources"):
+        src = tmp_path / "full" / sub
+        if not src.exists():
+            continue
+        for zdir in sorted(src.glob("z=*")):
+            zv = int(zdir.name.split("=")[1])
+            if (zv <= 2 if sub == "frontier" else zv <= 1):
+                shutil.copytree(zdir, part / sub / zdir.name)
+    lines = [_json.loads(ln) for ln in
+             (tmp_path / "full" / "lineage.json").read_text().splitlines()]
+    (part / "lineage.json").write_text(
+        "\n".join(_json.dumps(r) for r in lines
+                  if r.get("zoom", 99) <= 1) + "\n")
+
+    resumed = SparkTileEngine(spark, opts, workdir=str(part),
+                              subtree_max_points=500)
+    resumed.build_from_converted(feats, resume=True)
+    assert resumed.enumerate_tiles() == full.enumerate_tiles()
