@@ -502,7 +502,7 @@ SOURCE_PACK_COLUMNS = [f.name for f in SUBTREE_SCHEMA.fields
 def unpack_source_pack(row) -> list[dict]:
     """kind=source subtree row (flat sp_* arrays) → per-feature FEATURE
     record dicts, ord_path = emission position.  Read-side twin of
-    feature_pack; runs per drill-target tile, so plain Python slicing
+    pack_leaves; runs per drill-target tile, so plain Python slicing
     is fine here."""
     from .kernel.vec import GTYPES
     gcodes = row["sp_gcode"] or []
@@ -603,7 +603,7 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
 
     Returns (tile_rows, sources) where tile_rows are dicts of the
     subtree 'tile' kind and sources maps leaf (z,x,y) → a packed-array
-    dict (see feature_pack / SUBTREE_SCHEMA sp_* columns).
+    dict (see pack_leaves / SUBTREE_SCHEMA sp_* columns).
     """
     import numpy as np
 
@@ -637,61 +637,77 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
     pending = [(x0, y0)]  # tiles existing at the current level
     z = z0
 
-    level_arrays = {}
-
-    def feature_pack(idxs):
-        """All of a leaf tile's retained-source features as ONE dict of
-        flat concatenated arrays (the kind=source subtree row).  Hot
-        path at scale (every feature lands here once per build): pure
-        index-math gathers — no per-feature dict, slice, or cast.  The
-        only Python loops left are the string lists (fids/tags) and the
-        rare MultiPolygon ring-count split."""
+    def pack_leaves(leaf_list, perm, gstart, gend):
+        """All of a level's leaf tiles' retained-source features packed
+        in ONE set of index-math gathers (the kind=source subtree
+        rows); per tile only slicing of the shared tables remains.
+        Hot path at scale: every feature lands here once per build,
+        and a deep level holds 4^z leaf tiles — per-tile numpy calls
+        were a measured straggler term."""
         from .kernel.vec import GT_MPOLY, rags_to_feature_arrays
-        if "f_roff" not in level_arrays:
-            f_roff_, xyz_ = rags_to_feature_arrays(rags)
-            level_arrays["f_roff"] = f_roff_
-            level_arrays["xyz"] = xyz_
-            level_arrays["lens3"] = (rags.ring_lens() * 3).astype(np.int32)
-        f_roff_ = level_arrays["f_roff"]
-        xyz_ = level_arrays["xyz"]
-        lens3 = level_arrays["lens3"]
+        f_roff_, xyz_ = rags_to_feature_arrays(rags)
+        lens3 = (rags.ring_lens() * 3).astype(np.int32)
         roff = rags.roff
-        idxs = np.asarray(idxs, dtype=np.int64)
-        fnr = (f_roff_[idxs + 1] - f_roff_[idxs]).astype(np.int64)
-        rsrc = np.repeat(f_roff_[idxs], fnr) + ragged_arange(fnr)
+        fcnt = np.asarray([gend[gi] - gstart[gi] for _, gi in leaf_list],
+                          dtype=np.int64)
+        lidx = np.concatenate([perm[gstart[gi]:gend[gi]]
+                               for _, gi in leaf_list])
+        fnr_l = (f_roff_[lidx + 1] - f_roff_[lidx]).astype(np.int64)
+        rsrc = np.repeat(f_roff_[lidx], fnr_l) + ragged_arange(fnr_l)
         rl = lens3[rsrc]
         rl64 = rl.astype(np.int64)
         csrc = np.repeat(3 * roff[rsrc], rl64) + ragged_arange(rl64)
-        gsel = gcodes[idxs] if len(idxs) else np.empty(0, dtype=np.int64)
-        npoly = np.zeros(len(idxs), dtype=np.int32)
-        polylens = []
+        coords_l = xyz_[csrc]
+        rsize_l = rags.rsize[rsrc]
+        rstart_l = rags.rstart[rsrc]
+        rend_l = rags.rend[rsrc]
+        gsel = gcodes[lidx]
+        npoly_l = np.zeros(len(lidx), dtype=np.int32)
+        pl_chunks = []
         rpoly = rags.rpoly
         for k in np.nonzero(gsel == GT_MPOLY)[0]:
-            fi = int(idxs[k])
+            fi = int(lidx[k])
             pl = np.bincount(
                 rpoly[f_roff_[fi]:f_roff_[fi + 1]]).astype(np.int32)
-            npoly[k] = len(pl)
-            polylens.append(pl)
-        return {
-            "n": len(idxs),
-            "sp_gcode": gsel.astype(np.int32),
-            "sp_fids": fids[idxs].tolist(),
-            "sp_tags": tagss[idxs].tolist(),
-            "sp_nrings": fnr.astype(np.int32),
-            "sp_ringlens": rl,
-            "sp_npoly": npoly,
-            "sp_polylens": (np.concatenate(polylens) if polylens
-                            else np.empty(0, dtype=np.int32)),
-            "sp_coords": xyz_[csrc],
-            "sp_rsize": rags.rsize[rsrc],
-            "sp_rstart": rags.rstart[rsrc],
-            "sp_rend": rags.rend[rsrc],
-            "sp_minx": fminx[idxs], "sp_miny": fminy[idxs],
-            "sp_maxx": fmaxx[idxs], "sp_maxy": fmaxy[idxs],
-        }
+            npoly_l[k] = len(pl)
+            pl_chunks.append(pl)
+        polyflat = (np.concatenate(pl_chunks) if pl_chunks
+                    else np.empty(0, dtype=np.int32))
+        f_off = np.zeros(len(leaf_list) + 1, dtype=np.int64)
+        np.cumsum(fcnt, out=f_off[1:])
+        roff_l = np.concatenate(([0], np.cumsum(fnr_l)))
+        coff_l = np.concatenate(([0], np.cumsum(rl64)))
+        poff_l = np.concatenate(([0], np.cumsum(npoly_l,
+                                                dtype=np.int64)))
+        gsel32 = gsel.astype(np.int32)
+        fnr32 = fnr_l.astype(np.int32)
+        fid_l = fids[lidx]
+        tag_l = tagss[lidx]
+        mnx_l, mny_l = fminx[lidx], fminy[lidx]
+        mxx_l, mxy_l = fmaxx[lidx], fmaxy[lidx]
+        for li, (key, _) in enumerate(leaf_list):
+            a, b2 = int(f_off[li]), int(f_off[li + 1])
+            ra, rb = int(roff_l[a]), int(roff_l[b2])
+            ca, cb = int(coff_l[ra]), int(coff_l[rb])
+            pa_, pb_ = int(poff_l[a]), int(poff_l[b2])
+            sources[key] = {
+                "n": b2 - a,
+                "sp_gcode": gsel32[a:b2],
+                "sp_fids": fid_l[a:b2].tolist(),
+                "sp_tags": tag_l[a:b2].tolist(),
+                "sp_nrings": fnr32[a:b2],
+                "sp_ringlens": rl[ra:rb],
+                "sp_npoly": npoly_l[a:b2],
+                "sp_polylens": polyflat[pa_:pb_],
+                "sp_coords": coords_l[ca:cb],
+                "sp_rsize": rsize_l[ra:rb],
+                "sp_rstart": rstart_l[ra:rb],
+                "sp_rend": rend_l[ra:rb],
+                "sp_minx": mnx_l[a:b2], "sp_miny": mny_l[a:b2],
+                "sp_maxx": mxx_l[a:b2], "sp_maxy": mxy_l[a:b2],
+            }
 
     while pending:
-        level_arrays.clear()
         z2 = 1 << z
         geom, n_pts, n_simpl = batch_assemble(
             rags, gcodes, np.full(len(gcodes), z), tilex, tiley, options)
@@ -770,6 +786,7 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
             else:
                 g_index = {}
             _empty32 = np.empty(0, dtype=np.int32)
+            leaf_list = []
             for (gx, gy) in pending:
                 gi = g_index.get((gx, gy))
                 if gi is None:
@@ -810,10 +827,10 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
                 })
                 if splits:
                     split_keys.append((gx, gy))
-                else:
-                    lo, hi = (gstart[gi], gend[gi]) if gi is not None \
-                        else (0, 0)
-                    sources[(z, gx, gy)] = feature_pack(perm[lo:hi])
+                elif gi is not None:
+                    leaf_list.append(((z, gx, gy), gi))
+            if leaf_list:
+                pack_leaves(leaf_list, perm, gstart, gend)
 
         if not split_keys:
             break
@@ -929,7 +946,7 @@ def subtree_stage_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
             emit({"kind": "tile", **t})
 
         # retained sources: ONE packed row per leaf tile (the flat
-        # arrays were built by feature_pack; a per-feature row layout
+        # arrays were built by pack_leaves; a per-feature row layout
         # here was the handoff stage's measured straggler term)
         for (sz, sx, sy), pack in sources.items():
             if pack["n"] == 0:
