@@ -1221,12 +1221,15 @@ def batch_assemble(rags: Rags, gcodes, tz, tx, ty, options):
     threshold = np.where(r_is_poly, r_sqtol, r_tol)
     drop_tiny = r_is_lp & (r_tol > 0) & (rags.rsize < threshold)
 
-    keep_v = np.repeat(r_tol, lens) <= 0
-    keep_v |= rags.zs > np.repeat(r_sqtol, lens)
-    keep_v &= ~np.repeat(drop_tiny, lens)
+    # fused per-ring keep threshold: -inf keeps every vertex (point
+    # rings, tolerance 0), +inf keeps none (dropped tiny rings), else
+    # the squared tolerance — ONE repeat + compare instead of four
+    # (identical truth table to the reference's three conditions)
     pt_ring = ~r_is_lp
-    if pt_ring.any():
-        keep_v |= np.repeat(pt_ring, lens)
+    ring_thresh = np.where(drop_tiny, np.inf,
+                           np.where(pt_ring | (r_tol <= 0),
+                                    -np.inf, r_sqtol))
+    keep_v = rags.zs > np.repeat(ring_thresh, lens)
 
     kept_per_ring = np.zeros(rags.n_rings, dtype=np.int64)
     if rags.n_vertices:
