@@ -153,11 +153,14 @@ def batch_simplify(xs, ys, zs, first_v, last_v, sq_tolerance: float) -> None:
 
         dmax_rep = np.repeat(dmax, counts)
         is_max = d == dmax_rep
-        occ1 = seg_first_true(is_max, starts, idx)
-        n_occ = np.add.reduceat(is_max.astype(np.int64), starts)
-
-        pivot = occ1.copy()
-        multi = active & (n_occ > 1)
+        pivot = seg_first_true(is_max, starts, idx)
+        # exactly one max occurrence per span (the overwhelmingly common
+        # case) needs no tie machinery at all
+        if int(np.count_nonzero(is_max)) == len(counts):
+            multi = np.zeros(0, dtype=bool)
+        else:
+            n_occ = np.add.reduceat(is_max.astype(np.int64), starts)
+            multi = active & (n_occ > 1)
         if multi.any():
             # faithful scalar walk of simplify.js:3-31 for tie spans: a
             # unique max is history-free (the '>' branch wins last), but
@@ -221,24 +224,26 @@ def parse_feature_rows(rows, options):
     ords, gcodes, fids, tagss, ringss = [], [], [], [], []
 
     def emit(ordv, ci, gtype, fid, props, coords):
+        # rings reference the freshly-parsed coordinate lists directly —
+        # build_rags only reads them, never mutates
         if gtype == "Point":
             rings = [(-1, False, [coords])]
         elif gtype == "MultiPoint":
             if not coords:
                 return ci
-            rings = [(-1, False, list(coords))]
+            rings = [(-1, False, coords)]
         elif gtype == "LineString":
-            rings = [(-1, False, list(coords))]
+            rings = [(-1, False, coords)]
         elif gtype == "MultiLineString":
             if options.line_metrics:
                 for line in coords:
                     ci = emit(ordv, ci, "LineString", fid, props, line)
                 return ci
-            rings = [(-1, False, list(line)) for line in coords]
+            rings = [(-1, False, line) for line in coords]
         elif gtype == "Polygon":
-            rings = [(0, ri == 0, list(r)) for ri, r in enumerate(coords)]
+            rings = [(0, ri == 0, r) for ri, r in enumerate(coords)]
         elif gtype == "MultiPolygon":
-            rings = [(pi, ri == 0, list(r))
+            rings = [(pi, ri == 0, r)
                      for pi, poly in enumerate(coords)
                      for ri, r in enumerate(poly)]
         else:
@@ -546,9 +551,10 @@ def batch_clip(rags: Rags, gcodes, fminx, fminy, fmaxx, fmaxy,
     # ---- trivially accepted features: pass through unchanged
     ta_idx = np.nonzero(ta)[0]
 
-    # ---- crossing features
+    # ---- crossing features (boolean lookups per ring, never np.isin —
+    # the sort inside isin dominates at 100k+ rings)
     cr_idx = np.nonzero(cross)[0]
-    cr_set_rings = np.isin(rags.rfeat, cr_idx) if len(cr_idx) else \
+    cr_set_rings = cross[rags.rfeat] if len(cr_idx) else \
         np.zeros(rags.n_rings, dtype=bool)
 
     coord = rags.xs if axis == 0 else rags.ys
@@ -562,7 +568,8 @@ def batch_clip(rags: Rags, gcodes, fminx, fminy, fmaxx, fmaxy,
     pt_off = np.zeros(1, dtype=np.int64)
     ptx = pty = ptz = np.empty(0)
     if len(pt_feats):
-        pt_rings = np.nonzero(np.isin(rags.rfeat, pt_feats))[0]
+        is_pt_cr = cross & (gcodes <= GT_MPOINT)
+        pt_rings = np.nonzero(is_pt_cr[rags.rfeat])[0]
         plens = lens_all[pt_rings]
         g = np.repeat(rags.roff[pt_rings], plens) + ragged_arange(plens)
         vfi = np.repeat(rags.rfeat[pt_rings], plens)
@@ -581,7 +588,7 @@ def batch_clip(rags: Rags, gcodes, fminx, fminy, fmaxx, fmaxy,
 
     # ======== line/polygon rings of crossing features → flat run table
     lp_rings = np.nonzero(cr_set_rings & (rags.rpoly >= -1) &
-                          np.isin(rags.rfeat, cr_idx[gcodes[cr_idx] >= GT_LINE])
+                          (cross & (gcodes >= GT_LINE))[rags.rfeat]
                           )[0] if len(cr_idx) else np.empty(0, dtype=np.int64)
     runs = (_clip_line_rings(rags, gcodes, lp_rings, k1f, k2f,
                              axis, line_metrics, coord)
@@ -1063,7 +1070,10 @@ def take_features(rags: Rags, sel: np.ndarray) -> Rags:
     """New Rags containing only features ``sel`` (sorted), renumbered —
     pure index arithmetic, no per-feature Python."""
     sel = np.asarray(sel, dtype=np.int64)
-    rmask = np.isin(rags.rfeat, sel)
+    in_sel = np.zeros(rags.n_feats, dtype=bool)
+    in_sel[sel] = True
+    rmask = in_sel[rags.rfeat] if rags.n_rings else \
+        np.zeros(0, dtype=bool)
     rsel = np.nonzero(rmask)[0]
     lens = rags.ring_lens()[rsel]
     starts = rags.roff[rsel]
@@ -1205,14 +1215,6 @@ def batch_assemble(rags: Rags, gcodes, tz, tx, ty, options):
     sqtolf = tolf * tolf
 
     lens = rags.ring_lens()
-    vfeat = np.repeat(rags.rfeat, lens)
-    z2v = z2f[vfeat].astype(np.float64)
-    txv = tx[vfeat].astype(np.float64)
-    tyv = ty[vfeat].astype(np.float64)
-    # JS Math.round == floor(v + 0.5)
-    txi = np.floor(extent * (rags.xs * z2v - txv) + 0.5).astype(np.int64)
-    tyi = np.floor(extent * (rags.ys * z2v - tyv) + 0.5).astype(np.int64)
-
     rf = rags.rfeat
     r_is_lp = gcodes[rf] >= GT_LINE if len(rf) else np.zeros(0, dtype=bool)
     r_is_poly = gcodes[rf] >= GT_POLY if len(rf) else np.zeros(0, dtype=bool)
@@ -1252,6 +1254,13 @@ def batch_assemble(rags: Rags, gcodes, tz, tx, ty, options):
                     .astype(np.int64) if rags.n_rings else
                     np.zeros(n_feats, dtype=np.int64))
 
+    # kept-vertex index set, shared by the rewind pass and the geometry
+    # output: ring id per kept vertex comes from a repeat over KEPT
+    # counts (kept vertices are already ordered by ring), never a
+    # full-length per-vertex repeat + gather
+    kept_idx = np.nonzero(keep_v)[0]
+    kring = np.repeat(np.arange(rags.n_rings), kept_per_ring)
+
     # ---- rewind decisions, globally vectorized: signed area of every
     # kept polygon-ring vertex run in one pass.  The reduceat (pairwise)
     # sum can differ from the reference's sequential sum by ~n·eps·|term|
@@ -1262,13 +1271,9 @@ def batch_assemble(rags: Rags, gcodes, tz, tx, ty, options):
         if rags.n_rings else np.empty(0, dtype=np.int64)
     if len(rw_rings):
         klens = kept_per_ring[rw_rings]
-        kept_idx = np.nonzero(keep_v)[0]
-        # kept vertices are ordered by ring already; select those of
-        # rw_rings via ring id per kept vertex
-        ring_of_v = np.repeat(np.arange(rags.n_rings), lens)
-        kring = ring_of_v[kept_idx]
-        sel_mask = np.isin(kring, rw_rings)
-        kv = kept_idx[sel_mask]
+        in_rw = np.zeros(rags.n_rings, dtype=bool)
+        in_rw[rw_rings] = True
+        kv = kept_idx[in_rw[kring]]
         run_starts = np.zeros(len(rw_rings), dtype=np.int64)
         np.cumsum(klens[:-1], out=run_starts[1:])
         fx = rags.xs[kv]
@@ -1299,10 +1304,17 @@ def batch_assemble(rags: Rags, gcodes, tz, tx, ty, options):
     f_roff = np.zeros(n_feats + 1, dtype=np.int64)
     np.cumsum(f_nrings, out=f_roff[1:])
 
-    kept_idx = np.nonzero(keep_v)[0]
+    # integer tile transform on KEPT vertices only (JS Math.round ==
+    # floor(v + 0.5)); per-vertex z2/tx/ty come through the kept ring ids
+    kfeat = rf[kring] if rags.n_rings else np.zeros(0, dtype=np.int64)
+    z2v = z2f[kfeat].astype(np.float64)
+    txv = tx[kfeat].astype(np.float64)
+    tyv = ty[kfeat].astype(np.float64)
     pairs_all = np.empty((len(kept_idx), 2), dtype=np.int64)
-    pairs_all[:, 0] = txi[kept_idx]
-    pairs_all[:, 1] = tyi[kept_idx]
+    pairs_all[:, 0] = np.floor(
+        extent * (rags.xs[kept_idx] * z2v - txv) + 0.5).astype(np.int64)
+    pairs_all[:, 1] = np.floor(
+        extent * (rags.ys[kept_idx] * z2v - tyv) + 0.5).astype(np.int64)
     koff = np.zeros(rags.n_rings + 1, dtype=np.int64)
     np.cumsum(kept_per_ring, out=koff[1:])
 

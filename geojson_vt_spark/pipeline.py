@@ -835,10 +835,13 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
         if not split_keys:
             break
 
-        skeys = np.asarray([(gx << 32) | gy for gx, gy in split_keys],
-                           dtype=np.int64)
-        sel = np.nonzero(np.isin((tilex << 32) | tiley, skeys))[0] \
-            .astype(np.int64)
+        skeys = np.sort(np.asarray([(gx << 32) | gy
+                                    for gx, gy in split_keys],
+                                   dtype=np.int64))
+        fkeys = (tilex << 32) | tiley
+        pos = np.searchsorted(skeys, fkeys)
+        pos[pos == len(skeys)] = 0
+        sel = np.nonzero(skeys[pos] == fkeys)[0].astype(np.int64)
         next_pending = [(2 * gx + dx, 2 * gy + dy)
                         for gx, gy in split_keys
                         for dx, dy in ((0, 0), (0, 1), (1, 0), (1, 1))]
