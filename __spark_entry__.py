@@ -263,6 +263,18 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.05)
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering: exact ngram-Jaccard pairs (the
+    SQL-twin candidate generator) closed into connected components —
+    every document labeled with its cluster representative (min
+    reachable doc_id; isolated docs label themselves)."""
+    from geojson_vt_spark.operators import (near_dup_clusters,
+                                            ngram_jaccard_pairs)
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.05)
+    return near_dup_clusters(pairs, nodes=d, node_col="doc_id")
+
+
 def q_token_count(spark, sf_dir):
     from geojson_vt_spark.operators import token_count_col
     return _docs(spark, sf_dir).select(
@@ -424,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_overlay": q_raster_overlay,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_clusters": q_near_dup_clusters,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -684,6 +697,17 @@ def _ann_ivf_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    _NGRAM_PAIRS_SELECT = """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(count(*) FILTER (WHERE TRUE)
+                         / (sa.n + sb.n - count(*)), 6) AS jaccard
+            FROM g a JOIN g b ON a.sh = b.sh AND a.blk = b.blk
+                              AND a.doc_id < b.doc_id
+            JOIN sizes sa ON sa.doc_id = a.doc_id AND sa.blk = a.blk
+            JOIN sizes sb ON sb.doc_id = b.doc_id AND sb.blk = b.blk
+            GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+            HAVING round(count(*) / (sa.n + sb.n - count(*)), 6) >= 0.05
+    """
     shingle_cte = """
         WITH toks AS (
             SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
@@ -808,17 +832,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY md5(text)
         """,
-        "ngram_jaccard": shingle_cte + """
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(count(*) FILTER (WHERE TRUE)
-                         / (sa.n + sb.n - count(*)), 6) AS jaccard
-            FROM g a JOIN g b ON a.sh = b.sh AND a.blk = b.blk
-                              AND a.doc_id < b.doc_id
-            JOIN sizes sa ON sa.doc_id = a.doc_id AND sa.blk = a.blk
-            JOIN sizes sb ON sb.doc_id = b.doc_id AND sb.blk = b.blk
-            GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
-            HAVING round(count(*) / (sa.n + sb.n - count(*)), 6) >= 0.05
-        """,
+        "ngram_jaccard": shingle_cte + _NGRAM_PAIRS_SELECT,
+        "near_dup_clusters": (
+            shingle_cte.replace("WITH toks", "WITH RECURSIVE toks", 1)
+            + f""", pairs AS ({_NGRAM_PAIRS_SELECT}
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b AS u, id_a AS v FROM pairs
+            ), reach AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), mins AS (
+                SELECT u, min(v) AS m FROM reach GROUP BY u
+            )
+            SELECT d.doc_id AS doc_id,
+                   least(coalesce(m.m, d.doc_id), d.doc_id) AS rep
+            FROM documents d LEFT JOIN mins m ON m.u = d.doc_id
+        """),
         "token_count": """
             SELECT doc_id,
                    CASE WHEN len(trim(text)) = 0 THEN 0

@@ -1,6 +1,7 @@
 from .dedup import (cosine_col, embedding_near_dup_pairs, exact_dedup,
-                    minhash_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
-                    shingles_col, simhash_col, simhash_pairs)
+                    minhash_dedup, minhash_lsh_pairs, near_dup_clusters,
+                    ngram_jaccard_pairs, shingles_col, simhash_col,
+                    simhash_pairs)
 from .similarity import (cosine_topk, ivf_assign, ivf_fit,
                          ivf_index, ivf_topk, lsh_topk)
 from .spatial_join import (knn_join, point_in_polygon_join, points_in_ring,
@@ -13,7 +14,8 @@ __all__ = [
     "embedding_near_dup_pairs", "exact_dedup", "fingerprint_df",
     "ivf_assign", "ivf_fit", "ivf_index", "ivf_topk",
     "knn_join", "lang_id_df", "lsh_topk", "minhash_dedup",
-    "minhash_lsh_pairs", "ngram_jaccard_pairs", "point_in_polygon_join",
+    "minhash_lsh_pairs", "near_dup_clusters", "ngram_jaccard_pairs",
+    "point_in_polygon_join",
     "points_in_ring", "quality_score_df", "raster_vector_overlay",
     "shingles_col", "simhash_col", "simhash_pairs", "token_count_col",
     "winnow_fingerprints_df",

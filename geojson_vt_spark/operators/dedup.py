@@ -431,3 +431,78 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
         .select("p.id_a", "p.id_b",
                 F.round(cosine_col("p.v_a", "p.v_b"), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold))
+
+
+def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                      id_b: str = "id_b",
+                      nodes: DataFrame | None = None,
+                      node_col: str = "doc_id",
+                      max_rounds: int = 25) -> DataFrame:
+    """Transitive closure of a near-duplicate pair graph: label every
+    document with the smallest id reachable from it (its cluster
+    representative).  Pairwise keep-lowest (``minhash_dedup``) drops
+    direct losers only; training-data pipelines that must collapse
+    A~B~C chains into ONE surviving doc need the connected component.
+
+    Distributed min-label propagation with pointer jumping: each round
+    (1) takes the min label over each node's neighborhood, then
+    (2) path-compresses ``lbl <- lbl[lbl]``.  The compression step
+    doubles the effective propagation distance, so rounds are
+    O(log(component diameter)) — a 1M-doc duplicate chain settles in
+    ~20 rounds, not 1M.  Per-round plans are scale-shaped: the only
+    shuffled payload is slim (id, label) rows, the neighborhood min is
+    a groupBy with map-side partial aggregation, and each round ends
+    in an eager localCheckpoint so lineage stays O(1) instead of
+    growing by five joins per round.  A mega-cluster makes its
+    representative a hot key on the jump join's probe side; that skew
+    is AQE-splittable because the build side is unique per id.
+
+    ``nodes``/``node_col``: optional universe of documents; isolated
+    ids come back as their own representative.  Returns
+    (``node_col``, rep) and raises if the graph has not converged
+    after ``max_rounds`` (25 rounds cover components of diameter
+    ~2^24 — not reachable before the int64 id space runs out).
+    """
+    p = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (p.union(p.select(F.col("v").alias("u"),
+                              F.col("u").alias("v")))
+             .distinct().localCheckpoint(eager=True))
+    members = edges.select("u").distinct()
+    if nodes is not None:
+        universe = nodes.select(F.col(node_col).alias("u")).distinct()
+    else:
+        universe = members
+    cur = members.select("u", F.col("u").alias("lbl")) \
+        .localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        nm = (edges.join(cur.select(F.col("u").alias("v"),
+                                    F.col("lbl").alias("nl")), "v")
+              .groupBy("u").agg(F.min("nl").alias("nl")))
+        stepped = (cur.join(nm, "u", "left")
+                   .select("u",
+                           F.least("lbl", F.coalesce("nl", "lbl"))
+                           .alias("lbl"),
+                           F.col("lbl").alias("prev")))
+        jumped = (stepped.alias("a")
+                  .join(stepped.select(F.col("u").alias("ju"),
+                                       F.col("lbl").alias("jl"))
+                        .alias("b"),
+                        F.col("a.lbl") == F.col("ju"), "left")
+                  .select(F.col("a.u").alias("u"),
+                          F.least(F.col("a.lbl"),
+                                  F.coalesce("jl", F.col("a.lbl")))
+                          .alias("lbl"),
+                          F.col("a.prev").alias("prev"))
+                  .localCheckpoint(eager=True))
+        cur = jumped.select("u", "lbl")
+        if jumped.where(F.col("lbl") != F.col("prev")).count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            "near_dup_clusters: not converged after %d rounds"
+            % max_rounds)
+
+    return (universe.join(cur, "u", "left")
+            .select(F.col("u").alias(node_col),
+                    F.coalesce("lbl", "u").alias("rep")))

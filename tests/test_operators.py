@@ -405,3 +405,58 @@ def test_cosine6_arrow_matches_column(spark):
     wm = {(r.query_id, r.nbr_id): r.c for r in want}
     assert len(gm) == len(wm) > 1000
     assert gm == wm
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    # A~B and B~C but never A~C: pairwise keep-lowest can't see the
+    # chain; the component closure must put all three in one cluster
+    from geojson_vt_spark.operators import near_dup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long")
+    nodes = spark.range(1, 31).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: r.rep
+           for r in near_dup_clusters(pairs, nodes=nodes).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == 10
+    assert out[20] == out[21] == out[22] == out[23] == 20
+    # isolated docs represent themselves
+    assert out[5] == 5 and out[30] == 30
+    assert len(out) == 30
+
+
+def test_near_dup_clusters_long_chain_converges(spark):
+    # a 200-node path has diameter 199; min-label propagation alone
+    # would need 199 rounds — pointer jumping must close it within the
+    # 25-round cap (O(log diameter))
+    from geojson_vt_spark.operators import near_dup_clusters
+    pairs = spark.range(199).select(
+        (F.col("id") + 1).alias("id_a"), (F.col("id") + 2).alias("id_b"))
+    out = near_dup_clusters(pairs).groupBy("rep").count().collect()
+    assert len(out) == 1 and out[0].rep == 1 and out[0]["count"] == 200
+
+
+def test_near_dup_clusters_matches_union_find(spark):
+    # randomized differential vs a driver-side union-find
+    import random
+    from geojson_vt_spark.operators import near_dup_clusters
+    rng = random.Random(7)
+    n = 400
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                    for _ in range(300)})
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in range(n)}
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    got = {r.doc_id: r.rep
+           for r in near_dup_clusters(pairs, nodes=nodes).collect()}
+    assert got == expect
