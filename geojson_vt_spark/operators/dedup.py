@@ -254,7 +254,7 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
 
 def minhash_dedup(df: DataFrame, content_col: str = "text",
                   id_col: str = "doc_id", pre_collapse: bool = True,
-                  **kw) -> DataFrame:
+                  transitive: bool = False, **kw) -> DataFrame:
     """Drop every row that is the higher id of a passing near-dup pair
     (chain-collapsing keep-lowest rule, deterministic).
 
@@ -264,21 +264,36 @@ def minhash_dedup(df: DataFrame, content_col: str = "text",
     candidate pairs) — the standard guard that keeps mega-duplicate
     clusters from going quadratic in the band join.  Non-representative
     exact copies are dropped directly; a representative that loses an
-    LSH near-dup pairing takes its whole exact group with it."""
+    LSH near-dup pairing takes its whole exact group with it.
+
+    ``transitive``: close the pair graph into connected components
+    first and keep exactly ONE doc (the min id) per component.  The
+    pairwise rule keeps a doc that only ever WINS its pairings — if
+    C pairs with B but not with A (A < B < C, A~B), both A and C
+    survive even though B chains them.  Training-data dedup usually
+    wants the component collapsed; pairs-only stays the default
+    because it never consults more than one hop."""
+    def _losers(pairs):
+        if not transitive:
+            return pairs.select(F.col("id_b").alias("_l")).distinct()
+        comp = near_dup_clusters(pairs, node_col="_n")
+        return (comp.where(F.col("_n") != F.col("rep"))
+                .select(F.col("_n").alias("_l")))
+
     if not pre_collapse:
         pairs = minhash_lsh_pairs(df, content_col, id_col, **kw)
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        return df.join(losers, id_col, "left_anti")
+        return df.join(_losers(pairs).withColumnRenamed("_l", id_col),
+                       id_col, "left_anti")
 
     grp = (df.groupBy(F.md5(content_col).alias("_fp"))
            .agg(F.min(id_col).alias("_rep")))
     reps = (df.join(grp.select(F.col("_rep").alias(id_col)),
                     id_col, "left_semi"))
     pairs = minhash_lsh_pairs(reps, content_col, id_col, **kw)
-    # survivors = representatives that never lose an LSH pairing (exact
-    # copies are jaccard-1 dupes of their rep, so they always drop)
-    keep_rep = (grp.join(pairs.select(F.col("id_b").alias("_rep"))
-                         .distinct(), "_rep", "left_anti")
+    # survivors = representatives that never lose (exact copies are
+    # jaccard-1 dupes of their rep, so they always drop with it)
+    keep_rep = (grp.join(_losers(pairs).withColumnRenamed("_l", "_rep"),
+                         "_rep", "left_anti")
                 .select(F.col("_rep").alias(id_col)))
     return df.join(keep_rep, id_col, "left_semi")
 

@@ -460,3 +460,23 @@ def test_near_dup_clusters_matches_union_find(spark):
     got = {r.doc_id: r.rep
            for r in near_dup_clusters(pairs, nodes=nodes).collect()}
     assert got == expect
+
+
+def test_minhash_dedup_transitive_collapses_bridge_doc(spark):
+    # doc3 = doc1's block + doc2's block: it pairs with BOTH doc1 and
+    # doc2, which never pair with each other.  Pairwise keep-lowest
+    # keeps {1, 2} (doc3 is the only id_b loser); transitive closure
+    # collapses the whole component to {1}
+    from geojson_vt_spark.operators import minhash_dedup
+    a_block = " ".join(f"alpha{i}" for i in range(12))
+    b_block = " ".join(f"beta{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, a_block), (2, b_block), (3, a_block + " " + b_block)],
+        "doc_id long, text string")
+    kw = dict(num_hashes=64, bands=32, threshold=0.3)
+    pairwise = sorted(r.doc_id for r in
+                      minhash_dedup(docs, **kw).collect())
+    chained = sorted(r.doc_id for r in
+                     minhash_dedup(docs, transitive=True, **kw).collect())
+    assert pairwise == [1, 2]
+    assert chained == [1]
