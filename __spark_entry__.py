@@ -420,6 +420,82 @@ def q_frame_sample(spark, sf_dir):
                            every_ms=2000)
 
 
+# --- webtext curation suite (C4/Gopher/RefinedWeb-style stages) ---
+
+def _synth_url_col():
+    """Deterministic synthetic crawl URL per document — messy on
+    purpose (mixed case, www, default port, tracking params, trailing
+    slash, fragment) so canonicalization has real work to do.  The
+    oracle SQL builds the identical string."""
+    d = F.col("doc_id")
+    sh = F.when(d % 2 == 0,
+                F.concat(F.lit("HTTPS://WWW."), F.col("source"),
+                         F.lit(".Example.COM"))) \
+         .otherwise(F.concat(F.lit("https://"), F.col("source"),
+                             F.lit(".example.com")))
+    port = F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/A-"), (d % 23).cast("string"),
+                    F.when(d % 3 == 2, F.lit("/")).otherwise(F.lit("")))
+    q = (F.when(d % 3 == 0, F.concat(F.lit("?utm_campaign=feed&id="),
+                                     (d % 11).cast("string")))
+         .when(d % 3 == 1, F.concat(F.lit("?id="), (d % 11).cast("string"),
+                                    F.lit("&gclid=trk")))
+         .otherwise(F.concat(F.lit("?sid="), d.cast("string"))))
+    frag = F.when(d % 5 >= 3, F.concat(F.lit("#Sec-"),
+                                       (d % 5).cast("string"))) \
+            .otherwise(F.lit(""))
+    return F.concat(sh, port, path, q, frag)
+
+
+# DuckDB twin of _synth_url_col() — must build the identical string
+_URL_SYNTH_SQL = """
+    (CASE WHEN doc_id % 2 = 0
+          THEN 'HTTPS://WWW.' || source || '.Example.COM'
+          ELSE 'https://' || source || '.example.com' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+    || '/A-' || CAST(doc_id % 23 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 2 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0
+             THEN '?utm_campaign=feed&id=' || CAST(doc_id % 11 AS VARCHAR)
+             WHEN doc_id % 3 = 1
+             THEN '?id=' || CAST(doc_id % 11 AS VARCHAR) || '&gclid=trk'
+             ELSE '?sid=' || CAST(doc_id AS VARCHAR) END)
+    || (CASE WHEN doc_id % 5 >= 3
+             THEN '#Sec-' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END)
+"""
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + keep-lowest-id dedup (RefinedWeb-style)
+    over synthetic crawl URLs derived from the documents table."""
+    from geojson_vt_spark.operators.webtext import url_dedup
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", _synth_url_col().alias("url"))
+    return url_dedup(pages)
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style repetition/shape rules: top-bigram share,
+    duplicate-trigram share, mean word length, alpha-word fraction,
+    composite keep flag."""
+    from geojson_vt_spark.operators.webtext import repetition_stats_df
+    return repetition_stats_df(_docs(spark, sf_dir))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop documents sharing any word
+    8-gram with the (synthetic, doc_id % 97 == 0) benchmark set."""
+    from geojson_vt_spark.operators.webtext import decontaminate_df
+    d = _docs(spark, sf_dir)
+    return decontaminate_df(d, d.where(F.col("doc_id") % 97 == 0), n=8)
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document, smooth idf, term tie-break."""
+    from geojson_vt_spark.operators.webtext import tfidf_topk_df
+    return tfidf_topk_df(_docs(spark, sf_dir), k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mercator_project": q_mercator_project,
@@ -454,6 +530,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "frame_sample": q_frame_sample,
+        "url_dedup": q_url_dedup,
+        "gopher_quality": q_gopher_quality,
+        "decontaminate": q_decontaminate,
+        "tfidf_topterms": q_tfidf_topterms,
         # rows-only (full geometry-kernel pyramid; pinned byte-identical
         # to the reference by the golden-fixture pytest suite):
         "pyramid_tiles": q_pyramid_tiles,
@@ -996,5 +1076,114 @@ def oracle_sql() -> dict[str, str]:
                        CAST('0x' || substr(h, CAST(j AS INT) * 2 + 1, 2)
                             AS BIGINT))) AS BIGINT) AS frame_digest
             FROM fr
+        """,
+        # --- webtext curation suite ---
+        "url_dedup": f"""
+            WITH urls AS (
+                SELECT doc_id, {_URL_SYNTH_SQL} AS u FROM documents),
+            s1 AS (SELECT doc_id,
+                          regexp_replace(regexp_replace(u, '#.*', '', 'g'),
+                              '[?&](utm_[A-Za-z0-9_]*|gclid|fbclid|sid|ref)=[^&#]*',
+                              '', 'g') AS u
+                   FROM urls),
+            s2 AS (SELECT doc_id,
+                          regexp_replace(u, '^([^?]*)&', '\\1?') AS u
+                   FROM s1),
+            s3 AS (SELECT doc_id, u,
+                          regexp_extract(u, '^[^/]*//[^/]*') AS head
+                   FROM s2),
+            s4 AS (SELECT doc_id,
+                          regexp_replace(regexp_replace(lower(head),
+                              '^(https?://)www\\.', '\\1'),
+                              ':(443|80)$', '')
+                          || substr(u, length(head) + 1) AS u
+                   FROM s3),
+            canon AS (SELECT doc_id,
+                             regexp_replace(u, '[/?&]+$', '') AS canon_url
+                      FROM s4)
+            SELECT min(canon_url) AS canon_url, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM canon GROUP BY md5(canon_url)
+        """,
+        "gopher_quality": """
+            WITH base AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS w,
+                       length(regexp_replace(text, '\\s+', '', 'g')) AS nc
+                FROM documents),
+            shape AS (
+                SELECT doc_id, len(w) AS n_words,
+                       nc / greatest(len(w), 1) AS mwl,
+                       len(list_filter(w,
+                           t -> regexp_matches(t, '[A-Za-z]')))
+                           / greatest(len(w), 1) AS alpha,
+                       list_transform(range(len(w) - 1),
+                           i -> w[i+1] || ' ' || w[i+2]) AS g2,
+                       list_transform(range(len(w) - 2),
+                           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS g3
+                FROM base),
+            c2 AS (SELECT doc_id, g, count(*) AS c
+                   FROM (SELECT doc_id, unnest(g2) AS g FROM shape)
+                   GROUP BY 1, 2),
+            top2 AS (SELECT doc_id, max(c) / sum(c) AS v FROM c2 GROUP BY 1),
+            c3 AS (SELECT doc_id, g, count(*) AS c
+                   FROM (SELECT doc_id, unnest(g3) AS g FROM shape)
+                   GROUP BY 1, 2),
+            dup3 AS (SELECT doc_id,
+                            sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) AS v
+                     FROM c3 GROUP BY 1)
+            SELECT s.doc_id, s.n_words,
+                   round(s.mwl, 6) AS mean_word_len,
+                   round(s.alpha, 6) AS alpha_word_frac,
+                   round(coalesce(t.v, 0.0), 6) AS top_bigram_frac,
+                   round(coalesce(d.v, 0.0), 6) AS dup_trigram_frac,
+                   CAST(s.n_words >= 10 AND s.n_words <= 100000
+                        AND s.mwl >= 2.0 AND s.mwl <= 12.0
+                        AND s.alpha >= 0.6
+                        AND coalesce(t.v, 0.0) <= 0.30
+                        AND coalesce(d.v, 0.0) <= 0.60 AS INT) AS keep
+            FROM shape s
+            LEFT JOIN top2 t ON t.doc_id = s.doc_id
+            LEFT JOIN dup3 d ON d.doc_id = s.doc_id
+        """,
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS w
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(w) - 7),
+                           i -> array_to_string(w[i+1:i+8], ' '))) AS g
+                FROM toks),
+            bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            dirty AS (SELECT DISTINCT doc_id FROM grams
+                      WHERE g IN (SELECT g FROM bg))
+            SELECT doc_id, length(text) AS n_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+        """,
+        "tfidf_topterms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS c FROM documents),
+            scored AS (
+                SELECT t.doc_id, t.term, t.tf,
+                       round(t.tf * (ln((1.0 + (SELECT c FROM n))
+                                        / (1.0 + d.df)) + 1.0), 6) AS score
+                FROM tf t JOIN dfq d ON d.term = t.term),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, term ASC) AS rank
+                FROM scored)
+            SELECT doc_id, term, tf, score, rank
+            FROM ranked WHERE rank <= 3
         """,
     }

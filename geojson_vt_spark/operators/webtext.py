@@ -1,0 +1,189 @@
+"""Web-corpus curation operators — the C4 / Gopher / RefinedWeb-style
+pipeline stages a large-scale training-data build runs between raw
+crawl and tokenizer: URL canonicalization + dedup, repetition-based
+quality rules, benchmark decontamination, and TF-IDF keyword scoring.
+
+Everything here is pure Column expressions (JVM-side, whole-stage
+codegen; no Python in the hot path) and every operator has a
+DuckDB-expressible twin for the correctness oracle.
+
+Scale posture (100 TB):
+- ``canonicalize_url_col`` is per-row regexp work — embarrassingly
+  parallel, stays inside codegen.
+- ``url_dedup`` shuffles only ``(md5(canon_url), doc_id)`` — 48-byte
+  rows with map-side partial aggregation, never document bodies
+  (the same slim shape as ``exact_dedup``).
+- ``decontaminate_df`` broadcasts the *benchmark* n-gram set (eval
+  suites are tiny relative to a crawl) so the corpus side is a
+  shuffle-free broadcast anti-join; a Bloom prefilter is unnecessary
+  because the broadcast hash set already gives O(1) probes.
+- ``repetition_stats_df`` / ``tfidf_topk_df`` shuffle slim
+  ``(doc_id, gram)`` / ``(term)`` keys with partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import tokens_col
+
+# query params that never change page identity (tracking/session ids)
+_TRACKING_RE = r"[?&](utm_[A-Za-z0-9_]*|gclid|fbclid|sid|ref)=[^&#]*"
+
+
+def canonicalize_url_col(url: Column) -> Column:
+    """Canonical form of a crawl URL: drop the fragment, strip
+    tracking query params (utm_*/gclid/fbclid/sid/ref), lowercase
+    scheme+host, drop a leading ``www.``, drop default ports, and
+    trim trailing ``/`` / dangling ``?``/``&``.
+
+    Pure regexp_replace chain — global replace in Spark matches
+    DuckDB's ``regexp_replace(..., 'g')`` twin.
+    """
+    u = F.regexp_replace(url, r"#.*", "")           # fragment
+    u = F.regexp_replace(u, _TRACKING_RE, "")        # tracking params
+    # if the first surviving param lost its '?', restore it
+    u = F.regexp_replace(u, r"^([^?]*)&", "$1?")
+    # lowercase scheme://host (first path slash onward untouched)
+    head = F.regexp_extract(u, r"^[^/]*//[^/]*", 0)
+    tail = F.substring(u, F.length(head) + F.lit(1), F.length(u))
+    head = F.lower(head)
+    head = F.regexp_replace(head, r"^(https?://)www\.", "$1")
+    head = F.regexp_replace(head, r":(443|80)$", "")
+    u = F.concat(head, tail)
+    u = F.regexp_replace(u, r"[/?&]+$", "")          # trailing junk
+    return u
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Keep one page per canonical URL (lowest id wins), RefinedWeb
+    style.  Returns ``(canon_url, keep_id, n_dups)``.
+
+    The aggregation groups on ``md5(canon_url)`` so the shuffle rows
+    are fixed-width hashes (not arbitrary-length URLs) and partial
+    aggregation applies map-side; the canonical URL itself rides
+    along as ``min(canon_url)`` (bijective with its md5)."""
+    canon = canonicalize_url_col(F.col(url_col)).alias("canon_url")
+    return (pages.select(canon, F.col(id_col))
+            .groupBy(F.md5(F.col("canon_url")).alias("_h"))
+            .agg(F.min("canon_url").alias("canon_url"),
+                 F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_dups"))
+            .drop("_h"))
+
+
+def word_ngrams_col(text: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (JVM higher-order functions;
+    empty array when the document has fewer than ``n`` words)."""
+    w = tokens_col(text)
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size(w) - n),
+                    lambda i: F.array_join(F.slice(w, i + 1, n), " ")))
+
+
+def repetition_stats_df(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition + shape rules (Rae et al. 2021 §A1.1):
+    per document, the fraction of all 2-grams taken by the single most
+    frequent 2-gram, the fraction of 3-gram occurrences that are
+    duplicates, mean word length, and the fraction of words containing
+    an alphabetic character — plus the composite ``keep`` flag.
+
+    Plan: one explode of slim ``(doc_id, gram)`` pairs per n, a
+    partial-aggregated count, and a per-doc roll-up — no document
+    text crosses the second shuffle."""
+    base = docs.select(
+        F.col(id_col),
+        F.size(tokens_col(F.col(text_col))).alias("n_words"),
+        (F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) /
+         F.greatest(F.size(tokens_col(F.col(text_col))), F.lit(1))
+         ).alias("_mwl"),
+        (F.size(F.filter(tokens_col(F.col(text_col)),
+                         lambda t: t.rlike("[A-Za-z]"))) /
+         F.greatest(F.size(tokens_col(F.col(text_col))), F.lit(1))
+         ).alias("_alpha"),
+        word_ngrams_col(F.col(text_col), 2).alias("_g2"),
+        word_ngrams_col(F.col(text_col), 3).alias("_g3"),
+    )
+
+    def frac(df, arr, top):
+        g = (df.select(id_col, F.explode(arr).alias("g"))
+             .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+             .groupBy(id_col))
+        if top:  # most-frequent-gram share
+            return g.agg((F.max("c") / F.sum("c")).alias("v"))
+        # share of occurrences belonging to grams seen more than once
+        return g.agg((F.sum(F.when(F.col("c") > 1, F.col("c"))
+                            .otherwise(F.lit(0))) / F.sum("c")).alias("v"))
+
+    top2 = frac(base, "_g2", True).withColumnRenamed("v", "top_bigram_frac")
+    dup3 = frac(base, "_g3", False).withColumnRenamed("v", "dup_trigram_frac")
+
+    out = (base.select(id_col, "n_words", "_mwl", "_alpha")
+           .join(top2, id_col, "left").join(dup3, id_col, "left")
+           .na.fill({"top_bigram_frac": 0.0, "dup_trigram_frac": 0.0}))
+    keep = ((F.col("n_words") >= 10) & (F.col("n_words") <= 100000) &
+            (F.col("_mwl") >= 2.0) & (F.col("_mwl") <= 12.0) &
+            (F.col("_alpha") >= 0.6) &
+            (F.col("top_bigram_frac") <= 0.30) &
+            (F.col("dup_trigram_frac") <= 0.60))
+    return out.select(
+        id_col, "n_words",
+        F.round("_mwl", 6).alias("mean_word_len"),
+        F.round("_alpha", 6).alias("alpha_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+        keep.cast("int").alias("keep"))
+
+
+def decontaminate_df(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: drop every training document that
+    shares any word ``n``-gram with the benchmark (eval) set — the
+    standard n-gram-overlap rule used before pre-training runs.
+
+    The benchmark n-gram set is tiny (eval suites, not the crawl), so
+    it is ``broadcast()``: the corpus side probes a hash set with no
+    shuffle, and survivors flow straight through.  Returns the
+    surviving ``(doc_id, n_chars)`` rows."""
+    bench_grams = (benchmark
+                   .select(F.explode_outer(
+                       word_ngrams_col(F.col(text_col), n)).alias("g"))
+                   .where(F.col("g").isNotNull()).distinct())
+    probes = docs.select(
+        F.col(id_col), F.explode_outer(
+            word_ngrams_col(F.col(text_col), n)).alias("g"))
+    dirty = (probes.join(F.broadcast(bench_grams), "g", "left_semi")
+             .select(id_col).distinct())
+    return (docs.join(dirty, id_col, "left_anti")
+            .select(id_col, F.length(F.col(text_col)).alias("n_chars")))
+
+
+def tfidf_topk_df(docs: DataFrame, k: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (smooth idf
+    ``ln((1+N)/(1+df)) + 1``), deterministic tie-break by term.
+
+    Plan: explode slim ``(doc_id, term)`` pairs once; document
+    frequency is a per-term aggregate small enough to broadcast back;
+    the per-doc top-k is a window over the doc's own terms.  Scores
+    are rounded to 6 decimals *before* ranking so the DuckDB oracle
+    ranks identically."""
+    n_docs = docs.count()  # one lightweight job; the N in idf
+    terms = (docs.select(id_col, F.explode(tokens_col(F.col(text_col)))
+                         .alias("term"))
+             .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_tbl = terms.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df"))
+    scored = (terms.join(F.broadcast(df_tbl), "term")
+              .withColumn("score", F.round(
+                  F.col("tf") * (F.log((1.0 + n_docs) / (1.0 + F.col("df")))
+                                 + F.lit(1.0)), 6)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", "tf", "score",
+                    F.col("rank").cast("long").alias("rank")))

@@ -480,3 +480,85 @@ def test_minhash_dedup_transitive_collapses_bridge_doc(spark):
                      minhash_dedup(docs, transitive=True, **kw).collect())
     assert pairwise == [1, 2]
     assert chained == [1]
+
+
+# ---------------------------------------------------------------- webtext
+
+def test_canonicalize_url_variants_collapse(spark):
+    from geojson_vt_spark.operators import canonicalize_url_col
+    variants = [
+        "HTTPS://WWW.News.Example.COM:443/Story-1?utm_source=x&id=7#top",
+        "https://news.example.com/Story-1?id=7&gclid=abc123",
+        "https://News.example.com/Story-1/?id=7",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    got = [r.c for r in
+           df.select(canonicalize_url_col(F.col("url")).alias("c")).collect()]
+    # first two collapse exactly; the third keeps its trailing-slash
+    # path distinct (slash precedes the query, not at URL end)
+    assert got[0] == got[1] == "https://news.example.com/Story-1?id=7"
+    assert got[2] == "https://news.example.com/Story-1/?id=7"
+    # dangling '?' after the only param is stripped
+    one = spark.createDataFrame(
+        [("http://a.com/x?sid=99",), ("http://a.com/x/",)], "url string")
+    canon = [r.c for r in one.select(
+        canonicalize_url_col(F.col("url")).alias("c")).collect()]
+    assert canon == ["http://a.com/x", "http://a.com/x"]
+
+
+def test_url_dedup_keeps_lowest_id(spark):
+    from geojson_vt_spark.operators import url_dedup
+    pages = spark.createDataFrame(
+        [(5, "https://A.com/p?utm_x=1"), (2, "HTTPS://a.com/p"),
+         (9, "https://a.com/p#frag"), (1, "https://b.com/q")],
+        "doc_id long, url string")
+    rows = {r.canon_url: (r.keep_id, r.n_dups)
+            for r in url_dedup(pages).collect()}
+    assert rows == {"https://a.com/p": (2, 3), "https://b.com/q": (1, 1)}
+
+
+def test_repetition_stats_flags_repetitive_doc(spark):
+    from geojson_vt_spark.operators import repetition_stats_df
+    clean = " ".join(f"word{i} filler{i}" for i in range(20))
+    spam = "buy now " * 30
+    short = "too short"
+    df = spark.createDataFrame(
+        [(1, clean), (2, spam.strip()), (3, short)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats_df(df).collect()}
+    assert out[1].keep == 1
+    assert out[2].keep == 0  # one bigram dominates
+    assert out[2].top_bigram_frac > 0.45
+    assert out[2].dup_trigram_frac > 0.9
+    assert out[3].keep == 0  # fewer than 10 words
+    assert out[1].dup_trigram_frac == 0.0
+
+
+def test_decontaminate_drops_benchmark_overlap(spark):
+    from geojson_vt_spark.operators import decontaminate_df
+    bench_text = " ".join(f"eval{i}" for i in range(10))
+    contaminated = "prefix words here " + " ".join(
+        f"eval{i}" for i in range(8)) + " suffix"
+    clean = " ".join(f"train{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, clean), (2, contaminated), (3, "tiny doc")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "doc_id long, text string")
+    kept = sorted(r.doc_id for r in
+                  decontaminate_df(docs, bench, n=8).collect())
+    # doc2 shares the 8-gram eval0..eval7; doc3 is under 8 words (clean)
+    assert kept == [1, 3]
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from geojson_vt_spark.operators import tfidf_topk_df
+    df = spark.createDataFrame(
+        [(1, "common zebra"),
+         (2, "common filler words here"),
+         (3, "common other stuff too")],
+        "doc_id long, text string")
+    top = {(r.doc_id, r.rank): r.term
+           for r in tfidf_topk_df(df, k=2).collect()}
+    # zebra (df=1) beats common (df=3) despite tf 1 vs 3
+    assert top[(1, 1)] == "zebra"
