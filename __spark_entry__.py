@@ -490,6 +490,28 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate_df(d, d.where(F.col("doc_id") % 97 == 0), n=8)
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub over documents with deterministic synthetic
+    emails/IPs/phones appended (the corpus itself is digit-free word
+    soup, so the planted PII is the only thing to find)."""
+    from geojson_vt_spark.operators.webtext import pii_redact_df
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0, F.concat(
+            F.lit(" Contact user"), (d % 50).cast("string"),
+            F.lit("@mail"), (d % 7).cast("string"),
+            F.lit(".example.com now"))).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(
+            F.lit(" from 10.0."), (d % 256).cast("string"),
+            F.lit("."), (d % 254 + 1).cast("string"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(
+            F.lit(" call +1 (555) 010-"),
+            F.lpad((d % 100).cast("string"), 2, "0"))).otherwise(F.lit("")))
+    docs = _docs(spark, sf_dir).select("doc_id", messy.alias("text"))
+    return pii_redact_df(docs)
+
+
 def q_tfidf_topterms(spark, sf_dir):
     """Top-3 TF-IDF terms per document, smooth idf, term tie-break."""
     from geojson_vt_spark.operators.webtext import tfidf_topk_df
@@ -534,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
         "tfidf_topterms": q_tfidf_topterms,
+        "pii_redact": q_pii_redact,
         # rows-only (full geometry-kernel pyramid; pinned byte-identical
         # to the reference by the golden-fixture pytest suite):
         "pyramid_tiles": q_pyramid_tiles,
@@ -1162,6 +1185,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars
             FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+        """,
+        "pii_redact": """
+            WITH messy AS (
+                SELECT doc_id,
+                       text
+                       || (CASE WHEN doc_id % 4 = 0
+                           THEN ' Contact user' || CAST(doc_id % 50 AS VARCHAR)
+                                || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                                || '.example.com now' ELSE '' END)
+                       || (CASE WHEN doc_id % 3 = 0
+                           THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.' || CAST(doc_id % 254 + 1 AS VARCHAR)
+                           ELSE '' END)
+                       || (CASE WHEN doc_id % 5 = 0
+                           THEN ' call +1 (555) 010-'
+                                || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                           ELSE '' END) AS t
+                FROM documents),
+            s1 AS (SELECT doc_id,
+                          len(regexp_extract_all(t,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+'))
+                              AS n_emails,
+                          regexp_replace(t,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+',
+                              '<EMAIL>', 'g') AS t
+                   FROM messy),
+            s2 AS (SELECT doc_id, n_emails,
+                          len(regexp_extract_all(t,
+                              '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ips,
+                          regexp_replace(t,
+                              '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b',
+                              '<IP>', 'g') AS t
+                   FROM s1),
+            s3 AS (SELECT doc_id, n_emails, n_ips,
+                          len(regexp_extract_all(t,
+                              '\\+?[0-9][0-9().\\- ]{7,}[0-9]')) AS n_phones,
+                          regexp_replace(t,
+                              '\\+?[0-9][0-9().\\- ]{7,}[0-9]',
+                              '<PHONE>', 'g') AS t
+                   FROM s2)
+            SELECT doc_id, n_emails, n_ips, n_phones, md5(t) AS redacted_md5
+            FROM s3
         """,
         "tfidf_topterms": """
             WITH toks AS (

@@ -188,6 +188,22 @@ def bench_text(spark) -> tuple[float, dict]:
     return time.monotonic() - t0, {}
 
 
+def bench_webtext(spark) -> tuple[float, dict]:
+    """Web-corpus curation stages over documents: URL dedup, Gopher
+    repetition rules, benchmark decontamination, PII scrub, TF-IDF."""
+    import __spark_entry__ as em
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    t0 = time.monotonic()
+    em.q_url_dedup(spark, SF_DIR).count()
+    em.q_gopher_quality(spark, SF_DIR).count()
+    em.q_decontaminate(spark, SF_DIR).count()
+    em.q_pii_redact(spark, SF_DIR).count()
+    em.q_tfidf_topterms(spark, SF_DIR).count()
+    dt = time.monotonic() - t0
+    return dt, {"docs": n_docs, "doc_passes_per_sec": 5 * n_docs / dt}
+
+
 def bench_serve(spark) -> tuple[float, dict]:
     """Batch tile serving: build a small pyramid (outside the timed
     span), then serve EVERY built tile through warmed get_tiles batches
@@ -224,6 +240,7 @@ BENCHES = {
     "dedup_exact": bench_dedup_exact,
     "ann_cosine_topk": bench_ann,
     "text_suite": bench_text,
+    "webtext_suite": bench_webtext,
     "tile_serve": bench_serve,
 }
 

@@ -90,9 +90,10 @@ def repetition_stats_df(docs: DataFrame, text_col: str = "text",
     duplicates, mean word length, and the fraction of words containing
     an alphabetic character — plus the composite ``keep`` flag.
 
-    Plan: one explode of slim ``(doc_id, gram)`` pairs per n, a
-    partial-aggregated count, and a per-doc roll-up — no document
-    text crosses the second shuffle."""
+    Plan: ONE explode of slim tagged ``(doc_id, n, gram)`` rows covers
+    both n-gram sizes, one partial-aggregated count, one per-doc
+    conditional roll-up, one join back to the per-doc shape stats —
+    no document text crosses either shuffle."""
     base = docs.select(
         F.col(id_col),
         F.size(tokens_col(F.col(text_col))).alias("n_words"),
@@ -107,21 +108,23 @@ def repetition_stats_df(docs: DataFrame, text_col: str = "text",
         word_ngrams_col(F.col(text_col), 3).alias("_g3"),
     )
 
-    def frac(df, arr, top):
-        g = (df.select(id_col, F.explode(arr).alias("g"))
-             .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
-             .groupBy(id_col))
-        if top:  # most-frequent-gram share
-            return g.agg((F.max("c") / F.sum("c")).alias("v"))
-        # share of occurrences belonging to grams seen more than once
-        return g.agg((F.sum(F.when(F.col("c") > 1, F.col("c"))
-                            .otherwise(F.lit(0))) / F.sum("c")).alias("v"))
-
-    top2 = frac(base, "_g2", True).withColumnRenamed("v", "top_bigram_frac")
-    dup3 = frac(base, "_g3", False).withColumnRenamed("v", "dup_trigram_frac")
+    tag = lambda arr, n: F.transform(  # noqa: E731
+        arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
+    n2 = F.col("gram.n") == 2
+    n3 = F.col("gram.n") == 3
+    reps = (base.select(id_col, F.explode(
+                F.concat(tag(F.col("_g2"), 2), tag(F.col("_g3"), 3)))
+                .alias("gram"))
+            .groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(id_col).agg(
+                (F.max(F.when(n2, F.col("c"))) /
+                 F.sum(F.when(n2, F.col("c")))).alias("top_bigram_frac"),
+                (F.sum(F.when(n3 & (F.col("c") > 1), F.col("c"))
+                       .otherwise(F.lit(0))) /
+                 F.sum(F.when(n3, F.col("c")))).alias("dup_trigram_frac")))
 
     out = (base.select(id_col, "n_words", "_mwl", "_alpha")
-           .join(top2, id_col, "left").join(dup3, id_col, "left")
+           .join(reps, id_col, "left")
            .na.fill({"top_bigram_frac": 0.0, "dup_trigram_frac": 0.0}))
     keep = ((F.col("n_words") >= 10) & (F.col("n_words") <= 100000) &
             (F.col("_mwl") >= 2.0) & (F.col("_mwl") <= 12.0) &
@@ -159,6 +162,41 @@ def decontaminate_df(docs: DataFrame, benchmark: DataFrame, n: int = 8,
              .select(id_col).distinct())
     return (docs.join(dirty, id_col, "left_anti")
             .select(id_col, F.length(F.col(text_col)).alias("n_chars")))
+
+
+# PII patterns — ASCII-only, identical semantics under Java regex
+# (Spark) and RE2 (DuckDB): no lookaround, no unicode classes
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+"
+_IP_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PHONE_RE = r"\+?[0-9][0-9().\- ]{7,}[0-9]"
+
+
+def pii_redact_df(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """PII scrub (the Dolma / RefinedWeb pre-training stage): count and
+    mask emails, IPv4 addresses, and phone-shaped digit runs.
+
+    Redaction is staged email → ip → phone on the progressively
+    masked text, because the phone pattern would otherwise also match
+    the digit runs inside IPs.  Counts are taken at each stage so
+    nothing is double-counted.  Pure regexp Column work — per-row,
+    shuffle-free, stays in codegen at any scale.  Returns
+    ``(doc_id, n_emails, n_ips, n_phones, redacted_md5)`` — the md5
+    stands in for the full redacted body so the oracle can verify the
+    exact output text without hauling it through the compare."""
+    t0 = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t0, F.lit(_EMAIL_RE), 0))
+    t1 = F.regexp_replace(t0, _EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(_IP_RE), 0))
+    t2 = F.regexp_replace(t1, _IP_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(_PHONE_RE), 0))
+    t3 = F.regexp_replace(t2, _PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(t3).alias("redacted_md5"))
 
 
 def tfidf_topk_df(docs: DataFrame, k: int = 3, text_col: str = "text",

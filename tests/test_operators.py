@@ -562,3 +562,20 @@ def test_tfidf_rare_term_outranks_common(spark):
            for r in tfidf_topk_df(df, k=2).collect()}
     # zebra (df=1) beats common (df=3) despite tf 1 vs 3
     assert top[(1, 1)] == "zebra"
+
+
+def test_pii_redact_counts_and_masks(spark):
+    from geojson_vt_spark.operators.webtext import pii_redact_df
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@sub.example.org or jo@ex.io thanks"),
+         (2, "server 192.168.1.250 then call +44 (020) 7946-0958 bye"),
+         (3, "no pii here at all")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_redact_df(df).collect()}
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (2, 0, 0)
+    # the IP must be masked BEFORE phone matching, so exactly one phone
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 1, 1)
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 0)
+    import hashlib
+    want = hashlib.md5(b"no pii here at all").hexdigest()
+    assert out[3].redacted_md5 == want
