@@ -3,9 +3,13 @@ pipeline stages a large-scale training-data build runs between raw
 crawl and tokenizer: URL canonicalization + dedup, repetition-based
 quality rules, benchmark decontamination, and TF-IDF keyword scoring.
 
-Everything here is pure Column expressions (JVM-side, whole-stage
-codegen; no Python in the hot path) and every operator has a
-DuckDB-expressible twin for the correctness oracle.
+Everything here is Column expressions (JVM-side, whole-stage codegen)
+except the n-gram emitter, which follows the repo's Arrow-twin
+pattern: an Arrow-batched pandas UDF computes exactly what its
+Column-expression SPEC computes (parity pinned by test), because
+interpreted higher-order-function lambdas sit outside codegen and
+measured ~7× slower.  Every operator has a DuckDB-expressible twin
+for the correctness oracle.
 
 Scale posture (100 TB):
 - ``canonicalize_url_col`` is per-row regexp work — embarrassingly
@@ -23,6 +27,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens_col
@@ -73,9 +78,47 @@ def url_dedup(pages: DataFrame, url_col: str = "url",
             .drop("_h"))
 
 
-def word_ngrams_col(text: Column, n: int) -> Column:
-    """Array of space-joined word n-grams (JVM higher-order functions;
-    empty array when the document has fewer than ``n`` words)."""
+def word_ngrams_col(text: Column, n: int, arrow: bool = True) -> Column:
+    """Array of space-joined word n-grams, in document order with
+    duplicates kept; empty array when the document has fewer than
+    ``n`` words; null for null text.
+
+    The Column expression (``arrow=False``) is the SQL-portable SPEC —
+    the DuckDB oracles replay it.  The default Arrow path emits the
+    identical gram list from one pandas batch: the interpreted
+    higher-order-function lambda (slice + array_join per element) sits
+    outside codegen and measured ~7× slower than the Arrow twin at
+    n=8 (2.8 s vs 0.4 s over the 5k-doc bench corpus), making it most
+    of ``decontaminate``'s wall.  Shuffle-free either way.  Parity is
+    pinned by ``tests/test_operators.py::test_word_ngrams_arrow_
+    matches_column`` including Java-regex edge cases: ``\\s`` is
+    ASCII-only in Java, Spark ``trim`` strips spaces only, and Spark
+    ``split`` (limit=-1) keeps trailing empty strings like
+    ``re.split`` does.
+    """
+    if arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def ng_udf(texts: pd.Series) -> pd.Series:
+            import re
+            ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, not Python \s
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                # trim = spaces only; Spark split(limit=-1) keeps
+                # trailing empty strings, exactly like re.split
+                toks = ws.split(t.strip(" "))
+                if len(toks) < n:
+                    out.append([])
+                else:
+                    out.append([" ".join(toks[i:i + n])
+                                for i in range(len(toks) - n + 1)])
+            return pd.Series(out)
+
+        return ng_udf(text)
     w = tokens_col(text)
     return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(0), F.size(w) - n),

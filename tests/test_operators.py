@@ -146,6 +146,41 @@ def test_shingles_arrow_matches_column(spark):
     assert got == want
 
 
+def test_word_ngrams_arrow_matches_column(spark):
+    """The Arrow n-gram path must equal the SQL-portable Column spec
+    exactly — order kept, duplicates kept, empty below n words, null
+    text → null, Java whitespace class / space-only trim / trailing-
+    empty split semantics mirrored."""
+    import pandas as pd
+    from geojson_vt_spark.operators.webtext import word_ngrams_col
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "a b", "", "   ", "one", "\tleading tab kept",
+             "trailing spaces   ", "trailing tab\t", "double  space",
+             "a\nb\nc d e f", "x \x0b y \f z w",
+             "a b c a b c a b c", None,
+             "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        "doc_id long, text string")
+    for n in (2, 3, 8):
+        got = {r.doc_id: r.g for r in docs.select(
+            "doc_id", word_ngrams_col(F.col("text"), n).alias("g"))
+            .collect()}
+        want = {r.doc_id: r.g for r in docs.select(
+            "doc_id", word_ngrams_col(F.col("text"), n,
+                                      arrow=False).alias("g")).collect()}
+        assert got == want
+
+    sf = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {r.doc_id: r.g for r in sf.select(
+        "doc_id", word_ngrams_col(F.col("text"), 8).alias("g")).collect()}
+    want = {r.doc_id: r.g for r in sf.select(
+        "doc_id", word_ngrams_col(F.col("text"), 8,
+                                  arrow=False).alias("g")).collect()}
+    assert got == want
+
+
 def test_exact_dedup_no_text_in_exchange(spark, docs_with_dups):
     """The winner pass must shuffle (fp, id) only — never the document
     text — and get map-side partial aggregation (VERDICT r2 wrong #1)."""
