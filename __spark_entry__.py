@@ -518,6 +518,65 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_topk_df(_docs(spark, sf_dir), k=3)
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide paragraph dedup over documents given
+    synthetic paragraph structure: a per-(doc_id%7) cookie-banner
+    header every doc shares, the real text chunked into 20-word
+    paragraphs, and a per-(doc_id%5) footer on every third doc — so
+    the planted boilerplate is duplicated corpus-wide and must survive
+    only at its lowest (doc_id, idx) occurrence."""
+    from geojson_vt_spark.operators.webtext import paragraph_dedup_df
+    d = F.col("doc_id")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nch = F.greatest(F.ceil(F.size(toks) / F.lit(20)).cast("int"), F.lit(1))
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(0), nch - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * 20 + 1, 20), " ")), "\n")
+    synth = F.concat(
+        F.lit("accept cookies policy variant "),
+        (d % 7).cast("string"), F.lit("\n"), body,
+        F.when(d % 3 == 0,
+               F.concat(F.lit("\nall rights reserved variant "),
+                        (d % 5).cast("string"))).otherwise(F.lit("")))
+    docs = _docs(spark, sf_dir).select("doc_id", synth.alias("text"))
+    return paragraph_dedup_df(docs)
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-host crawl aggregates over the synthetic-URL pages."""
+    from geojson_vt_spark.operators.webtext import domain_stats_df
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", _synth_url_col().alias("url"), "text")
+    return domain_stats_df(pages)
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line filters over documents given synthetic line
+    structure: 12-word lines with rotating ./!/?/none endings, a
+    cookie-banner line on even docs, and a ``{`` code line on every
+    11th doc (which fails the whole document)."""
+    from geojson_vt_spark.operators.webtext import c4_line_filter_df
+    d = F.col("doc_id")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.greatest(F.ceil(F.size(toks) / F.lit(12)).cast("int"), F.lit(1))
+    puncts = F.array(F.lit("."), F.lit("!"), F.lit("?"), F.lit(""))
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(0), nl - 1),
+                    lambda i: F.concat(
+                        F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+                        F.element_at(puncts,
+                                     ((d + i) % 4 + 1).cast("int")))), "\n")
+    synth = F.concat(
+        body,
+        F.when(d % 2 == 0,
+               F.lit("\nThis site uses cookie tracking technology today.")
+               ).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("\nfunction() {")).otherwise(F.lit("")))
+    docs = _docs(spark, sf_dir).select("doc_id", synth.alias("text"))
+    return c4_line_filter_df(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mercator_project": q_mercator_project,
@@ -557,6 +616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "tfidf_topterms": q_tfidf_topterms,
         "pii_redact": q_pii_redact,
+        "paragraph_dedup": q_paragraph_dedup,
+        "domain_stats": q_domain_stats,
+        "c4_line_filter": q_c4_line_filter,
         # rows-only (full geometry-kernel pyramid; pinned byte-identical
         # to the reference by the golden-fixture pytest suite):
         "pyramid_tiles": q_pyramid_tiles,
@@ -1250,5 +1312,116 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT doc_id, term, tf, score, rank
             FROM ranked WHERE rank <= 3
+        """,
+        "paragraph_dedup": """
+            WITH base AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS w
+                FROM documents),
+            synth AS (
+                SELECT doc_id,
+                       'accept cookies policy variant '
+                       || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+                       || array_to_string(list_transform(
+                              range(0, greatest(
+                                  CAST(ceil(len(w) / 20.0) AS INT), 1)),
+                              i -> array_to_string(
+                                  w[i*20+1 : i*20+20], ' ')), chr(10))
+                       || (CASE WHEN doc_id % 3 = 0
+                           THEN chr(10) || 'all rights reserved variant '
+                                || CAST(doc_id % 5 AS VARCHAR)
+                           ELSE '' END) AS t
+                FROM base),
+            sp AS (SELECT doc_id, string_split(t, chr(10)) AS ps
+                   FROM synth),
+            paras AS (
+                SELECT doc_id, i - 1 AS idx, ps[i] AS para
+                FROM sp,
+                     LATERAL (SELECT unnest(range(1, len(ps) + 1)) AS i) ii),
+            win AS (
+                SELECT doc_id, idx, para, row_number() OVER (
+                    PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+                FROM paras),
+            kept AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       md5(string_agg(para, chr(10) ORDER BY idx))
+                           AS kept_md5
+                FROM win WHERE rn = 1 GROUP BY doc_id)
+            SELECT s.doc_id, len(s.ps) AS n_paras,
+                   coalesce(k.n_kept, 0) AS n_kept,
+                   coalesce(k.kept_md5, md5('')) AS kept_md5
+            FROM sp s LEFT JOIN kept k USING (doc_id)
+        """,
+        "domain_stats": f"""
+            WITH urls AS (
+                SELECT doc_id, {_URL_SYNTH_SQL} AS u, text FROM documents),
+            s1 AS (SELECT doc_id,
+                          regexp_replace(regexp_replace(u, '#.*', '', 'g'),
+                              '[?&](utm_[A-Za-z0-9_]*|gclid|fbclid|sid|ref)=[^&#]*',
+                              '', 'g') AS u, text
+                   FROM urls),
+            s2 AS (SELECT doc_id,
+                          regexp_replace(u, '^([^?]*)&', '\\1?') AS u, text
+                   FROM s1),
+            s3 AS (SELECT doc_id, u,
+                          regexp_extract(u, '^[^/]*//[^/]*') AS head, text
+                   FROM s2),
+            s4 AS (SELECT doc_id,
+                          regexp_replace(regexp_replace(lower(head),
+                              '^(https?://)www\\.', '\\1'),
+                              ':(443|80)$', '')
+                          || substr(u, length(head) + 1) AS u, text
+                   FROM s3),
+            canon AS (SELECT doc_id,
+                             regexp_replace(u, '[/?&]+$', '') AS cu, text
+                      FROM s4),
+            slim AS (SELECT
+                         regexp_extract(cu, '^[^/]*//([^/:]+)', 1) AS host,
+                         md5(regexp_replace(cu, '^[^/]*//[^/]*', '')) AS p,
+                         length(text) AS nc,
+                         len(string_split_regex(trim(text), '\\s+')) AS nw
+                     FROM canon)
+            SELECT host, count(*) AS n_pages,
+                   count(DISTINCT p) AS n_unique_paths,
+                   sum(nc) AS total_chars,
+                   round(avg(nw), 6) AS avg_doc_words
+            FROM slim GROUP BY host
+        """,
+        "c4_line_filter": """
+            WITH base AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS w
+                FROM documents),
+            synth AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(
+                           range(0, greatest(
+                               CAST(ceil(len(w) / 12.0) AS INT), 1)),
+                           i -> array_to_string(w[i*12+1 : i*12+12], ' ')
+                                || list_extract(['.', '!', '?', ''],
+                                       CAST((doc_id + i) % 4 + 1 AS INT))),
+                           chr(10))
+                       || (CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+                           'This site uses cookie tracking technology today.'
+                           ELSE '' END)
+                       || (CASE WHEN doc_id % 11 = 0
+                           THEN chr(10) || 'function() {' ELSE '' END) AS t
+                FROM base),
+            l AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls
+                  FROM synth),
+            k AS (SELECT doc_id, ls,
+                         list_filter(ls, x ->
+                             len(string_split_regex(trim(x), '\\s+')) >= 5
+                             AND regexp_matches(x, '[.!?"]\\s*$')
+                             AND NOT contains(lower(x), 'javascript')
+                             AND NOT contains(lower(x), 'cookie')
+                             AND NOT contains(lower(x), 'lorem ipsum'))
+                             AS kept,
+                         contains(t, '{') AS brace
+                  FROM l)
+            SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept_lines,
+                   CAST((len(kept) >= 3 AND NOT brace) AS INT) AS keep_doc,
+                   md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_md5
+            FROM k
         """,
     }

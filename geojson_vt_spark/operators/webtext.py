@@ -242,6 +242,108 @@ def pii_redact_df(docs: DataFrame, text_col: str = "text",
         F.md5(t3).alias("redacted_md5"))
 
 
+def paragraph_dedup_df(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup (Wenzek et al. 2019):
+    split every document on ``sep``, keep each distinct paragraph only
+    at its first corpus occurrence (lowest ``(doc_id, idx)``), and
+    rebuild the surviving document.  This is the stage that strips
+    boilerplate — cookie banners, nav bars, footers — because repeated
+    paragraphs lose everywhere except one arbitrary winner.
+
+    Returns ``(doc_id, n_paras, n_kept, kept_md5)`` where ``kept_md5``
+    is the md5 of the rebuilt text (kept paragraphs joined by ``sep``
+    in original order) — the oracle verifies the exact rebuilt bytes
+    without hauling bodies through the compare.
+
+    Plan (100-TB posture): the corpus-wide winner election shuffles
+    only ``(md5(para), doc_id, idx)`` — fixed-width rows with map-side
+    partial aggregation (``min(struct(doc_id, idx))`` combines
+    per-partition), never paragraph text.  The kept-index sets ride
+    back to the documents as slim ``array<int>`` rows on the table's
+    own primary key, so a source bucketed by ``doc_id`` rebuilds with
+    a one-sided shuffle; the rebuild itself is a per-row Column
+    ``filter`` by position, shuffle-free."""
+    arr = F.split(F.col(text_col), sep)
+    slim = docs.select(
+        F.col(id_col), F.posexplode(arr).alias("idx", "_p")) \
+        .select(id_col, "idx", F.md5("_p").alias("_h"))
+    winners = slim.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"),
+                       F.col("idx").alias("i"))).alias("w"))
+    keep = (slim.join(winners, "_h")
+            .where((F.col(id_col) == F.col("w.d")) &
+                   (F.col("idx") == F.col("w.i")))
+            .select(id_col, "idx"))
+    kept_idx = keep.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("idx")).alias("_kept"))
+    kept_set = F.coalesce(F.col("_kept"), F.array().cast("array<int>"))
+    kept_arr = F.filter(arr, lambda p, i: F.array_contains(kept_set, i))
+    return (docs.join(kept_idx, id_col, "left")
+            .select(F.col(id_col),
+                    F.size(arr).cast("long").alias("n_paras"),
+                    F.size(kept_arr).cast("long").alias("n_kept"),
+                    F.md5(F.array_join(kept_arr, sep)).alias("kept_md5")))
+
+
+def domain_stats_df(pages: DataFrame, url_col: str = "url",
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-host crawl aggregates — the table a curation run consults
+    for domain-level decisions (host blocklists, C4's per-domain
+    caps, RefinedWeb's "head/middle/tail" domain buckets): page count,
+    distinct canonical paths, total bytes of text, mean document
+    length in words.
+
+    Plan: one map-side projection to slim ``(host, md5(path), n_chars,
+    n_words)`` rows, one partially-aggregated groupBy on host.  Host
+    cardinality is millions (not billions) at crawl scale, so the
+    result is broadcast-joinable back to the corpus for the actual
+    filter stage."""
+    canon = canonicalize_url_col(F.col(url_col))
+    slim = pages.select(
+        F.regexp_extract(canon, r"^[^/]*//([^/:]+)", 1).alias("host"),
+        F.md5(F.regexp_replace(canon, r"^[^/]*//[^/]*", "")).alias("_p"),
+        F.length(F.col(text_col)).alias("_nc"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_nw"))
+    return (slim.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("_p").alias("n_unique_paths"),
+        F.sum("_nc").alias("total_chars"),
+        F.round(F.avg("_nw"), 6).alias("avg_doc_words")))
+
+
+def c4_line_filter_df(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep
+    only lines that end in terminal punctuation, have ≥5 words, and
+    don't carry boilerplate markers (``javascript``/``cookie``/
+    ``lorem ipsum``); a document survives if ≥3 lines remain and it
+    contains no ``{`` (the code filter).
+
+    Returns ``(doc_id, n_lines, n_kept_lines, keep_doc, kept_md5)``
+    with ``kept_md5`` pinning the exact rebuilt text.  Pure per-row
+    Column work — higher-order ``filter`` over the line array, no
+    shuffle at any scale."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def _ok(line):
+        low = F.lower(line)
+        return ((F.size(F.split(F.trim(line), r"\s+")) >= 5) &
+                line.rlike(r'[.!?"]\s*$') &
+                ~low.contains("javascript") & ~low.contains("cookie") &
+                ~low.contains("lorem ipsum"))
+
+    kept = F.filter(lines, _ok)
+    keep_doc = (F.size(kept) >= 3) & (~F.col(text_col).contains("{"))
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        keep_doc.cast("int").alias("keep_doc"),
+        F.md5(F.array_join(kept, "\n")).alias("kept_md5"))
+
+
 def tfidf_topk_df(docs: DataFrame, k: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Top-``k`` TF-IDF terms per document (smooth idf
