@@ -577,6 +577,45 @@ def q_c4_line_filter(spark, sf_dir):
     return c4_line_filter_df(docs)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing into 256-token
+    context windows across 8 shards."""
+    from geojson_vt_spark.operators.webtext import pack_sequences_df
+    return pack_sequences_df(_docs(spark, sf_dir), seq_len=256, n_shards=8)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic domain-mixture subsampling to a 50/20/15/10/5
+    en/de/es/fr/zh target over the documents table."""
+    from geojson_vt_spark.operators.webtext import mixture_sample_df
+    return mixture_sample_df(
+        _docs(spark, sf_dir),
+        {"en": 50, "de": 20, "es": 15, "fr": 10, "zh": 5})
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact-substring duplication stats (8-token spans, stride 4)
+    over documents with a planted shared block on every doc_id%13<3
+    document (3 variants), so corpus-wide duplicated spans exist."""
+    from geojson_vt_spark.operators.webtext import substring_dedup_df
+    d = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.when(d % 13 < 3, F.concat(
+            F.lit(" copy pasta block variant "), (d % 3).cast("string"),
+            F.lit(" alpha beta gamma delta epsilon"
+                  " zeta eta theta iota kappa"))).otherwise(F.lit("")))
+    docs = _docs(spark, sf_dir).select("doc_id", synth.alias("text"))
+    return substring_dedup_df(docs, span_len=8, stride=4)
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashing-trick linear quality scorer (1024 buckets, integer
+    pseudo-weights) over the documents table."""
+    from geojson_vt_spark.operators.webtext import quality_classifier_df
+    return quality_classifier_df(_docs(spark, sf_dir), dim=1024)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mercator_project": q_mercator_project,
@@ -619,6 +658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "domain_stats": q_domain_stats,
         "c4_line_filter": q_c4_line_filter,
+        "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
+        "substring_dedup": q_substring_dedup,
+        "quality_classifier": q_quality_classifier,
         # rows-only (full geometry-kernel pyramid; pinned byte-identical
         # to the reference by the golden-fixture pytest suite):
         "pyramid_tiles": q_pyramid_tiles,
@@ -1423,5 +1466,104 @@ def oracle_sql() -> dict[str, str]:
                    CAST((len(kept) >= 3 AND NOT brace) AS INT) AS keep_doc,
                    md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_md5
             FROM k
+        """,
+        "pack_sequences": """
+            WITH slim AS (
+                SELECT doc_id, doc_id % 8 AS shard,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents),
+            cum AS (
+                SELECT *, sum(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
+                FROM slim)
+            SELECT doc_id, shard, n_tokens,
+                   (a - n_tokens) // 256 AS first_seq,
+                   CASE WHEN n_tokens > 0 THEN (a - 1) // 256
+                        ELSE (a - n_tokens) // 256 END AS last_seq,
+                   (a - n_tokens) % 256 AS offset_in_seq
+            FROM cum
+        """,
+        "mixture_sample": """
+            WITH cnt AS (
+                SELECT lang, count(*) AS n FROM documents
+                WHERE lang IN ('de','en','es','fr','zh') GROUP BY lang),
+            sc AS (SELECT lang, n, n * 100 AS nw,
+                          CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+                               WHEN 'es' THEN 15 WHEN 'fr' THEN 10
+                               ELSE 5 END AS w
+                   FROM cnt),
+            rt AS (SELECT lang,
+                          ((w * (SELECT min(nw // w) FROM sc)) // 100)
+                              * 1000000 // n AS ppm
+                   FROM sc)
+            SELECT d.doc_id, d.lang AS domain, r.ppm
+            FROM documents d JOIN rt r ON r.lang = d.lang
+            WHERE CAST('0x' || substr(md5('mix:' ||
+                      CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  % 1000000 < r.ppm
+        """,
+        "substring_dedup": """
+            WITH synth AS (
+                SELECT doc_id, text || (CASE WHEN doc_id % 13 < 3
+                    THEN ' copy pasta block variant '
+                         || CAST(doc_id % 3 AS VARCHAR)
+                         || ' alpha beta gamma delta epsilon'
+                         || ' zeta eta theta iota kappa'
+                    ELSE '' END) AS t
+                FROM documents),
+            toks AS (SELECT doc_id,
+                            string_split_regex(trim(t), '\\s+') AS w
+                     FROM synth),
+            spans AS (
+                SELECT doc_id,
+                       md5(array_to_string(w[i*4+1 : i*4+8], ' ')) AS h
+                FROM toks,
+                     LATERAL (SELECT unnest(range(0,
+                         CASE WHEN len(w) >= 8
+                              THEN (len(w) - 8) // 4 + 1
+                              ELSE 0 END)) AS i) ii),
+            occ AS (SELECT h, count(*) AS c FROM spans GROUP BY h),
+            pd AS (SELECT s.doc_id, count(*) AS n_spans,
+                          sum(CASE WHEN o.c > 1 THEN 1 ELSE 0 END)
+                              AS n_dup_spans
+                   FROM spans s JOIN occ o USING (h) GROUP BY s.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(pd.n_dup_spans, 0) AS BIGINT)
+                       AS n_dup_spans,
+                   round(coalesce(pd.n_dup_spans, 0)
+                         / greatest(coalesce(pd.n_spans, 0), 1), 6)
+                       AS dup_frac,
+                   CAST(coalesce(pd.n_dup_spans, 0) * 10 <=
+                        coalesce(pd.n_spans, 0) * 3 AS INT) AS keep
+            FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
+        "quality_classifier": """
+            WITH tok AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(trim(text), '\\s+'),
+                    t -> t <> '')) AS t
+                FROM documents),
+            wt AS (
+                SELECT doc_id,
+                       (CAST('0x' || substr(md5('qw:' || CAST(
+                            CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)
+                            % 1024 AS VARCHAR)), 1, 15) AS BIGINT)
+                        % 2000001) - 1000000 AS w
+                FROM tok),
+            pd AS (SELECT doc_id, count(*) AS n_tokens,
+                          CAST(sum(w) AS BIGINT) AS score_sum
+                   FROM wt GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(pd.score_sum, 0) AS BIGINT) AS score_sum,
+                   round(coalesce(pd.score_sum, 0)
+                         / (1e6 * greatest(coalesce(pd.n_tokens, 0), 1)), 6)
+                       AS score,
+                   CAST(coalesce(pd.score_sum, 0) > 0 AS INT) AS keep
+            FROM documents d LEFT JOIN pd USING (doc_id)
         """,
     }

@@ -9,7 +9,9 @@ from .spatial_join import (knn_join, point_in_polygon_join, points_in_ring,
 from .text import (bpe_ish_token_count_col, fingerprint_df, lang_id_df,
                    quality_score_df, token_count_col, winnow_fingerprints_df)
 from .webtext import (canonicalize_url_col, decontaminate_df,
-                      repetition_stats_df, tfidf_topk_df, url_dedup,
+                      mixture_sample_df, pack_sequences_df,
+                      quality_classifier_df, repetition_stats_df,
+                      substring_dedup_df, tfidf_topk_df, url_dedup,
                       word_ngrams_col)
 
 __all__ = [
@@ -22,6 +24,8 @@ __all__ = [
     "points_in_ring", "quality_score_df", "raster_vector_overlay",
     "shingles_col", "simhash_col", "simhash_pairs", "token_count_col",
     "winnow_fingerprints_df",
-    "canonicalize_url_col", "decontaminate_df", "repetition_stats_df",
-    "tfidf_topk_df", "url_dedup", "word_ngrams_col",
+    "canonicalize_url_col", "decontaminate_df", "mixture_sample_df",
+    "pack_sequences_df", "quality_classifier_df", "repetition_stats_df",
+    "substring_dedup_df", "tfidf_topk_df", "url_dedup",
+    "word_ngrams_col",
 ]

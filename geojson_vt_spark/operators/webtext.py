@@ -344,6 +344,180 @@ def c4_line_filter_df(docs: DataFrame, text_col: str = "text",
         F.md5(F.array_join(kept, "\n")).alias("kept_md5"))
 
 
+def pack_sequences_df(docs: DataFrame, seq_len: int = 2048,
+                      n_shards: int = 8, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """GPT-style sequence packing: token streams are concatenated in
+    ``doc_id`` order within a shard and chunked into fixed
+    ``seq_len``-token context windows (documents may span a window
+    boundary — the standard concat-and-chunk pretraining layout).
+    Per document, reports which windows of its shard it lands in:
+    ``(doc_id, shard, n_tokens, first_seq, last_seq, offset_in_seq)``.
+
+    Plan (100-TB posture): ONE shuffle on ``shard = doc_id % n_shards``
+    followed by a per-shard running sum — the window partitions by
+    shard, never by the whole corpus, so there is no single-reducer
+    stage; pick ``n_shards ≈ corpus_tokens / desired_shard_tokens``
+    and every shard packs independently (shard boundaries are also
+    resume/checkpoint boundaries in a real run).  Only
+    ``(doc_id, n_tokens)`` crosses the wire — token counting itself is
+    per-row Column work that stays in codegen.  All the window math is
+    int64 (``div``/``%``), so the DuckDB oracle twin (``//``) matches
+    bit-for-bit at any magnitude."""
+    from .text import token_count_col
+
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    slim = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("shard"),
+        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"))
+    cum = slim.withColumn("_after", F.sum("n_tokens").over(w)) \
+              .withColumn("_before", F.col("_after") - F.col("n_tokens"))
+    first_seq = F.expr(f"_before div {seq_len}")
+    last_seq = F.when(F.col("n_tokens") > 0,
+                      F.expr(f"(_after - 1) div {seq_len}")) \
+                .otherwise(first_seq)
+    return cum.select(
+        F.col(id_col), F.col("shard").cast("long").alias("shard"),
+        "n_tokens",
+        first_seq.cast("long").alias("first_seq"),
+        last_seq.cast("long").alias("last_seq"),
+        (F.col("_before") % seq_len).cast("long").alias("offset_in_seq"))
+
+
+def mixture_sample_df(docs: DataFrame, weights: dict[str, int],
+                      domain_col: str = "lang", id_col: str = "doc_id",
+                      salt: str = "mix") -> DataFrame:
+    """Deterministic domain-mixture subsampling (the DoReMi / Pile-style
+    stage that reweights a crawl toward target domain proportions):
+    given integer target weights per domain, compute the largest
+    achievable total that respects the mixture, derive a per-domain
+    keep rate in parts-per-million, and keep a document iff its salted
+    hash falls under its domain's rate.  Domains absent from
+    ``weights`` are dropped.  Returns kept ``(doc_id, domain, ppm)``.
+
+    All arithmetic is int64 — scaled total ``T = min_s(n_s*W div w_s)``,
+    target ``k_s = w_s*T div W``, rate ``ppm_s = k_s*1e6 div n_s``, and
+    the keep test ``md5_60bit(salt:id) % 1e6 < ppm_s`` — so the DuckDB
+    twin reproduces the exact kept set (no float rounding anywhere).
+
+    Plan (100-TB posture): one partially-aggregated count per domain
+    (domain cardinality is tiny), a ``broadcast`` join of the rate
+    table back onto the corpus, and a per-row codegen hash filter —
+    no corpus-wide shuffle at all."""
+    wts = F.create_map(*[x for k, v in sorted(weights.items())
+                         for x in (F.lit(k), F.lit(int(v)))])
+    w_total = sum(int(v) for v in weights.values())
+    counts = (docs.where(F.col(domain_col).isin(*weights.keys()))
+              .groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")))
+    scaled = counts.select(
+        F.col(domain_col), F.col("n"),
+        F.expr(f"n * {w_total}").alias("_nw"),
+        wts[F.col(domain_col)].alias("_w"))
+    rates = (scaled
+             .withColumn("_t", F.expr("_nw div _w"))
+             .withColumn("_tmin", F.min("_t").over(
+                 Window.partitionBy(F.lit(1))))
+             .select(F.col(domain_col),
+                     F.expr(f"((_w * _tmin) div {w_total}) * 1000000 div n")
+                     .alias("ppm")))
+    u = F.conv(F.substring(F.md5(F.concat(
+        F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("long") % 1000000
+    return (docs.join(F.broadcast(rates), domain_col)
+            .where(u < F.col("ppm"))
+            .select(F.col(id_col), F.col(domain_col).alias("domain"),
+                    F.col("ppm")))
+
+
+def substring_dedup_df(docs: DataFrame, span_len: int = 16,
+                       stride: int = 8, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring duplication stats (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): sample each document's
+    ``span_len``-token spans at every ``stride`` tokens, count span
+    occurrences corpus-wide, and report per document how much of it is
+    duplicated text — ``(doc_id, n_spans, n_dup_spans, dup_frac,
+    keep)`` where a span is duplicated if its hash occurs more than
+    once anywhere (including within the same document) and ``keep``
+    applies the 30%-duplicated cutoff.
+
+    This is the bounded-memory stand-in for the paper's suffix array:
+    stride sampling guarantees any duplicated run of
+    ``span_len + stride - 1`` tokens is caught, while emitting only
+    ``n_tokens/stride`` fixed-width probes per document.
+
+    Plan (100-TB posture): spans ship as ``(doc_id, md5(span))`` —
+    fixed-width rows, never text; the occurrence count is one
+    partially-aggregated groupBy; the join back is hash-on-hash with
+    both sides already slim.  The n-gram emission reuses the Arrow
+    emitter (`word_ngrams_col`), so no interpreted HOF in the hot
+    path."""
+    spans = (docs.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams_col(F.col(text_col), span_len))
+         .alias("_i", "_g"))
+        .where(F.col("_i") % stride == 0)
+        .select(id_col, F.md5("_g").alias("_h")))
+    occ = spans.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = (spans.join(occ, "_h")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_spans"),
+                    F.sum((F.col("_c") > 1).cast("long"))
+                     .alias("n_dup_spans")))
+    dup_frac = F.round(F.col("n_dup_spans") /
+                       F.greatest(F.col("n_spans"), F.lit(1)), 6)
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .na.fill({"n_spans": 0, "n_dup_spans": 0})
+            .select(F.col(id_col), "n_spans", "n_dup_spans",
+                    dup_frac.alias("dup_frac"),
+                    (F.col("n_dup_spans") * 10 <=
+                     F.col("n_spans") * 3).cast("int").alias("keep")))
+
+
+def quality_classifier_df(docs: DataFrame, dim: int = 1024,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          salt: str = "qw") -> DataFrame:
+    """Hashing-trick linear quality scorer — the fastText-shaped
+    classifier stage (CCNet / LLaMA-style "looks like Wikipedia"
+    filtering) with deterministic pseudo-weights standing in for
+    trained ones (the container has no model artifacts; swapping in a
+    real weight table keeps the identical plan): each token hashes to
+    one of ``dim`` buckets, each bucket carries an integer weight in
+    ``[-1e6, 1e6]`` derived from ``md5(salt:bucket)``, and the document
+    score is the mean bucket weight over its tokens.
+
+    Integer weights make the reduction an int64 sum — order-independent
+    and therefore bit-exact against the DuckDB twin (a float sum would
+    depend on reduction order).  Returns ``(doc_id, n_tokens,
+    score_sum, score, keep)`` with ``score = score_sum/(1e6·n_tokens)``
+    rounded at 6 and ``keep = score_sum > 0``.
+
+    Plan (100-TB posture): explode to slim ``(doc_id, int)`` rows, one
+    partially-aggregated groupBy on the table's own key, left join back
+    for token-less documents — hashing stays in JVM codegen (md5 +
+    conv), no Python anywhere."""
+    tok = F.explode(F.filter(tokens_col(F.col(text_col)),
+                             lambda t: t != "")).alias("_t")
+    bucket = F.conv(F.substring(F.md5(F.col("_t")), 1, 15),
+                    16, 10).cast("long") % dim
+    w_int = (F.conv(F.substring(F.md5(F.concat(
+        F.lit(salt + ":"), bucket.cast("string"))), 1, 15),
+        16, 10).cast("long") % 2000001) - 1000000
+    per_doc = (docs.select(F.col(id_col), tok)
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum(w_int).alias("score_sum")))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .na.fill({"n_tokens": 0, "score_sum": 0})
+            .select(F.col(id_col), "n_tokens", "score_sum",
+                    F.round(F.col("score_sum") /
+                            (1e6 * F.greatest(F.col("n_tokens"), F.lit(1))),
+                            6).alias("score"),
+                    (F.col("score_sum") > 0).cast("int").alias("keep")))
+
+
 def tfidf_topk_df(docs: DataFrame, k: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Top-``k`` TF-IDF terms per document (smooth idf

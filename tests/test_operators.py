@@ -614,3 +614,82 @@ def test_pii_redact_counts_and_masks(spark):
     import hashlib
     want = hashlib.md5(b"no pii here at all").hexdigest()
     assert out[3].redacted_md5 == want
+
+
+def test_pack_sequences_packs_contiguously(spark):
+    from geojson_vt_spark.operators import pack_sequences_df
+    # one shard (n_shards=1): 3 docs of 5/3/4 tokens, seq_len=6
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h"), (3, "i j k l")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           pack_sequences_df(df, seq_len=6, n_shards=1).collect()}
+    # doc1: tokens [0,5) -> seq 0 only, offset 0
+    assert (out[1].first_seq, out[1].last_seq, out[1].offset_in_seq) == (0, 0, 0)
+    # doc2: tokens [5,8) -> spans the seq-0/1 boundary
+    assert (out[2].first_seq, out[2].last_seq, out[2].offset_in_seq) == (0, 1, 5)
+    # doc3: tokens [8,12) -> seq 1 only, offset 2
+    assert (out[3].first_seq, out[3].last_seq, out[3].offset_in_seq) == (1, 1, 2)
+
+
+def test_pack_sequences_shards_independent(spark):
+    from geojson_vt_spark.operators import pack_sequences_df
+    # same doc stream, 2 shards: each shard's packing starts at 0
+    df = spark.createDataFrame(
+        [(i, "w " * 10) for i in range(8)], "doc_id long, text string")
+    out = pack_sequences_df(df, seq_len=100, n_shards=2).collect()
+    per_shard_first = {}
+    for r in sorted(out, key=lambda r: r.doc_id):
+        per_shard_first.setdefault(r.shard, r.offset_in_seq)
+    assert per_shard_first == {0: 0, 1: 0}
+
+
+def test_mixture_sample_respects_target_ratios(spark):
+    from geojson_vt_spark.operators import mixture_sample_df
+    import pyspark.sql.functions as F
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"))
+    # en:de counts are 1000:2000 but target is 3:1 -> en is the
+    # constraint; all 1000 en kept, ~333 de kept
+    kept = mixture_sample_df(df, {"en": 3, "de": 1}).groupBy(
+        "domain").count().collect()
+    got = {r.domain: r["count"] for r in kept}
+    assert got["en"] == 1000          # ppm hits 1e6 for the binding domain
+    assert 280 <= got["de"] <= 390    # hash sampling around 333
+
+
+def test_mixture_sample_drops_unweighted_domains(spark):
+    from geojson_vt_spark.operators import mixture_sample_df
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "xx"), (3, "en")], "doc_id long, lang string")
+    out = mixture_sample_df(df, {"en": 1})
+    assert {r.domain for r in out.collect()} == {"en"}
+
+
+def test_substring_dedup_flags_planted_block(spark):
+    from geojson_vt_spark.operators import substring_dedup_df
+    import uuid
+    shared = " ".join(f"s{i}" for i in range(24))
+    rows = [(i, f"u{i}x " * 30 + shared) for i in range(4)]
+    rows.append((9, " ".join(str(uuid.uuid4().hex) for _ in range(40))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           substring_dedup_df(df, span_len=8, stride=4).collect()}
+    # docs 0-3 share a 24-token tail: aligned spans duplicate
+    for i in range(4):
+        assert out[i].n_dup_spans > 0, f"doc {i} saw no dup spans"
+    assert out[9].n_dup_spans == 0 and out[9].keep == 1
+
+
+def test_quality_classifier_deterministic_and_monotone(spark):
+    from geojson_vt_spark.operators import quality_classifier_df
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_classifier_df(df).collect()}
+    # identical text -> identical score; empty doc -> zero row
+    assert out[1].score_sum == out[2].score_sum
+    assert out[1].n_tokens == 3
+    assert (out[3].n_tokens, out[3].score_sum, out[3].keep) == (0, 0, 0)
+    assert out[1].keep == int(out[1].score_sum > 0)
