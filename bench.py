@@ -190,18 +190,22 @@ def bench_text(spark) -> tuple[float, dict]:
 
 def bench_webtext(spark) -> tuple[float, dict]:
     """Web-corpus curation stages over documents: URL dedup, Gopher
-    repetition rules, benchmark decontamination, PII scrub, TF-IDF."""
+    repetition rules, benchmark decontamination, PII scrub, TF-IDF,
+    substring dedup, mixture sampling, sequence packing, quality
+    scoring."""
     import __spark_entry__ as em
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
+    passes = [em.q_url_dedup, em.q_gopher_quality, em.q_decontaminate,
+              em.q_pii_redact, em.q_tfidf_topterms, em.q_substring_dedup,
+              em.q_mixture_sample, em.q_pack_sequences,
+              em.q_quality_classifier]
     t0 = time.monotonic()
-    em.q_url_dedup(spark, SF_DIR).count()
-    em.q_gopher_quality(spark, SF_DIR).count()
-    em.q_decontaminate(spark, SF_DIR).count()
-    em.q_pii_redact(spark, SF_DIR).count()
-    em.q_tfidf_topterms(spark, SF_DIR).count()
+    for q in passes:
+        q(spark, SF_DIR).count()
     dt = time.monotonic() - t0
-    return dt, {"docs": n_docs, "doc_passes_per_sec": 5 * n_docs / dt}
+    return dt, {"docs": n_docs,
+                "doc_passes_per_sec": len(passes) * n_docs / dt}
 
 
 def bench_serve(spark) -> tuple[float, dict]:
