@@ -1,0 +1,280 @@
+"""Resumable corpus-curation pipeline runner.
+
+Composes the webtext operators into the crawl→tokenizer chain a
+pre-training data build runs (URL dedup → quality rules → exact dedup →
+decontamination → classifier → packing) and gives the chain the same
+durability contract the tile engine has: every stage lands in its own
+parquet store with a parent-linked snapshot manifest and an atomically
+advanced VERSION pointer, so a killed run resumes at the first
+incomplete stage without recomputing finished ones, and a reader that
+follows VERSION → snapshot → manifest only ever sees complete commits.
+
+Design notes (100-TB posture):
+
+- Stage boundaries are the checkpoint grain — exactly the places a real
+  run wants durability, because each stage is one or two shuffles and
+  recomputing a finished shuffle on failure is the dominant restart
+  cost at scale.  Intra-stage recovery is Spark's own task/stage retry;
+  this layer makes the *pipeline* restartable across driver deaths.
+- Per-partition lineage: each commit manifests every parquet part file
+  with its byte size AND row count (from the parquet footer — no Spark
+  job), which is the per-partition watermark the north rule asks for;
+  `verify()` audits them against the filesystem before any resume.
+- The store is plain parquet + JSON metadata (the container has no
+  Iceberg runtime); the commit protocol — write-temp, fsync-free
+  atomic rename, single VERSION pointer — reproduces the snapshot
+  semantics that matter for resume.  Swapping the store for real
+  Iceberg tables keeps the stage graph unchanged.
+- Stages receive and return DataFrames; nothing is collected to the
+  driver.  The runner adds no shuffle of its own — reading a finished
+  stage back is a parquet scan that preserves the stage's partitioning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class StageResult:
+    name: str
+    rows: int
+    n_files: int
+    seconds: float
+    skipped: bool
+
+
+class CurationPipeline:
+    """Run a named chain of DataFrame→DataFrame stages with per-stage
+    durable parquet stores + snapshot lineage.  ``stages`` is a list of
+    ``(name, fn)`` where ``fn(df) -> df``."""
+
+    def __init__(self, spark: SparkSession, workdir: str,
+                 stages: list[tuple[str, Callable[[DataFrame], DataFrame]]]):
+        self.spark = spark
+        self.workdir = workdir
+        self.stages = stages
+        os.makedirs(workdir, exist_ok=True)
+
+    # ------------------------------------------------------------ paths
+
+    def _stage_dir(self, i: int, name: str) -> str:
+        return os.path.join(self.workdir, f"stage={i:02d}_{name}")
+
+    def _snap_dir(self) -> str:
+        return os.path.join(self.workdir, "snapshots")
+
+    def _version_path(self) -> str:
+        return os.path.join(self.workdir, "VERSION.json")
+
+    # -------------------------------------------------------- snapshots
+
+    def current_snapshot_id(self) -> int:
+        try:
+            with open(self._version_path()) as fh:
+                return int(json.load(fh)["snapshot_id"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return 0
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        for sid in range(1, self.current_snapshot_id() + 1):
+            try:
+                with open(os.path.join(self._snap_dir(),
+                                       f"v{sid:06d}.json")) as fh:
+                    out.append(json.load(fh))
+            except FileNotFoundError:
+                continue
+        return out
+
+    def _manifest(self, stage_dir: str) -> list[dict]:
+        """Part-file manifest with byte sizes and parquet-footer row
+        counts — per-partition lineage without a Spark job."""
+        import pyarrow.parquet as pq
+        files = []
+        for fn in sorted(os.listdir(stage_dir)):
+            p = os.path.join(stage_dir, fn)
+            entry = {"name": fn, "bytes": os.path.getsize(p)}
+            if fn.endswith(".parquet"):
+                entry["rows"] = pq.ParquetFile(p).metadata.num_rows
+            files.append(entry)
+        return files
+
+    def _commit(self, stage_idx: int, name: str, stage_dir: str,
+                seconds: float) -> dict:
+        files = self._manifest(stage_dir)
+        rows = sum(f.get("rows", 0) for f in files)
+        prev = self.current_snapshot_id()
+        sid = prev + 1
+        os.makedirs(self._snap_dir(), exist_ok=True)
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": prev or None,
+            "operation": "curation-stage",
+            "committed_at": time.time(),
+            "commit": {"stage": stage_idx, "name": name, "rows": rows,
+                       "seconds": round(seconds, 3)},
+            "manifests": {os.path.basename(stage_dir): files},
+        }
+        with open(os.path.join(self._snap_dir(), f"v{sid:06d}.json"),
+                  "w") as fh:
+            json.dump(snap, fh)
+        tmp = self._version_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"snapshot_id": sid}, fh)
+        os.replace(tmp, self._version_path())
+        return snap
+
+    def _committed_stage(self, stage_idx: int, name: str) -> dict | None:
+        """The snapshot that committed this stage, if any — the LAST
+        one, so a recommit after corruption supersedes the original."""
+        found = None
+        for snap in self.snapshots():
+            c = snap.get("commit", {})
+            if c.get("stage") == stage_idx and c.get("name") == name:
+                found = snap
+        return found
+
+    def verify(self, snapshot_id: int | None = None) -> list[str]:
+        """Audit committed manifests against the filesystem; empty list
+        = intact.  Run before trusting a workdir for resume.
+
+        Each store is audited against the LATEST snapshot that commits
+        it — a recommit (after corruption recovery) rewrites the store,
+        so earlier manifests for the same store are superseded, exactly
+        like replaced data files in an Iceberg rewrite."""
+        sid = snapshot_id or self.current_snapshot_id()
+        latest: dict[str, list] = {}
+        for snap in self.snapshots():
+            if snap["snapshot_id"] > sid:
+                break
+            latest.update(snap["manifests"])
+        problems = []
+        for store, files in latest.items():
+            base = os.path.join(self.workdir, store)
+            for f in files:
+                p = os.path.join(base, f["name"])
+                if not os.path.exists(p):
+                    problems.append(f"{store}/{f['name']}: missing")
+                elif os.path.getsize(p) != f["bytes"]:
+                    problems.append(
+                        f"{store}/{f['name']}: size "
+                        f"{os.path.getsize(p)} != {f['bytes']}")
+        return problems
+
+    # -------------------------------------------------------------- run
+
+    def run(self, source: DataFrame) -> tuple[DataFrame, list[StageResult]]:
+        """Execute the chain over ``source``; returns the final stage's
+        DataFrame (read back from its durable store) and per-stage
+        results.  Stages whose snapshot is committed AND whose files
+        audit clean are skipped — their store is read back instead."""
+        df = source
+        results = []
+        dirty = False   # once a stage recomputes, downstream commits
+        #                 are stale — they were built on the old output
+        for i, (name, fn) in enumerate(self.stages):
+            sdir = self._stage_dir(i, name)
+            snap = self._committed_stage(i, name)
+            if not dirty and snap is not None and not self._audit_one(snap):
+                df = self.spark.read.parquet(sdir)
+                results.append(StageResult(
+                    name, snap["commit"]["rows"],
+                    len(snap["manifests"][os.path.basename(sdir)]),
+                    0.0, skipped=True))
+                continue
+            dirty = True
+            t0 = time.monotonic()
+            out = fn(df)
+            tmp = sdir + "._tmp"
+            out.write.mode("overwrite").parquet(tmp)
+            if os.path.isdir(sdir):          # stale partial store
+                import shutil
+                shutil.rmtree(sdir)
+            os.rename(tmp, sdir)
+            dt = time.monotonic() - t0
+            snap = self._commit(i, name, sdir, dt)
+            df = self.spark.read.parquet(sdir)
+            results.append(StageResult(
+                name, snap["commit"]["rows"],
+                len(snap["manifests"][os.path.basename(sdir)]),
+                dt, skipped=False))
+        return df, results
+
+    def _audit_one(self, snap: dict) -> list[str]:
+        problems = []
+        for store, files in snap["manifests"].items():
+            base = os.path.join(self.workdir, store)
+            for f in files:
+                p = os.path.join(base, f["name"])
+                if (not os.path.exists(p)
+                        or os.path.getsize(p) != f["bytes"]):
+                    problems.append(f"{store}/{f['name']}")
+        return problems
+
+
+# ------------------------------------------------------- standard chain
+
+def standard_stages(benchmark: DataFrame | None = None,
+                    mixture: dict[str, int] | None = None,
+                    seq_len: int = 2048, n_shards: int = 64,
+                    ) -> list[tuple[str, Callable]]:
+    """The reference crawl→tokenizer chain over a ``(doc_id, url, text,
+    lang)`` corpus: URL dedup → Gopher rules → exact dedup →
+    decontamination → quality classifier → mixture sampling → sequence
+    packing.  Every stage keeps the corpus schema (filter semantics)
+    except the final packing stage, which emits the window layout.
+
+    Each filter is the operator's own plan (slim shuffles, broadcast
+    where the small side fits) followed by a key-only semi-join back to
+    the corpus — document text never rides a shuffle it doesn't need."""
+    from .operators.dedup import exact_dedup
+    from .operators.webtext import (decontaminate_df, mixture_sample_df,
+                                    pack_sequences_df,
+                                    quality_classifier_df,
+                                    repetition_stats_df, url_dedup)
+
+    def s_url_dedup(df):
+        keep = url_dedup(df).select(F.col("keep_id").alias("doc_id"))
+        return df.join(keep, "doc_id", "left_semi")
+
+    def s_gopher(df):
+        keep = (repetition_stats_df(df).where(F.col("keep") == 1)
+                .select("doc_id"))
+        return df.join(keep, "doc_id", "left_semi")
+
+    def s_exact_dedup(df):
+        keep = exact_dedup(df, content_col="text", id_col="doc_id") \
+            .select("doc_id")
+        return df.join(keep, "doc_id", "left_semi")
+
+    def s_decontaminate(df):
+        if benchmark is None:
+            return df
+        keep = decontaminate_df(df, benchmark).select("doc_id")
+        return df.join(keep, "doc_id", "left_semi")
+
+    def s_quality(df):
+        keep = (quality_classifier_df(df).where(F.col("keep") == 1)
+                .select("doc_id"))
+        return df.join(keep, "doc_id", "left_semi")
+
+    def s_mixture(df):
+        if not mixture:
+            return df
+        keep = mixture_sample_df(df, mixture).select("doc_id")
+        return df.join(keep, "doc_id", "left_semi")
+
+    def s_pack(df):
+        return pack_sequences_df(df, seq_len=seq_len, n_shards=n_shards)
+
+    return [("url_dedup", s_url_dedup), ("gopher", s_gopher),
+            ("exact_dedup", s_exact_dedup),
+            ("decontaminate", s_decontaminate), ("quality", s_quality),
+            ("mixture", s_mixture), ("pack", s_pack)]

@@ -1,0 +1,104 @@
+"""CurationPipeline: stage chaining, snapshot lineage, kill-and-resume,
+corruption detection, and staleness invalidation."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from geojson_vt_spark.curation import CurationPipeline, standard_stages
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def corpus(spark):
+    import __spark_entry__ as em
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return docs.select("doc_id", em._synth_url_col().alias("url"),
+                       "text", "lang")
+
+
+def _mk(spark, corpus, tmp_path, stages=None):
+    bench = corpus.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    st = stages if stages is not None else standard_stages(
+        benchmark=bench,
+        mixture={"en": 50, "de": 20, "es": 15, "fr": 10, "zh": 5},
+        seq_len=256, n_shards=4)
+    return CurationPipeline(spark, str(tmp_path / "cur"), st)
+
+
+def test_full_chain_runs_and_verifies(spark, corpus, tmp_path):
+    pipe = _mk(spark, corpus, tmp_path)
+    out, results = pipe.run(corpus)
+    names = [r.name for r in results]
+    assert names == ["url_dedup", "gopher", "exact_dedup",
+                     "decontaminate", "quality", "mixture", "pack"]
+    # filters only shrink the corpus; every stage is non-empty
+    rows = [r.rows for r in results]
+    assert all(a >= b for a, b in zip(rows[:-2], rows[1:-1]))
+    assert rows[-1] == rows[-2]           # pack is 1:1 with survivors
+    assert out.count() == rows[-1]
+    assert set(out.columns) == {"doc_id", "shard", "n_tokens",
+                                "first_seq", "last_seq", "offset_in_seq"}
+    assert pipe.verify() == []
+    # snapshots are parent-linked, one per stage
+    snaps = pipe.snapshots()
+    assert len(snaps) == 7
+    assert [s["parent_id"] for s in snaps] == [None, 1, 2, 3, 4, 5, 6]
+
+
+def test_resume_skips_all_completed_stages(spark, corpus, tmp_path):
+    pipe = _mk(spark, corpus, tmp_path)
+    _, first = pipe.run(corpus)
+    out2, second = pipe.run(corpus)
+    assert all(r.skipped for r in second)
+    assert [r.rows for r in second] == [r.rows for r in first]
+    assert len(pipe.snapshots()) == 7     # no new commits on resume
+
+
+def test_killed_run_resumes_midway(spark, corpus, tmp_path):
+    full = standard_stages(seq_len=256, n_shards=4)
+    # simulate a driver death after stage 3 by running a truncated chain
+    part = _mk(spark, corpus, tmp_path, stages=full[:3])
+    part.run(corpus)
+    pipe = _mk(spark, corpus, tmp_path, stages=full)
+    _, results = pipe.run(corpus)
+    assert [r.skipped for r in results] == [True] * 3 + [False] * 4
+
+
+def test_corruption_flags_and_recomputes_downstream(spark, corpus, tmp_path):
+    pipe = _mk(spark, corpus, tmp_path)
+    _, first = pipe.run(corpus)
+    # truncate one part file of the exact_dedup store
+    sdir = pipe._stage_dir(2, "exact_dedup")
+    victim = next(os.path.join(sdir, f) for f in sorted(os.listdir(sdir))
+                  if f.endswith(".parquet"))
+    with open(victim, "r+b") as fh:
+        fh.truncate(4)
+    assert pipe.verify() != []
+    _, second = pipe.run(corpus)
+    # stages 0-1 skip; 2 recomputes; 3+ recompute (stale inputs)
+    assert [r.skipped for r in second] == [True, True] + [False] * 5
+    assert [r.rows for r in second] == [r.rows for r in first]
+    assert pipe.verify() == []            # recommit superseded the bad one
+
+
+def test_chain_matches_manual_composition(spark, corpus, tmp_path):
+    """The durable chain computes exactly what composing the operators
+    in memory computes."""
+    from geojson_vt_spark.operators.dedup import exact_dedup
+    from geojson_vt_spark.operators.webtext import (repetition_stats_df,
+                                                    url_dedup)
+    stages = standard_stages(seq_len=256, n_shards=4)[:3]
+    pipe = _mk(spark, corpus, tmp_path, stages=stages)
+    out, _ = pipe.run(corpus)
+
+    m = corpus.join(url_dedup(corpus).select(
+        F.col("keep_id").alias("doc_id")), "doc_id", "left_semi")
+    m = m.join(repetition_stats_df(m).where(F.col("keep") == 1)
+               .select("doc_id"), "doc_id", "left_semi")
+    m = m.join(exact_dedup(m, content_col="text", id_col="doc_id")
+               .select("doc_id"), "doc_id", "left_semi")
+    assert (sorted(r.doc_id for r in out.select("doc_id").collect())
+            == sorted(r.doc_id for r in m.select("doc_id").collect()))
