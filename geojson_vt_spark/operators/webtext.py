@@ -433,7 +433,8 @@ def mixture_sample_df(docs: DataFrame, weights: dict[str, int],
 
 def substring_dedup_df(docs: DataFrame, span_len: int = 16,
                        stride: int = 8, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       arrow: bool = True) -> DataFrame:
     """Exact-substring duplication stats (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better"): sample each document's
     ``span_len``-token spans at every ``stride`` tokens, count span
@@ -456,7 +457,8 @@ def substring_dedup_df(docs: DataFrame, span_len: int = 16,
     path."""
     spans = (docs.select(
         F.col(id_col),
-        F.posexplode(word_ngrams_col(F.col(text_col), span_len))
+        F.posexplode(word_ngrams_col(F.col(text_col), span_len,
+                                     arrow=arrow))
          .alias("_i", "_g"))
         .where(F.col("_i") % stride == 0)
         .select(id_col, F.md5("_g").alias("_h")))
