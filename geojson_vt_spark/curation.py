@@ -56,10 +56,20 @@ class CurationPipeline:
     ``(name, fn)`` where ``fn(df) -> df``."""
 
     def __init__(self, spark: SparkSession, workdir: str,
-                 stages: list[tuple[str, Callable[[DataFrame], DataFrame]]]):
+                 stages: list[tuple[str, Callable[[DataFrame], DataFrame]]],
+                 target_file_rows: int = 100_000):
         self.spark = spark
         self.workdir = workdir
         self.stages = stages
+        # Iceberg-style write.target-file-size stand-in: writers roll
+        # to a new file every N rows WITHOUT an extra shuffle, so an
+        # AQE-coalesced final stage can't collapse a store into a few
+        # giant files that cap the NEXT stage's scan parallelism (the
+        # sandbox measured a 1.2M-doc chain flat-lining at 3 scan
+        # tasks before this).  Pair with a scan-side
+        # spark.sql.files.maxPartitionBytes small enough that the
+        # bin-packer doesn't glue the files back together.
+        self.target_file_rows = target_file_rows
         os.makedirs(workdir, exist_ok=True)
 
     # ------------------------------------------------------------ paths
@@ -193,7 +203,8 @@ class CurationPipeline:
             t0 = time.monotonic()
             out = fn(df)
             tmp = sdir + "._tmp"
-            out.write.mode("overwrite").parquet(tmp)
+            (out.write.option("maxRecordsPerFile", self.target_file_rows)
+             .mode("overwrite").parquet(tmp))
             if os.path.isdir(sdir):          # stale partial store
                 import shutil
                 shutil.rmtree(sdir)

@@ -693,3 +693,38 @@ def test_quality_classifier_deterministic_and_monotone(spark):
     assert out[1].n_tokens == 3
     assert (out[3].n_tokens, out[3].score_sum, out[3].keep) == (0, 0, 0)
     assert out[1].keep == int(out[1].score_sum > 0)
+
+
+def test_repetition_stats_arrow_matches_column(spark):
+    """The fused Arrow stats pass is row-identical to the Column/explode
+    SPEC (which the DuckDB oracle replays), including Java-regex edge
+    cases: tab-led text (trim strips spaces only), trailing whitespace
+    (split keeps trailing empty tokens), repeated n-grams, and a
+    too-short doc."""
+    from geojson_vt_spark.operators import repetition_stats_df
+    rows = [
+        (1, "the cat sat on the mat the cat sat again today fine"),
+        (2, "one one one one one one one one one one one one"),
+        (3, "\tleading tab and  double  space here now ok yes sure\n"),
+        (4, "tiny"),
+        (5, "a b a b a b a b a b a b a b"),
+        (6, "x" * 30 + " " + "y" * 30),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(repetition_stats_df(df, arrow=True).collect())
+    b = sorted(repetition_stats_df(df, arrow=False).collect())
+    for ra, rb in zip(a, b):
+        assert ra.doc_id == rb.doc_id
+        for f in ("n_words", "mean_word_len", "alpha_word_frac",
+                  "top_bigram_frac", "dup_trigram_frac", "keep"):
+            assert ra[f] == rb[f], (ra.doc_id, f, ra[f], rb[f])
+
+
+def test_repetition_stats_arrow_matches_column_on_corpus(spark):
+    from geojson_vt_spark.operators import repetition_stats_df
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(repetition_stats_df(docs, arrow=True).collect())
+    b = sorted(repetition_stats_df(docs, arrow=False).collect())
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert tuple(ra) == tuple(rb)
