@@ -728,3 +728,17 @@ def test_repetition_stats_arrow_matches_column_on_corpus(spark):
     assert len(a) == len(b)
     for ra, rb in zip(a, b):
         assert tuple(ra) == tuple(rb)
+
+
+def test_decontaminate_arrow_matches_column(spark):
+    """Fused Arrow probe == explode/semi-join SPEC, on the corpus with
+    a doc_id%7 benchmark (larger overlap than the driver's %97)."""
+    import pyspark.sql.functions as F
+    from geojson_vt_spark.operators import decontaminate_df
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    a = sorted(tuple(r) for r in
+               decontaminate_df(docs, bench, n=8, arrow=True).collect())
+    b = sorted(tuple(r) for r in
+               decontaminate_df(docs, bench, n=8, arrow=False).collect())
+    assert a == b and 0 < len(a) < docs.count()
