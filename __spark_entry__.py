@@ -616,6 +616,36 @@ def q_quality_classifier(spark, sf_dir):
     return quality_classifier_df(_docs(spark, sf_dir), dim=1024)
 
 
+_BM25_QUERIES = [("q1", "fast hash join"), ("q2", "window agg sort"),
+                 ("q3", "stream batch spark table"),
+                 ("q4", "slow scan customer")]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi-BM25 top-5 documents per query for four literal queries
+    over the documents table (Lucene idf variant, integer-micro-unit
+    score sums for cross-engine determinism)."""
+    from geojson_vt_spark.operators.search import bm25_topk_df
+    qdf = spark.createDataFrame(_BM25_QUERIES,
+                                "query_id string, qtext string")
+    return bm25_topk_df(_docs(spark, sf_dir), qdf, k=5)
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based (30 min) session assignment over the events table."""
+    from geojson_vt_spark.operators.sessions import sessionize_df
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_df(ev, gap_minutes=30)
+
+
+def q_session_stats(spark, sf_dir):
+    """Per-session roll-up (count, integer-microsecond duration,
+    integer-cent value sum) at a 30-minute gap."""
+    from geojson_vt_spark.operators.sessions import session_stats_df
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats_df(ev, gap_minutes=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mercator_project": q_mercator_project,
@@ -662,6 +692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "substring_dedup": q_substring_dedup,
         "quality_classifier": q_quality_classifier,
+        "bm25_topk": q_bm25_topk,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
         # rows-only (full geometry-kernel pyramid; pinned byte-identical
         # to the reference by the golden-fixture pytest suite):
         "pyramid_tiles": q_pyramid_tiles,
@@ -1565,5 +1598,88 @@ def oracle_sql() -> dict[str, str]:
                        AS score,
                    CAST(coalesce(pd.score_sum, 0) > 0 AS INT) AS keep
             FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
+        # literals mirror the Spark expression tree operation-for-
+        # operation ((1.2 + 1.0), not 2.2) so both engines execute the
+        # identical IEEE sequence before the integer-micro-unit round
+        "bm25_topk": """
+            WITH q(query_id, qtext) AS (VALUES
+                ('q1', 'fast hash join'), ('q2', 'window agg sort'),
+                ('q3', 'stream batch spark table'),
+                ('q4', 'slow scan customer')),
+            t2 AS (SELECT doc_id, term FROM (
+                       SELECT doc_id, unnest(string_split_regex(
+                           trim(text), '\\s+')) AS term FROM documents)
+                   WHERE term <> ''),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM t2 GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+            ad AS (SELECT avg(dl) AS avgdl FROM dl),
+            n AS (SELECT count(*) AS n FROM documents),
+            qt AS (SELECT DISTINCT query_id, term FROM (
+                       SELECT query_id, unnest(string_split_regex(
+                           trim(qtext), '\\s+')) AS term FROM q)
+                   WHERE term <> ''),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            qi AS (SELECT qt.query_id, qt.term,
+                          ln(1.0 + (CAST((SELECT n FROM n) AS DOUBLE)
+                                    - coalesce(d.df, 0) + 0.5)
+                                   / (coalesce(d.df, 0) + 0.5)) AS idf
+                   FROM qt LEFT JOIN dfreq d USING (term)),
+            c AS (SELECT qi.query_id, tf.doc_id,
+                         CAST(round(qi.idf * (tf.tf * (1.2 + 1.0))
+                              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75
+                                 * dl.dl / (SELECT avgdl FROM ad)))
+                              * 1e6) AS BIGINT) AS ci
+                  FROM tf JOIN qi USING (term) JOIN dl USING (doc_id)),
+            s AS (SELECT query_id, doc_id, CAST(sum(ci) AS BIGINT) AS s
+                  FROM c GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY s DESC, doc_id ASC) AS rank
+                  FROM s)
+            SELECT query_id, doc_id, round(s / 1e6, 6) AS score, rank
+            FROM r WHERE rank <= 5
+        """,
+        "sessionize": """
+            WITH w AS (SELECT event_id, user_id, ts,
+                              epoch_us(ts) AS us,
+                              lag(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+                       FROM events),
+            t AS (SELECT event_id, user_id, ts,
+                         CASE WHEN prev IS NULL
+                                   OR us - prev > 1800000000
+                              THEN 1 ELSE 0 END AS st
+                  FROM w)
+            SELECT event_id, user_id,
+                   CAST(sum(st) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT)
+                       AS session_seq,
+                   CAST(st AS BIGINT) AS is_session_start
+            FROM t
+        """,
+        "session_stats": """
+            WITH w AS (SELECT event_id, user_id, ts, value,
+                              epoch_us(ts) AS us,
+                              lag(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+                       FROM events),
+            t AS (SELECT *, CASE WHEN prev IS NULL
+                                      OR us - prev > 1800000000
+                                 THEN 1 ELSE 0 END AS st
+                  FROM w),
+            s AS (SELECT *, sum(st) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                               AS session_seq
+                  FROM t)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   count(*) AS n_events,
+                   CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM s GROUP BY user_id, session_seq
         """,
     }

@@ -2,6 +2,8 @@ from .dedup import (cosine_col, embedding_near_dup_pairs, exact_dedup,
                     minhash_dedup, minhash_lsh_pairs, near_dup_clusters,
                     ngram_jaccard_pairs, shingles_col, simhash_col,
                     simhash_pairs)
+from .search import bm25_topk_df
+from .sessions import session_stats_df, sessionize_df
 from .similarity import (cosine_topk, ivf_assign, ivf_fit,
                          ivf_index, ivf_topk, lsh_topk)
 from .spatial_join import (knn_join, point_in_polygon_join, points_in_ring,
@@ -24,6 +26,7 @@ __all__ = [
     "points_in_ring", "quality_score_df", "raster_vector_overlay",
     "shingles_col", "simhash_col", "simhash_pairs", "token_count_col",
     "winnow_fingerprints_df",
+    "bm25_topk_df", "session_stats_df", "sessionize_df",
     "canonicalize_url_col", "decontaminate_df", "mixture_sample_df",
     "pack_sequences_df", "quality_classifier_df", "repetition_stats_df",
     "substring_dedup_df", "tfidf_topk_df", "url_dedup",

@@ -742,3 +742,57 @@ def test_decontaminate_arrow_matches_column(spark):
     b = sorted(tuple(r) for r in
                decontaminate_df(docs, bench, n=8, arrow=False).collect())
     assert a == b and 0 < len(a) < docs.count()
+
+
+def test_bm25_prefers_rare_term_match(spark):
+    from geojson_vt_spark.operators import bm25_topk_df
+    docs = spark.createDataFrame(
+        [(1, "zebra runs far"), (2, "common words common words"),
+         (3, "common zebra common and more filler words here"),
+         (4, "common stuff only here")],
+        "doc_id long, text string")
+    q = spark.createDataFrame([("q", "zebra")],
+                              "query_id string, qtext string")
+    out = bm25_topk_df(docs, q, k=2).orderBy("rank").collect()
+    # both zebra docs rank above everything; shorter doc 1 wins on
+    # length normalization
+    assert [r.doc_id for r in out] == [1, 3]
+    assert out[0].score > out[1].score > 0
+
+
+def test_bm25_multi_term_sums_contributions(spark):
+    from geojson_vt_spark.operators import bm25_topk_df
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, "delta gamma")],
+        "doc_id long, text string")
+    q = spark.createDataFrame([("q", "alpha beta")],
+                              "query_id string, qtext string")
+    out = bm25_topk_df(docs, q, k=3).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert by_doc[1].rank == 1          # matches both terms
+    assert by_doc[2].rank == 2          # one term
+
+
+def test_sessionize_splits_on_gap(spark):
+    import datetime as dt
+    from geojson_vt_spark.operators import sessionize_df, session_stats_df
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, 1.0),
+        (2, t0 + dt.timedelta(minutes=10), 7, 2.0),
+        (3, t0 + dt.timedelta(minutes=50), 7, 3.0),   # > 30 min gap
+        (4, t0, 8, 4.0),                              # other user
+        (5, t0 + dt.timedelta(minutes=50, seconds=0,
+                              microseconds=1), 7, 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double")
+    s = {r.event_id: r for r in sessionize_df(ev, 30).collect()}
+    assert (s[1].session_seq, s[2].session_seq, s[3].session_seq) == (1, 1, 2)
+    assert s[5].session_seq == 2        # 1 us gap stays in session
+    assert s[4].session_seq == 1 and s[4].user_id == 8
+    st = {(r.user_id, r.session_seq): r
+          for r in session_stats_df(ev, 30).collect()}
+    assert st[(7, 1)].n_events == 2
+    assert st[(7, 1)].duration_us == 600_000_000
+    assert st[(7, 2)].value_cents == 800
