@@ -235,6 +235,24 @@ def bench_serve(spark) -> tuple[float, dict]:
                 "tiles_per_sec": served / dt if dt else 0.0}
 
 
+def bench_search_events(spark) -> tuple[float, dict]:
+    """Retrieval + event analytics: BM25 top-k for the four driver
+    queries, gap sessionization, and per-session roll-up."""
+    from pyspark.sql import functions as F
+    import __spark_entry__ as em
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_ev = ev.count()
+    agg = F.count(F.lit(1))
+    t0 = time.monotonic()
+    em.q_bm25_topk(spark, SF_DIR).agg(agg, F.sum("score")).collect()
+    # sum a window-derived column: a bare count() would let the
+    # optimizer prune the window entirely
+    em.q_sessionize(spark, SF_DIR).agg(agg, F.sum("session_seq")).collect()
+    em.q_session_stats(spark, SF_DIR).agg(agg, F.sum("n_events")).collect()
+    dt = time.monotonic() - t0
+    return dt, {"events": n_ev, "rows_per_sec": 3 * n_ev / dt}
+
+
 BENCHES = {
     "pyramid": bench_pyramid,
     "pip_join": bench_pip,
@@ -245,6 +263,7 @@ BENCHES = {
     "ann_cosine_topk": bench_ann,
     "text_suite": bench_text,
     "webtext_suite": bench_webtext,
+    "search_events_suite": bench_search_events,
     "tile_serve": bench_serve,
 }
 
