@@ -616,6 +616,21 @@ def q_quality_classifier(spark, sf_dir):
     return quality_classifier_df(_docs(spark, sf_dir), dim=1024)
 
 
+def q_domain_cap(spark, sf_dir):
+    """C4-style per-host page cap (keep lowest-id 3 pages per host)
+    over the synthetic-URL pages."""
+    from geojson_vt_spark.operators.webtext import domain_cap_df
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", _synth_url_col().alias("url"))
+    return domain_cap_df(pages, max_per_host=3)
+
+
+def q_split(spark, sf_dir):
+    """Deterministic 98/1/1 train/val/test split over documents."""
+    from geojson_vt_spark.operators.webtext import split_df
+    return split_df(_docs(spark, sf_dir))
+
+
 _BM25_QUERIES = [("q1", "fast hash join"), ("q2", "window agg sort"),
                  ("q3", "stream batch spark table"),
                  ("q4", "slow scan customer")]
@@ -695,6 +710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "domain_cap": q_domain_cap,
+        "train_val_split": q_split,
         # rows-only (full geometry-kernel pyramid; pinned byte-identical
         # to the reference by the golden-fixture pytest suite):
         "pyramid_tiles": q_pyramid_tiles,
@@ -1598,6 +1615,49 @@ def oracle_sql() -> dict[str, str]:
                        AS score,
                    CAST(coalesce(pd.score_sum, 0) > 0 AS INT) AS keep
             FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
+        "domain_cap": f"""
+            WITH urls AS (
+                SELECT doc_id, {_URL_SYNTH_SQL} AS u FROM documents),
+            s1 AS (SELECT doc_id,
+                          regexp_replace(regexp_replace(u, '#.*', '', 'g'),
+                              '[?&](utm_[A-Za-z0-9_]*|gclid|fbclid|sid|ref)=[^&#]*',
+                              '', 'g') AS u
+                   FROM urls),
+            s2 AS (SELECT doc_id,
+                          regexp_replace(u, '^([^?]*)&', '\\1?') AS u
+                   FROM s1),
+            s3 AS (SELECT doc_id, u,
+                          regexp_extract(u, '^[^/]*//[^/]*') AS head
+                   FROM s2),
+            s4 AS (SELECT doc_id,
+                          regexp_replace(regexp_replace(lower(head),
+                              '^(https?://)www\\.', '\\1'),
+                              ':(443|80)$', '')
+                          || substr(u, length(head) + 1) AS u
+                   FROM s3),
+            canon AS (SELECT doc_id,
+                             regexp_replace(u, '[/?&]+$', '') AS cu
+                      FROM s4),
+            h AS (SELECT doc_id,
+                         regexp_extract(cu, '^[^/]*//([^/:]+)', 1) AS host
+                  FROM canon),
+            r AS (SELECT doc_id, host, row_number() OVER (
+                      PARTITION BY host ORDER BY doc_id) AS host_rank
+                  FROM h)
+            SELECT doc_id, host, host_rank FROM r WHERE host_rank <= 3
+        """,
+        "train_val_split": """
+            WITH b AS (SELECT doc_id,
+                              CAST('0x' || substr(md5('split:' ||
+                                  CAST(doc_id AS VARCHAR)), 1, 15)
+                                  AS BIGINT) % 1000000 AS bucket
+                       FROM documents)
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 10000 THEN 'test'
+                        WHEN bucket < 990000 THEN 'train'
+                        ELSE 'val' END AS split
+            FROM b
         """,
         # literals mirror the Spark expression tree operation-for-
         # operation ((1.2 + 1.0), not 2.2) so both engines execute the

@@ -11,8 +11,9 @@ from .spatial_join import (knn_join, point_in_polygon_join, points_in_ring,
 from .text import (bpe_ish_token_count_col, fingerprint_df, lang_id_df,
                    quality_score_df, token_count_col, winnow_fingerprints_df)
 from .webtext import (canonicalize_url_col, decontaminate_df,
-                      mixture_sample_df, pack_sequences_df,
-                      quality_classifier_df, repetition_stats_df,
+                      domain_cap_df, mixture_sample_df,
+                      pack_sequences_df, quality_classifier_df,
+                      repetition_stats_df, split_df,
                       substring_dedup_df, tfidf_topk_df, url_dedup,
                       word_ngrams_col)
 
@@ -27,8 +28,8 @@ __all__ = [
     "shingles_col", "simhash_col", "simhash_pairs", "token_count_col",
     "winnow_fingerprints_df",
     "bm25_topk_df", "session_stats_df", "sessionize_df",
-    "canonicalize_url_col", "decontaminate_df", "mixture_sample_df",
-    "pack_sequences_df", "quality_classifier_df", "repetition_stats_df",
-    "substring_dedup_df", "tfidf_topk_df", "url_dedup",
-    "word_ngrams_col",
+    "canonicalize_url_col", "decontaminate_df", "domain_cap_df",
+    "mixture_sample_df", "pack_sequences_df", "quality_classifier_df",
+    "repetition_stats_df", "split_df", "substring_dedup_df",
+    "tfidf_topk_df", "url_dedup", "word_ngrams_col",
 ]

@@ -444,6 +444,56 @@ def c4_line_filter_df(docs: DataFrame, text_col: str = "text",
         F.md5(F.array_join(kept, "\n")).alias("kept_md5"))
 
 
+def domain_cap_df(pages: DataFrame, max_per_host: int = 1000,
+                  url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """C4-style per-domain cap: keep at most ``max_per_host`` pages per
+    canonical host, lowest ``doc_id`` first (deterministic).  Returns
+    the kept ``(doc_id, host, host_rank)`` rows.
+
+    Plan (100-TB posture): the shuffle carries only ``(md5-able host,
+    doc_id)``; host cardinality at crawl scale is millions, so the
+    window partitions are balanced — a single pathological megahost is
+    the known skew case, and since only the ``max_per_host`` lowest
+    ids survive, a real deployment pre-filters such hosts with the
+    same rank-limit pushed into a per-partition top-N (Spark's window
+    TopN optimization already avoids the full sort when a rank filter
+    is adjacent to the window)."""
+    host = F.regexp_extract(canonicalize_url_col(F.col(url_col)),
+                            r"^[^/]*//([^/:]+)", 1)
+    w = Window.partitionBy("host").orderBy(id_col)
+    return (pages.select(F.col(id_col), host.alias("host"))
+            .withColumn("host_rank",
+                        F.row_number().over(w).cast("long"))
+            .where(F.col("host_rank") <= max_per_host))
+
+
+def split_df(docs: DataFrame, splits: dict[str, int] | None = None,
+             id_col: str = "doc_id", salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: the salted 60-bit md5
+    of the id lands in ``[0, 1e6)`` and cumulative integer thresholds
+    (in sorted split-name order) carve the buckets, so membership is
+    reproducible across runs, engines, and partitionings — never
+    ``rand()``, which resamples per execution.  Default 98/1/1.
+    Returns ``(doc_id, bucket, split)``.  Pure codegen Column work,
+    shuffle-free at any scale."""
+    splits = splits or {"train": 980000, "val": 10000, "test": 10000}
+    total = sum(splits.values())
+    if total != 1000000:
+        raise ValueError(f"split weights must sum to 1e6, got {total}")
+    bucket = F.conv(F.substring(F.md5(F.concat(
+        F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("long") % 1000000
+    expr, acc = None, 0
+    for name, weight in sorted(splits.items()):
+        acc += weight
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # thresholds ordered by sorted name; the chained when() takes the
+    # FIRST matching cumulative bound, so each name gets its exact slice
+    return docs.select(F.col(id_col), bucket.alias("bucket"),
+                       expr.alias("split"))
+
+
 def pack_sequences_df(docs: DataFrame, seq_len: int = 2048,
                       n_shards: int = 8, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:

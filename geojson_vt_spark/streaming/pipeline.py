@@ -126,3 +126,38 @@ def streaming_heavy_tiles(pages: DataFrame, res: int = 6,
         stateStructType="total long, fired boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "1 hour", ts_col: str = "ts",
+                         user_col: str = "user_id",
+                         value_col: str = "value") -> DataFrame:
+    """Streaming twin of ``operators.sessions.session_stats_df``:
+    native ``session_window`` gap sessions per user with a watermark
+    bounding state — a session is emitted once the watermark passes
+    its end (last event + gap), exactly the incremental version of the
+    batch roll-up.  Emits ``(user_id, session_start, session_end,
+    n_events, value_cents)`` with the same integer-cent value sums.
+
+    Boundary note: the batch operator starts a new session when the
+    inter-event gap is STRICTLY greater than ``gap``; Spark's session
+    window splits at exactly-equal gaps too ([t, t+g) half-open
+    windows don't overlap [t+g, ...)).  With microsecond event times
+    an exactly-gap-sized spacing is measure-zero; the batch/stream
+    equivalence test runs on the real events table where the two
+    semantics agree row-for-row."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    # watermarks require TIMESTAMP: an NTZ event-time column is
+    # interpreted as session-zone wall clock (gap/session math only
+    # uses differences, so the zone choice cancels)
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.col(user_col),
+                     F.session_window(F.col(ts_col), gap).alias("sess"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(cents).alias("value_cents"))
+            .select(user_col,
+                    F.col("sess.start").alias("session_start"),
+                    F.col("sess.end").alias("session_end"),
+                    "n_events", "value_cents"))

@@ -796,3 +796,32 @@ def test_sessionize_splits_on_gap(spark):
     assert st[(7, 1)].n_events == 2
     assert st[(7, 1)].duration_us == 600_000_000
     assert st[(7, 2)].value_cents == 800
+
+
+def test_domain_cap_keeps_lowest_ids(spark):
+    from geojson_vt_spark.operators import domain_cap_df
+    rows = [(i, f"https://site{'A' if i % 2 else 'B'}.com/p/{i}")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = domain_cap_df(df, max_per_host=2).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r.doc_id)
+    assert sorted(by_host["sitea.com"]) == [1, 3]
+    assert sorted(by_host["siteb.com"]) == [0, 2]
+
+
+def test_split_deterministic_and_proportional(spark):
+    from geojson_vt_spark.operators import split_df
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    out = split_df(df).groupBy("split").count().collect()
+    got = {r.split: r["count"] for r in out}
+    assert 19200 <= got["train"] <= 19900
+    assert 100 <= got["val"] <= 350 and 100 <= got["test"] <= 350
+    # rerun == identical assignment (hash, not rand)
+    a = sorted(tuple(r) for r in split_df(df).collect())
+    b = sorted(tuple(r) for r in split_df(df).collect())
+    assert a == b
+    import pytest
+    with pytest.raises(ValueError):
+        split_df(df, {"train": 1, "val": 1})

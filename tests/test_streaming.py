@@ -159,3 +159,54 @@ def test_streaming_dedup_equals_batch_dedup(spark, tmp_path):
                  for r in spark.table("dd_oracle").collect())
     want = sorted((r.url, r.warc_ts, r.text) for r in pages.collect())
     assert got == want
+
+
+def test_streaming_sessionize_equals_batch_session_stats(spark, tmp_path):
+    """Oracle: streaming_sessionize over a file-source replay of the
+    events table (availableNow) == the batch per-session roll-up,
+    restricted to sessions the final watermark released (last event +
+    gap < max_ts - delay)."""
+    from geojson_vt_spark.operators.sessions import (_micros,
+                                                     session_stats_df)
+    from geojson_vt_spark.streaming import streaming_sessionize
+    from pyspark.sql import Window
+
+    static = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev_src")
+    static.write.parquet(src)
+    static = spark.read.parquet(src)
+
+    stream = _replay_stream(spark, src, static.schema)
+    sess = streaming_sessionize(stream, gap="30 minutes",
+                                watermark="1 hour")
+    q = (sess.writeStream.format("memory").queryName("sess_oracle")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_sess"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.session_start, r.n_events, r.value_cents)
+           for r in spark.table("sess_oracle").collect()}
+
+    # batch twin: session_stats + per-session start ts + emission cut
+    gap_us = 30 * 60_000_000
+    delay_us = 3600 * 1_000_000
+    max_us = static.select(F.max(_micros("ts"))).collect()[0][0]
+    us = _micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(us).over(w)
+    tagged = (static
+              .withColumn("_us", us)
+              .withColumn("session_seq", F.sum(
+                  (prev.isNull() | ((us - prev) > gap_us))
+                  .cast("long")).over(w)))
+    batch = (tagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("_us").alias("_last"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+         .alias("value_cents"))
+        .where(F.col("_last") + gap_us < max_us - delay_us))
+    want = {(r.user_id, r.session_start, r.n_events, r.value_cents)
+            for r in batch.collect()}
+    assert len(want) > 50
+    assert got == want
