@@ -631,6 +631,22 @@ def q_split(spark, sf_dir):
     return split_df(_docs(spark, sf_dir))
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Damped PageRank (5 rounds, int64 micro-units) over the
+    deterministic 50-host link graph derived from documents."""
+    from geojson_vt_spark.operators.graph import (host_edges_from_docs,
+                                                  pagerank_df)
+    return pagerank_df(host_edges_from_docs(_docs(spark, sf_dir)))
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: 16 deterministic clusters,
+    drop-on-cosine>=0.5-to-a-lower-id-cluster-mate."""
+    from geojson_vt_spark.operators.similarity import semdedup_df
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup_df(emb, threshold=0.5, n_clusters=16)
+
+
 _BM25_QUERIES = [("q1", "fast hash join"), ("q2", "window agg sort"),
                  ("q3", "stream batch spark table"),
                  ("q4", "slow scan customer")]
@@ -712,6 +728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "domain_cap": q_domain_cap,
         "train_val_split": q_split,
+        "host_pagerank": q_host_pagerank,
+        "semdedup": q_semdedup,
         # rows-only (full geometry-kernel pyramid; pinned byte-identical
         # to the reference by the golden-fixture pytest suite):
         "pyramid_tiles": q_pyramid_tiles,
@@ -954,6 +972,66 @@ def _ann_ivf_oracle() -> str:
     """
 
 
+def _pagerank_oracle(iters: int = 5) -> str:
+    """DuckDB twin of pagerank_df(host_edges_from_docs(docs)): same
+    distinct simple graph, same int64 micro-unit recurrence (integer
+    division is order-independent), one CTE per round."""
+    ctes = ["""
+        e AS (SELECT DISTINCT src, dst FROM (
+                  SELECT doc_id % 50 AS src, (doc_id*31 + 7) % 50 AS dst
+                  FROM documents
+                  UNION ALL
+                  SELECT doc_id % 50, (doc_id*97 + 3) % 50
+                  FROM documents)
+              WHERE src != dst),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+        r{i} AS (
+            SELECT n.node,
+                   CAST(150000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT)
+                       AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst, SUM(r.rank // o.od) AS m
+                FROM e JOIN r{i-1} r ON r.node = e.src
+                       JOIN outdeg o ON o.src = e.src
+                GROUP BY e.dst) s ON s.dst = n.node)""")
+    return ("WITH " + ",".join(ctes) +
+            f" SELECT node, rank AS rank_micros FROM r{iters}")
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB twin of semdedup_df(threshold=0.5, n_clusters=16): same
+    lowest-id centroids, same 9dp-rounded nearest-centroid argmax
+    (ann_ivf's assignment CTE), same 6dp-rounded within-cluster pair
+    threshold, same keep-lowest-id survivor rule."""
+    return f"""
+        WITH base AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS v
+                      FROM embeddings),
+        cents AS (SELECT nbr_id AS centroid_id, v AS cv
+                  FROM base ORDER BY nbr_id LIMIT 16),
+        asgx AS (
+            SELECT b.nbr_id, b.v, c.centroid_id,
+                   row_number() OVER (PARTITION BY b.nbr_id ORDER BY
+                       {_cos_sql('b.v', 'c.cv', 9)} DESC, c.centroid_id)
+                       AS rk
+            FROM base b, cents c),
+        asg AS (SELECT nbr_id, v, centroid_id FROM asgx WHERE rk = 1),
+        pairs AS (
+            SELECT a.nbr_id AS id_a, b.nbr_id AS id_b
+            FROM asg a JOIN asg b
+              ON a.centroid_id = b.centroid_id AND a.nbr_id < b.nbr_id
+            WHERE {_cos_sql('a.v', 'b.v', 6)} >= 0.5),
+        losers AS (SELECT id_b, min(id_a) AS dup_of
+                   FROM pairs GROUP BY id_b)
+        SELECT a.nbr_id AS vec_id, a.centroid_id,
+               l.dup_of IS NULL AS keep, l.dup_of
+        FROM asg a LEFT JOIN losers l ON l.id_b = a.nbr_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     _NGRAM_PAIRS_SELECT = """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1190,6 +1268,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_oracle(),
         "simhash_pairs": _simhash_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
+        "host_pagerank": _pagerank_oracle(),
+        "semdedup": _semdedup_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
         "embedding_near_dup": _near_dup_oracle(),
         "winnow_fingerprint": _winnow_oracle(),

@@ -2,10 +2,11 @@ from .dedup import (cosine_col, embedding_near_dup_pairs, exact_dedup,
                     minhash_dedup, minhash_lsh_pairs, near_dup_clusters,
                     ngram_jaccard_pairs, shingles_col, simhash_col,
                     simhash_pairs)
+from .graph import host_edges_from_docs, pagerank_df
 from .search import bm25_topk_df
 from .sessions import session_stats_df, sessionize_df
 from .similarity import (cosine_topk, ivf_assign, ivf_fit,
-                         ivf_index, ivf_topk, lsh_topk)
+                         ivf_index, ivf_topk, lsh_topk, semdedup_df)
 from .spatial_join import (knn_join, point_in_polygon_join, points_in_ring,
                            raster_vector_overlay)
 from .text import (bpe_ish_token_count_col, fingerprint_df, lang_id_df,
@@ -32,4 +33,5 @@ __all__ = [
     "mixture_sample_df", "pack_sequences_df", "quality_classifier_df",
     "repetition_stats_df", "split_df", "substring_dedup_df",
     "tfidf_topk_df", "url_dedup", "word_ngrams_col",
+    "host_edges_from_docs", "pagerank_df", "semdedup_df",
 ]

@@ -291,3 +291,55 @@ def lsh_topk(df: DataFrame, query_ids: list[int], k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "nbr_id", "cosine", "rank"))
+
+
+def semdedup_df(df: DataFrame, threshold: float = 0.5,
+                n_clusters: int = 16, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                centroids: list[tuple[int, list[float]]] | None = None
+                ) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping, within each
+    cluster, every vector whose cosine to a lower-id cluster-mate
+    reaches ``threshold`` (keep-lowest-id, the same survivor rule as
+    ``minhash_dedup``).  Returns one row per input vector:
+    ``(id_col, centroid_id, keep, dup_of)`` with ``dup_of`` the
+    smallest qualifying lower id (null for survivors).
+
+    ``centroids`` is the model object — pass :func:`ivf_fit`'s k-means
+    output for the real quantizer; without it, centroids default to the
+    ``n_clusters`` lowest-id vectors, the deterministic variant the
+    DuckDB oracle replays exactly (same convention as ``ivf_topk``).
+
+    Plan (100-TB posture): assignment is the same per-row
+    broadcast-literal struct-argmax as the IVF path — no N×C explode,
+    no window, no shuffle; the only exchange keys on ``centroid_id``.
+    Pair generation is quadratic ONLY within a cluster — that is
+    SemDeDup's whole trick, and its scale knob is cluster COUNT: the
+    paper runs K=50k over 5B embeddings (~100k rows per cluster), so
+    per-cluster work stays bounded as N grows by growing K, not the
+    cluster size.  A skewed mega-cluster is a plan hazard here exactly
+    like an uncapped LSH bucket — fit more centroids rather than cap,
+    because dropping a cluster would silently skip its duplicates.
+    Scoring runs through ``cosine6_col`` (Arrow-batched, bit-exact
+    with the rounded Column fold)."""
+    base = df.select(F.col(id_col).alias("nbr_id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    if centroids is None:
+        cent_rows = base.orderBy("nbr_id").limit(n_clusters).collect()
+        centroids = [(int(r["nbr_id"]), [float(x) for x in r["v"]])
+                     for r in cent_rows]
+    asg = ivf_assign(df, centroids, id_col, vec_col)
+    pairs = (asg.select("centroid_id", F.col("nbr_id").alias("id_a"),
+                        F.col("v").alias("va"))
+             .join(asg.select("centroid_id",
+                              F.col("nbr_id").alias("id_b"),
+                              F.col("v").alias("vb")), "centroid_id")
+             .where(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", cosine6_col(F.col("va"), F.col("vb")))
+             .where(F.col("cosine") >= threshold))
+    losers = (pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+              .withColumnRenamed("id_b", "nbr_id"))
+    return (asg.join(losers, "nbr_id", "left")
+            .select(F.col("nbr_id").alias(id_col), "centroid_id",
+                    F.col("dup_of").isNull().alias("keep"), "dup_of"))

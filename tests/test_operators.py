@@ -825,3 +825,71 @@ def test_split_deterministic_and_proportional(spark):
     import pytest
     with pytest.raises(ValueError):
         split_df(df, {"train": 1, "val": 1})
+
+
+def test_pagerank_star_graph(spark):
+    # 4 spokes -> hub 0; hub -> node 1.  Replicate the integer
+    # recurrence by hand for two rounds to pin the exact semantics.
+    from geojson_vt_spark.operators.graph import pagerank_df
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)], "src long, dst long")
+    got = {r["node"]: r["rank_micros"]
+           for r in pagerank_df(edges, iters=2).collect()}
+    # round 1: every node starts at 1_000_000, outdeg 1 everywhere
+    r1 = {0: 150000 + (85 * 4 * 1000000) // 100,
+          1: 150000 + (85 * 1000000) // 100,
+          2: 150000, 3: 150000, 4: 150000}
+    r2 = {0: 150000 + (85 * (3 * (r1[2] // 1) + r1[1])) // 100,
+          1: 150000 + (85 * r1[0]) // 100,
+          2: 150000, 3: 150000, 4: 150000}
+    assert got == r2
+    # mass never exceeds what was injected (sinks/floors only lose)
+    assert sum(got.values()) <= 5 * 1000000
+
+
+def test_pagerank_dedups_parallel_edges_and_self_loops(spark):
+    from geojson_vt_spark.operators.graph import pagerank_df
+    a = spark.createDataFrame([(1, 2), (1, 2), (2, 2), (2, 1)],
+                              "src long, dst long")
+    b = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    ra = {r["node"]: r["rank_micros"] for r in pagerank_df(a).collect()}
+    rb = {r["node"]: r["rank_micros"] for r in pagerank_df(b).collect()}
+    assert ra == rb
+
+
+def test_semdedup_drops_planted_near_dups(spark):
+    import numpy as np
+    from geojson_vt_spark.operators.similarity import semdedup_df
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((40, 8)).astype(float)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # plant: 50/51 duplicate vec 5, 52 duplicates vec 7 (tiny jitter)
+    for nid, src in ((50, 5), (51, 5), (52, 7)):
+        rows.append((nid, (base[src] + 1e-4 * rng.standard_normal(8))
+                     .tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semdedup_df(df, threshold=0.95, n_clusters=4).collect()}
+    assert len(out) == 43
+    for nid, src in ((50, 5), (51, 5), (52, 7)):
+        assert not out[nid]["keep"]
+        assert out[nid]["dup_of"] == src
+        # near-identical vectors land in the same cluster
+        assert out[nid]["centroid_id"] == out[src]["centroid_id"]
+    assert out[5]["keep"] and out[7]["keep"]
+    dropped = {k for k, r in out.items() if not r["keep"]}
+    assert dropped == {50, 51, 52}
+
+
+def test_semdedup_accepts_kmeans_model(spark):
+    import numpy as np
+    from geojson_vt_spark.operators.similarity import ivf_fit, semdedup_df
+    rng = np.random.RandomState(9)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(30)]
+    rows.append((99, rows[4][1]))   # exact duplicate of vec 4
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = ivf_fit(df, n_centroids=4, iters=2, dim=8)
+    out = {r["vec_id"]: r for r in
+           semdedup_df(df, threshold=0.999, centroids=model).collect()}
+    assert not out[99]["keep"] and out[99]["dup_of"] == 4
+    assert sum(1 for r in out.values() if not r["keep"]) == 1
