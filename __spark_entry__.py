@@ -677,6 +677,14 @@ def q_session_stats(spark, sf_dir):
     return session_stats_df(ev, gap_minutes=30)
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style unigram-LM perplexity scoring with head/middle/tail
+    tercile buckets (exact terciles so the oracle's quantile_cont cuts
+    at identical doubles)."""
+    from geojson_vt_spark.operators.webtext import lm_score_df
+    return lm_score_df(_docs(spark, sf_dir), exact_terciles=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mercator_project": q_mercator_project,
@@ -730,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_split,
         "host_pagerank": q_host_pagerank,
         "semdedup": q_semdedup,
+        "lm_score": q_lm_score,
         # rows-only (full geometry-kernel pyramid; pinned byte-identical
         # to the reference by the golden-fixture pytest suite):
         "pyramid_tiles": q_pyramid_tiles,
@@ -1270,6 +1279,32 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_oracle(),
         "host_pagerank": _pagerank_oracle(),
         "semdedup": _semdedup_oracle(),
+        "lm_score": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            vocab AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+            tot AS (SELECT sum(c) AS n_total, count(*) AS v_size
+                    FROM vocab),
+            nll AS (
+                SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                       round(sum(tf * -ln((c + 1.0)
+                                          / (n_total + v_size)))
+                             / sum(tf), 6) AS nll
+                FROM tf JOIN vocab USING (term) CROSS JOIN tot
+                GROUP BY doc_id),
+            thr AS (SELECT quantile_cont(nll, 1.0/3) AS t1,
+                           quantile_cont(nll, 2.0/3) AS t2 FROM nll)
+            SELECT doc_id, n_tokens, nll, round(exp(nll), 6) AS ppl,
+                   CASE WHEN nll <= t1 THEN 'head'
+                        WHEN nll <= t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM nll CROSS JOIN thr
+        """,
         "ann_lsh": _ann_lsh_oracle(),
         "embedding_near_dup": _near_dup_oracle(),
         "winnow_fingerprint": _winnow_oracle(),

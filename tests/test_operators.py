@@ -893,3 +893,50 @@ def test_semdedup_accepts_kmeans_model(spark):
            semdedup_df(df, threshold=0.999, centroids=model).collect()}
     assert not out[99]["keep"] and out[99]["dup_of"] == 4
     assert sum(1 for r in out.values() if not r["keep"]) == 1
+
+
+def test_lm_score_buckets_and_monotone(spark):
+    from geojson_vt_spark.operators.webtext import lm_score_df
+    # 90 docs of common words + 10 docs of rare gibberish: the
+    # gibberish has high per-token nll and must land in the tail
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 90,
+               # ids 0-44 get a unique rare suffix token (count 1);
+               # ids 45-89 share the "45" suffix (count 45) — two
+               # distinct nll levels among the common docs so the
+               # terciles cut head/middle between them
+               F.concat(F.lit("the quick brown fox jumps over the lazy "),
+                        F.least(F.col("id"), F.lit(45)).cast("string")))
+         .otherwise(F.concat(F.lit("zq"), F.col("id").cast("string"),
+                             F.lit("x vlk"), (F.col("id") * 7).cast("string"),
+                             F.lit("w qpb"), (F.col("id") * 13).cast("string")))
+         .alias("text"))
+    out = lm_score_df(docs, exact_terciles=True).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    # every gibberish doc is in the tail; nll ordering head<=middle<=tail
+    assert all(r.bucket == "tail" for r in out if r.doc_id >= 90)
+    assert (max(r.nll for r in by_bucket["head"])
+            <= min(r.nll for r in by_bucket["middle"]))
+    assert (max(r.nll for r in by_bucket["middle"])
+            <= min(r.nll for r in by_bucket["tail"]))
+    # ppl is exp(nll) rounded; n_tokens matches whitespace tokens
+    import math
+    for r in out:
+        assert abs(r.ppl - round(math.exp(r.nll), 6)) < 1e-6
+        assert r.n_tokens == (9 if r.doc_id < 90 else 3)
+
+
+def test_lm_score_approx_path_runs(spark):
+    from geojson_vt_spark.operators.webtext import lm_score_df
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma doc "),
+                 (F.col("id") % 7).cast("string")).alias("text"))
+    out = lm_score_df(docs, exact_terciles=False, broadcast_vocab=False)
+    rows = out.collect()
+    assert len(rows) == 50 and {r.bucket for r in rows} <= {
+        "head", "middle", "tail"}
