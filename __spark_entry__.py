@@ -677,6 +677,21 @@ def q_session_stats(spark, sf_dir):
     return session_stats_df(ev, gap_minutes=30)
 
 
+def q_bbox_join(spark, sf_dir):
+    """Rectangle-overlap self-join over deterministic boxes around the
+    jittered event points (PBSM grid join vs the oracle's O(n²)
+    inequality join)."""
+    from geojson_vt_spark.operators.spatial_join import bbox_overlap_join
+    pid = F.col("point_id")
+    boxes = _events_points(spark, sf_dir).select(
+        pid.alias("id"),
+        (F.col("lon") - (pid % 23 + 1) / 20.0).alias("xmin"),
+        (F.col("lat") - (pid % 17 + 1) / 20.0).alias("ymin"),
+        (F.col("lon") + (pid % 23 + 1) / 20.0).alias("xmax"),
+        (F.col("lat") + (pid % 17 + 1) / 20.0).alias("ymax"))
+    return bbox_overlap_join(boxes, cell=4.0)
+
+
 def q_lm_score(spark, sf_dir):
     """CCNet-style unigram-LM perplexity scoring with head/middle/tail
     tercile buckets (exact terciles so the oracle's quantile_cont cuts
@@ -739,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "semdedup": q_semdedup,
         "lm_score": q_lm_score,
+        "bbox_join": q_bbox_join,
         # rows-only (full geometry-kernel pyramid; pinned byte-identical
         # to the reference by the golden-fixture pytest suite):
         "pyramid_tiles": q_pyramid_tiles,
@@ -1304,6 +1320,24 @@ def oracle_sql() -> dict[str, str]:
                         WHEN nll <= t2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM nll CROSS JOIN thr
+        """,
+        "bbox_join": f"""
+            WITH pts AS ({_POINTS_SQL}),
+            boxes AS (
+                SELECT point_id AS id,
+                       lon - (point_id % 23 + 1) / 20.0 AS xmin,
+                       lat - (point_id % 17 + 1) / 20.0 AS ymin,
+                       lon + (point_id % 23 + 1) / 20.0 AS xmax,
+                       lat + (point_id % 17 + 1) / 20.0 AS ymax
+                FROM pts)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round((least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin))
+                         * (least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin)),
+                         6) AS inter_area
+            FROM boxes a JOIN boxes b
+              ON a.id < b.id
+             AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+             AND a.ymin <= b.ymax AND b.ymin <= a.ymax
         """,
         "ann_lsh": _ann_lsh_oracle(),
         "embedding_near_dup": _near_dup_oracle(),

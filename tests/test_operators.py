@@ -940,3 +940,41 @@ def test_lm_score_approx_path_runs(spark):
     rows = out.collect()
     assert len(rows) == 50 and {r.bucket for r in rows} <= {
         "head", "middle", "tail"}
+
+
+def test_bbox_overlap_join_planted(spark):
+    from geojson_vt_spark.operators.spatial_join import bbox_overlap_join
+    rows = [
+        # (id, xmin, ymin, xmax, ymax)
+        (0, 0.0, 0.0, 10.0, 10.0),    # big box spanning many cells
+        (1, 9.0, 9.0, 12.0, 12.0),    # overlaps 0 (and touches nothing else)
+        (2, 10.0, 10.0, 11.0, 11.0),  # touches 0 at corner, overlaps 1
+        (3, 50.0, 50.0, 51.0, 51.0),  # disjoint
+        (4, -7.9, -3.1, 0.5, 0.5),    # negative coords, overlaps 0
+    ]
+    boxes = spark.createDataFrame(
+        rows, "id long, xmin double, ymin double, xmax double, ymax double")
+    got = {(r.id_a, r.id_b): r.inter_area
+           for r in bbox_overlap_join(boxes, cell=2.0).collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 2), (0, 4)}
+    assert got[(0, 1)] == 1.0          # 9..10 x 9..10
+    assert got[(0, 2)] == 0.0          # corner touch (closed intervals)
+    assert got[(1, 2)] == 1.0
+    assert got[(0, 4)] == 0.25         # 0..0.5 x 0..0.5
+    # pair (0,1) shares cells yet is emitted exactly once: guaranteed by
+    # the dict build above only if no duplicate keys — assert directly
+    pairs = bbox_overlap_join(boxes, cell=2.0).collect()
+    assert len(pairs) == len(got)
+
+
+def test_bbox_overlap_join_two_tables(spark):
+    from geojson_vt_spark.operators.spatial_join import bbox_overlap_join
+    a = spark.createDataFrame(
+        [(10, 0.0, 0.0, 5.0, 5.0)],
+        "id long, xmin double, ymin double, xmax double, ymax double")
+    b = spark.createDataFrame(
+        [(1, 4.0, 4.0, 6.0, 6.0), (2, 9.0, 9.0, 10.0, 10.0)],
+        "id long, xmin double, ymin double, xmax double, ymax double")
+    got = bbox_overlap_join(a, b, cell=2.0).collect()
+    # two-table mode keeps every (a, b) hit regardless of id order
+    assert [(r.id_a, r.id_b, r.inter_area) for r in got] == [(10, 1, 1.0)]
