@@ -677,6 +677,14 @@ def q_session_stats(spark, sf_dir):
     return session_stats_df(ev, gap_minutes=30)
 
 
+def q_image_ahash(spark, sf_dir):
+    """Perceptual average-hash + exact-hash dedup over the fake-decoded
+    asset grid (keep-lowest rule)."""
+    from geojson_vt_spark.operators.multimodal import (ahash_dedup_df,
+                                                       assets_from_documents)
+    return ahash_dedup_df(assets_from_documents(_docs(spark, sf_dir)))
+
+
 def q_bbox_join(spark, sf_dir):
     """Rectangle-overlap self-join over deterministic boxes around the
     jittered event points (PBSM grid join vs the oracle's O(n²)
@@ -755,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "lm_score": q_lm_score,
         "bbox_join": q_bbox_join,
+        "image_ahash": q_image_ahash,
         # rows-only (full geometry-kernel pyramid; pinned byte-identical
         # to the reference by the golden-fixture pytest suite):
         "pyramid_tiles": q_pyramid_tiles,
@@ -938,6 +947,39 @@ def _winnow_oracle(k: int = 8, window: int = 4) -> str:
             FROM h)
         SELECT DISTINCT doc_id, CAST(u.fp AS BIGINT) AS fp
         FROM w, LATERAL (SELECT unnest(mins) AS fp) u
+    """
+
+
+def _ahash_oracle() -> str:
+    """DuckDB twin of ahash_dedup_df over assets_from_documents: the
+    fake decoder's pixel grid is sha256(text) repeated 4×, so the grid
+    mean is sum(d)/32 and every 32-bit band / every 4-byte hex block
+    repeats the first one (bit i thresholds byte i mod 32)."""
+    d = [f"CAST('0x' || substr(h, {2*j+1}, 2) AS BIGINT)" for j in range(32)]
+    mean = "((" + " + ".join(d) + ") / 32.0)"
+    band = " + ".join(
+        f"(CASE WHEN {d[t]} > m THEN {1 << (31 - t)} ELSE 0 END)"
+        for t in range(32))
+    byte = [" + ".join(
+        f"(CASE WHEN {d[8*mm+u]} > m THEN {1 << (7 - u)} ELSE 0 END)"
+        for u in range(8)) for mm in range(4)]
+    hexes = " || ".join(f"printf('%02x', {b})" for b in byte)
+    return f"""
+        WITH a AS (SELECT doc_id AS asset_id,
+                          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                          sha256(text) AS h
+                   FROM documents),
+        m AS (SELECT asset_id, kind, h, {mean} AS m FROM a),
+        hsh AS (SELECT asset_id, kind, CAST({band} AS BIGINT) AS b0,
+                       repeat({hexes}, 4) AS ahash
+                FROM m),
+        grp AS (SELECT ahash, min(asset_id) AS rep_id
+                FROM hsh GROUP BY 1)
+        SELECT asset_id, kind, b0, b0 AS b1, b0 AS b2, b0 AS b3, ahash,
+               rep_id,
+               CAST(asset_id != rep_id AS INT) AS is_dup
+        FROM hsh JOIN grp USING (ahash)
     """
 
 
@@ -1339,6 +1381,7 @@ def oracle_sql() -> dict[str, str]:
              AND a.xmin <= b.xmax AND b.xmin <= a.xmax
              AND a.ymin <= b.ymax AND b.ymin <= a.ymax
         """,
+        "image_ahash": _ahash_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
         "embedding_near_dup": _near_dup_oracle(),
         "winnow_fingerprint": _winnow_oracle(),

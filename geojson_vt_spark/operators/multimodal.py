@@ -87,6 +87,57 @@ def extract_features_df(assets: DataFrame, fake: bool = True) -> DataFrame:
         run, "asset_id long, kind string, features array<double>")
 
 
+def ahash_df(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """Perceptual average-hash (aHash) per asset: decode to the 8×16
+    grid, threshold every pixel against the grid mean, pack the 128
+    bits MSB-first into a 32-hex-char hash plus four 32-bit band
+    values (b0..b3) for hamming-banded candidate joins.
+
+    One numpy pass per Arrow batch: the N×128 pixel matrix thresholds
+    and packs without any per-row Python beyond the decode call.  On
+    the deterministic fake decoder the pixel rows repeat every 32
+    bytes, so all four bands coincide — a real decoder breaks that
+    degeneracy, and the banded join machinery is shared with
+    ``simhash_pairs`` (dedup.py)."""
+    def run(batches):
+        weights = (1 << np.arange(31, -1, -1)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pix = np.stack([
+                (_fake_decode(bytes(p), k) if fake
+                 else real_decode(bytes(p), k)).ravel()
+                for p, k in zip(pdf["payload"], pdf["kind"])])
+            bits = pix > pix.mean(axis=1, keepdims=True)
+            bands = (bits.reshape(len(pix), 4, 32) * weights).sum(axis=2)
+            packed = np.packbits(bits, axis=1)
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "kind": pdf["kind"],
+                "b0": bands[:, 0], "b1": bands[:, 1],
+                "b2": bands[:, 2], "b3": bands[:, 3],
+                "ahash": [row.tobytes().hex() for row in packed],
+            })
+
+    return assets.mapInPandas(
+        run, "asset_id long, kind string, b0 long, b1 long, b2 long, "
+             "b3 long, ahash string")
+
+
+def ahash_dedup_df(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """Exact perceptual dedup: group assets by their full aHash and
+    keep the lowest asset_id per group (the standard first-pass image
+    dedup before any hamming-radius search).  The only shuffle keys
+    slim (ahash, asset_id) rows — payloads never leave the scan."""
+    h = ahash_df(assets, fake=fake)
+    grp = h.groupBy("ahash").agg(F.min("asset_id").alias("rep_id"))
+    return (h.join(grp, "ahash")
+            .select("asset_id", "kind", "b0", "b1", "b2", "b3", "ahash",
+                    "rep_id",
+                    (F.col("asset_id") != F.col("rep_id"))
+                    .cast("int").alias("is_dup")))
+
+
 def resize_df(assets: DataFrame, out_h: int = 4, out_w: int = 8,
               fake: bool = True) -> DataFrame:
     """Image resize: decode → block-mean pooling to (out_h, out_w) —
