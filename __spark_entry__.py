@@ -482,6 +482,24 @@ def q_gopher_quality(spark, sf_dir):
     return repetition_stats_df(_docs(spark, sf_dir))
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Per-(lang, source) corpus audit: doc counts, size totals, and
+    exact length quartiles in ONE partially-aggregated groupBy."""
+    from geojson_vt_spark.operators.webtext import corpus_profile_df
+    return corpus_profile_df(_docs(spark, sf_dir))
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Snapshot-incremental dedup: docs with doc_id % 5 == 0 arrive as
+    the incoming batch, the rest are the already-ingested base; flag
+    seen-in-base via prefix-8-token fingerprints and keep one doc per
+    new fingerprint."""
+    from geojson_vt_spark.operators.webtext import incremental_dedup_df
+    d = _docs(spark, sf_dir)
+    return incremental_dedup_df(d.where(F.col("doc_id") % 5 == 0),
+                                d.where(F.col("doc_id") % 5 != 0))
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: drop documents sharing any word
     8-gram with the (synthetic, doc_id % 97 == 0) benchmark set."""
@@ -744,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "url_dedup": q_url_dedup,
         "gopher_quality": q_gopher_quality,
+        "corpus_profile": q_corpus_profile,
+        "incremental_dedup": q_incremental_dedup,
         "decontaminate": q_decontaminate,
         "tfidf_topterms": q_tfidf_topterms,
         "pii_redact": q_pii_redact,
@@ -1636,6 +1656,34 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(k.n_kept, 0) AS n_kept,
                    coalesce(k.kept_md5, md5('')) AS kept_md5
             FROM sp s LEFT JOIN kept k USING (doc_id)
+        """,
+        "corpus_profile": """
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   round(quantile_cont(n_chars, 0.25), 6) AS p25_chars,
+                   round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+                   round(quantile_cont(n_chars, 0.75), 6) AS p75_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY 1, 2
+        """,
+        "incremental_dedup": """
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(array_to_string(
+                           regexp_split_to_array(text, '\\s+')[1:8], ' '))
+                       AS fp,
+                       doc_id % 5 = 0 AS inc
+                FROM documents),
+            base AS (SELECT DISTINCT fp FROM fp WHERE NOT inc),
+            i AS (SELECT doc_id, fp FROM fp WHERE inc),
+            f AS (SELECT fp, min(doc_id) AS first_id FROM i GROUP BY 1)
+            SELECT i.doc_id, i.fp,
+                   CASE WHEN b.fp IS NULL THEN 0 ELSE 1 END AS in_base,
+                   CAST(b.fp IS NULL AND i.doc_id = f.first_id AS INT)
+                       AS keep
+            FROM i LEFT JOIN base b USING (fp) JOIN f USING (fp)
         """,
         "domain_stats": f"""
             WITH urls AS (

@@ -760,3 +760,68 @@ def lm_score_df(docs: DataFrame, text_col: str = "text",
                     F.when(F.col("nll") <= F.col("t1"), "head")
                      .when(F.col("nll") <= F.col("t2"), "middle")
                      .otherwise("tail").alias("bucket")))
+
+
+def corpus_profile_df(docs: DataFrame,
+                      group_cols: tuple[str, ...] = ("lang", "source"),
+                      size_col: str = "n_chars") -> DataFrame:
+    """Per-(lang, source) corpus profiling — the first table a data
+    audit produces before any filtering decision: document counts,
+    size totals, and the exact quartiles of document length (the
+    distribution shape drives truncation/packing choices downstream).
+
+    Plan: ONE partially-aggregated groupBy over slim projected rows;
+    count/sum/min/max combine map-side, and exact ``percentile`` is a
+    per-group sort of a numeric column only (never text).  Group
+    cardinality is |langs|×|sources| — thousands, not billions — so
+    the result always fits a broadcast back to the corpus.  Quartile
+    fractions are binary-exact (0.25/0.5/0.75), so the linear
+    interpolation matches any engine bit-for-bit on integer inputs."""
+    s = F.col(size_col)
+    return (docs.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(s).cast("long").alias("total_chars"),
+        F.min(s).cast("long").alias("min_chars"),
+        F.round(F.percentile(s, F.lit(0.25)), 6).alias("p25_chars"),
+        F.round(F.percentile(s, F.lit(0.5)), 6).alias("median_chars"),
+        F.round(F.percentile(s, F.lit(0.75)), 6).alias("p75_chars"),
+        F.max(s).cast("long").alias("max_chars"),
+        F.round(F.avg(s), 6).alias("avg_chars")))
+
+
+def prefix_fingerprint_col(text: Column, n_tokens: int = 8) -> Column:
+    """md5 of the first ``n_tokens`` whitespace tokens — the cheap
+    "prefix dedup" fingerprint crawl pipelines use to catch mirrored /
+    templated pages whose bodies diverge after the boilerplate head."""
+    return F.md5(F.array_join(
+        F.slice(F.split(text, r"\s+"), 1, n_tokens), " "))
+
+
+def incremental_dedup_df(incoming: DataFrame, base: DataFrame,
+                         fp: Column | None = None,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Snapshot-incremental dedup: given a ``base`` corpus already
+    ingested and an ``incoming`` batch, flag each incoming document as
+    seen-in-base and pick one keeper per new fingerprint (lowest id) —
+    the shape every periodically-refreshed crawl ingest runs, instead
+    of re-deduplicating the full corpus each snapshot.
+
+    Plan: the base side reduces to ``distinct(fp)`` — 16-byte rows
+    with map-side partial aggregation; document bodies never leave
+    their scan on either side.  The probe is one hash join on fp plus
+    one slim ``groupBy(fp).min(id)`` for first-in-batch selection.  At
+    100 TB the base fingerprint set is still orders smaller than the
+    corpus (and bucketable by fp for a shuffle-free join against a
+    bucketed ingest)."""
+    if fp is None:
+        fp = prefix_fingerprint_col(F.col("text"))
+    inc = incoming.select(F.col(id_col), fp.alias("fp"))
+    seen = base.select(fp.alias("fp")).distinct() \
+               .withColumn("in_base", F.lit(1))
+    first = inc.groupBy("fp").agg(F.min(id_col).alias("_first_id"))
+    return (inc.join(seen, "fp", "left").join(first, "fp")
+            .select(F.col(id_col), "fp",
+                    F.coalesce("in_base", F.lit(0)).alias("in_base"),
+                    ((F.coalesce("in_base", F.lit(0)) == 0) &
+                     (F.col(id_col) == F.col("_first_id")))
+                    .cast("int").alias("keep")))
