@@ -978,3 +978,58 @@ def test_bbox_overlap_join_two_tables(spark):
     got = bbox_overlap_join(a, b, cell=2.0).collect()
     # two-table mode keeps every (a, b) hit regardless of id order
     assert [(r.id_a, r.id_b, r.inter_area) for r in got] == [(10, 1, 1.0)]
+
+
+def test_ahash_dedup_keep_lowest_and_determinism(spark):
+    """Identical payloads decode to identical pixel grids, so their
+    aHashes collide: the lowest asset_id is the representative and
+    every other copy is flagged; output is partitioning-invariant."""
+    from geojson_vt_spark.operators.multimodal import (ahash_dedup_df,
+                                                       assets_from_documents)
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    clone = base.select((F.col("doc_id") + 900000).alias("doc_id"), "text",
+                        "lang", "source", "n_chars")
+    assets = assets_from_documents(base.unionByName(clone))
+    out = ahash_dedup_df(assets).collect()
+    flags = {r.asset_id: r for r in out}
+    for r in out:
+        if r.asset_id >= 900000:
+            twin = flags[r.asset_id - 900000]
+            assert r.ahash == twin.ahash
+            assert r.rep_id == twin.rep_id == twin.asset_id
+            assert r.is_dup == 1 and twin.is_dup == 0
+    out2 = ahash_dedup_df(assets.repartition(7)).collect()
+    assert {r.asset_id: tuple(r) for r in out} == \
+           {r.asset_id: tuple(r) for r in out2}
+
+
+def test_incremental_dedup_flags(spark):
+    """Seen-in-base and first-in-batch semantics on a planted layout:
+    incoming = [dup-of-base, new, within-batch-dup, new]."""
+    from geojson_vt_spark.operators.webtext import incremental_dedup_df
+    base = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string")
+    inc = spark.createDataFrame(
+        [(10, "alpha text"), (11, "gamma text"),
+         (12, "gamma text"), (13, "delta text")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            incremental_dedup_df(inc, base, fp=F.md5("text")).collect()}
+    assert rows[10].in_base == 1 and rows[10].keep == 0
+    assert rows[11].in_base == 0 and rows[11].keep == 1
+    assert rows[12].in_base == 0 and rows[12].keep == 0   # 11 won the fp
+    assert rows[13].in_base == 0 and rows[13].keep == 1
+
+
+def test_corpus_profile_exact_quartiles(spark):
+    """Quartiles are exact (sort-based percentile), not approximate:
+    a known 5-value group must interpolate precisely."""
+    from geojson_vt_spark.operators.webtext import corpus_profile_df
+    docs = spark.createDataFrame(
+        [("en", "s", n) for n in (10, 20, 30, 40, 100)],
+        "lang string, source string, n_chars long")
+    r = corpus_profile_df(docs).collect()[0]
+    assert (r.n_docs, r.total_chars, r.min_chars, r.max_chars) == \
+        (5, 200, 10, 100)
+    assert (r.p25_chars, r.median_chars, r.p75_chars) == (20.0, 30.0, 40.0)
+    assert r.avg_chars == 40.0
