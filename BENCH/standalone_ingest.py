@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Standalone-mode scaling probe for the ingest-shaped late-round
+operators: snapshot-incremental dedup, corpus profiling, and the
+perceptual-ahash image dedup — the north-rule two-cluster-size
+comparison on the real deployment shape (1 executor JVM × 8 cores vs
+4 executor JVMs × 8 cores, each JVM with its own Python/Arrow pipe).
+
+Launch (master + 4 workers already running, see BENCH/SCALING.md):
+
+    cd /root/repo && zip -qr /tmp/gvt.zip geojson_vt_spark
+    spark-submit --master spark://127.0.0.1:7077 \
+        --py-files /tmp/gvt.zip \
+        --conf spark.cores.max=8   BENCH/standalone_ingest.py   # N
+    spark-submit --master spark://127.0.0.1:7077 \
+        --py-files /tmp/gvt.zip \
+        --conf spark.cores.max=32  BENCH/standalone_ingest.py   # 4N
+
+Env: INGEST_REPLICAS (default 240 -> 1.2M docs over sf0.1; the ahash
+op uses REPLICAS/4 -> 300k assets, its Arrow decode pass is ~8x the
+per-row cost of the Column ops); INGEST_OPS (comma list, default all:
+incremental_dedup,corpus_profile,ahash_dedup); INGEST_PASSES
+(default 3). Prints one JSON line per run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPLICAS = int(os.environ.get("INGEST_REPLICAS", "240"))
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (SparkSession.builder.appName("gvt-standalone-ingest")
+             .config("spark.executor.cores", "8")
+             .config("spark.executor.memory", "20g")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    deadline = time.time() + 60
+    want = int(spark.conf.get("spark.cores.max", "32"))
+    sc = spark.sparkContext
+    while time.time() < deadline:
+        if sc.defaultParallelism >= want:
+            break
+        time.sleep(0.5)
+    cores = sc.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+
+    ops_wanted = os.environ.get(
+        "INGEST_OPS",
+        "incremental_dedup,corpus_profile,ahash_dedup").split(",")
+    # profile-only runs don't need document bodies — keep the staged
+    # set slim so the probe measures the aggregate, not text scanning
+    slim = ops_wanted == ["corpus_profile"]
+    cols = ["rep", "lang", "source", "n_chars"] if slim \
+        else ["rep", "text", "lang", "source", "n_chars"]
+    # stage the replicated input to parquet ONCE so every timed pass
+    # (after a clearCache) reads the same durable layout at both
+    # parallelism levels — operators that persist internally
+    # (ahash_dedup) must not carry warm caches between passes
+    stage = f"/tmp/gvt_ingest_stage_r{REPLICAS}_{'slim' if slim else 'full'}"
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        base_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+        (base_docs.crossJoin(reps)
+         .select((F.col("doc_id") + F.col("rep") * 1_000_000)
+                 .alias("doc_id"), *cols)
+         .repartition(32).write.mode("overwrite").parquet(stage))
+    docs = spark.read.parquet(stage)
+    n = docs.count()
+
+    from geojson_vt_spark.operators.multimodal import (ahash_dedup_df,
+                                                       assets_from_documents)
+    from geojson_vt_spark.operators.webtext import (corpus_profile_df,
+                                                    incremental_dedup_df)
+
+    sink = lambda df, c: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"), F.sum(c).alias("s")).collect()
+    # incremental ingest: the newest 20% of replicas arrive as the batch
+    cut = int(REPLICAS * 0.8)
+    table = {
+        "incremental_dedup": lambda: sink(incremental_dedup_df(
+            docs.where(F.col("rep") >= cut),
+            docs.where(F.col("rep") < cut)), "keep"),
+        "corpus_profile": lambda: sink(
+            corpus_profile_df(docs), "n_docs"),
+        "ahash_dedup": lambda: sink(ahash_dedup_df(assets_from_documents(
+            docs.where(F.col("rep") < (
+                REPLICAS if ops_wanted == ["ahash_dedup"]
+                else max(REPLICAS // 4, 1))))), "is_dup"),
+    }
+    ops = [o for o in ops_wanted if o in table]
+    passes = int(os.environ.get("INGEST_PASSES", "3"))
+    per_op = {}
+    for name in ops:
+        fn = table[name]
+        fn()                               # warm-up
+        times = []
+        for _ in range(passes):
+            spark.catalog.clearCache()     # drop operator-internal persists
+            t0 = time.monotonic()
+            fn()
+            times.append(time.monotonic() - t0)
+        per_op[name] = round(statistics.median(times), 2)
+    total = round(sum(per_op.values()), 2)
+    print(json.dumps({"mode": "standalone", "cores": cores,
+                      "executors": want // 8, "docs": n, "sec": total,
+                      "per_op": per_op}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -15,7 +15,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 ASSET_SCHEMA = T.StructType([
@@ -124,12 +124,34 @@ def ahash_df(assets: DataFrame, fake: bool = True) -> DataFrame:
              "b3 long, ahash string")
 
 
-def ahash_dedup_df(assets: DataFrame, fake: bool = True) -> DataFrame:
+def ahash_dedup_df(assets: DataFrame, fake: bool = True,
+                   rep_via: str = "window") -> DataFrame:
     """Exact perceptual dedup: group assets by their full aHash and
     keep the lowest asset_id per group (the standard first-pass image
     dedup before any hamming-radius search).  The only shuffle keys
-    slim (ahash, asset_id) rows — payloads never leave the scan."""
+    slim (ahash, asset_id, bands) rows — payloads never leave the
+    scan.
+
+    ``rep_via="window"`` (default): ONE decode pass and ONE exchange —
+    min(asset_id) over a hash-partitioned window.  Because the output
+    is per-asset, rows sharing a hash must co-locate in any shuffled
+    formulation anyway, so the window's skew exposure equals a
+    shuffled join's while halving the decode (measured: the two-pass
+    groupBy+join shape re-ran the Arrow decode for each consumer and
+    anti-scaled on the 4×8 standalone grid).
+
+    ``rep_via="join"``: groupBy(ahash).min + broadcast-joinable rep
+    table — re-decodes the payloads for the second pass but never
+    shuffles the probe rows; the right regime when the distinct-hash
+    set is small enough to broadcast and the decode is cheap or the
+    hash table is already persisted by the caller."""
     h = ahash_df(assets, fake=fake)
+    if rep_via == "window":
+        rep = F.min("asset_id").over(Window.partitionBy("ahash"))
+        return h.select(
+            "asset_id", "kind", "b0", "b1", "b2", "b3", "ahash",
+            rep.alias("rep_id"),
+            (F.col("asset_id") != rep).cast("int").alias("is_dup"))
     grp = h.groupBy("ahash").agg(F.min("asset_id").alias("rep_id"))
     return (h.join(grp, "ahash")
             .select("asset_id", "kind", "b0", "b1", "b2", "b3", "ahash",
