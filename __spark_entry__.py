@@ -703,6 +703,21 @@ def q_image_ahash(spark, sf_dir):
     return ahash_dedup_df(assets_from_documents(_docs(spark, sf_dir)))
 
 
+def q_ahash_near_dup(spark, sf_dir):
+    """Hamming-radius perceptual near-dup pairs over the asset grid
+    with planted clones (every 7th document re-ingested under
+    asset_id + 1000000, so exact-hash pairs exist alongside the random
+    16-bit-band collisions)."""
+    from geojson_vt_spark.operators.multimodal import (
+        ahash_near_dup_pairs, assets_from_documents)
+    d = _docs(spark, sf_dir)
+    clones = (d.where(F.col("doc_id") % 7 == 0)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"), "text",
+                      "lang", "source", "n_chars"))
+    return ahash_near_dup_pairs(
+        assets_from_documents(d.unionByName(clones)))
+
+
 def q_bbox_join(spark, sf_dir):
     """Rectangle-overlap self-join over deterministic boxes around the
     jittered event points (PBSM grid join vs the oracle's O(n²)
@@ -784,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "bbox_join": q_bbox_join,
         "image_ahash": q_image_ahash,
+        "ahash_near_dup": q_ahash_near_dup,
         # rows-only (full geometry-kernel pyramid; pinned byte-identical
         # to the reference by the golden-fixture pytest suite):
         "pyramid_tiles": q_pyramid_tiles,
@@ -970,11 +986,13 @@ def _winnow_oracle(k: int = 8, window: int = 4) -> str:
     """
 
 
-def _ahash_oracle() -> str:
-    """DuckDB twin of ahash_dedup_df over assets_from_documents: the
-    fake decoder's pixel grid is sha256(text) repeated 4×, so the grid
-    mean is sum(d)/32 and every 32-bit band / every 4-byte hex block
-    repeats the first one (bit i thresholds byte i mod 32)."""
+def _ahash_hsh_cte(src: str) -> str:
+    """Shared CTE body producing hsh(asset_id, kind, b0, ahash) from a
+    (asset_id, text) source — the DuckDB replay of ahash_df over
+    assets_from_documents: the fake decoder's pixel grid is
+    sha256(text) repeated 4×, so the grid mean is sum(d)/32 and every
+    32-bit band / every 4-byte hex block repeats the first one (bit i
+    thresholds byte i mod 32)."""
     d = [f"CAST('0x' || substr(h, {2*j+1}, 2) AS BIGINT)" for j in range(32)]
     mean = "((" + " + ".join(d) + ") / 32.0)"
     band = " + ".join(
@@ -985,21 +1003,56 @@ def _ahash_oracle() -> str:
         for u in range(8)) for mm in range(4)]
     hexes = " || ".join(f"printf('%02x', {b})" for b in byte)
     return f"""
-        WITH a AS (SELECT doc_id AS asset_id,
-                          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-                               WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-                          sha256(text) AS h
-                   FROM documents),
+        a AS (SELECT asset_id,
+                     CASE CAST(asset_id % 3 AS INT) WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     sha256(text) AS h
+              FROM ({src})),
         m AS (SELECT asset_id, kind, h, {mean} AS m FROM a),
         hsh AS (SELECT asset_id, kind, CAST({band} AS BIGINT) AS b0,
                        repeat({hexes}, 4) AS ahash
-                FROM m),
+                FROM m)"""
+
+
+def _ahash_oracle() -> str:
+    """DuckDB twin of ahash_dedup_df over assets_from_documents."""
+    return f"""
+        WITH {_ahash_hsh_cte("SELECT doc_id AS asset_id, text"
+                             " FROM documents")},
         grp AS (SELECT ahash, min(asset_id) AS rep_id
                 FROM hsh GROUP BY 1)
         SELECT asset_id, kind, b0, b0 AS b1, b0 AS b2, b0 AS b3, ahash,
                rep_id,
                CAST(asset_id != rep_id AS INT) AS is_dup
         FROM hsh JOIN grp USING (ahash)
+    """
+
+
+def _ahash_near_dup_oracle(max_hamming: int = 8, cap: int = 1000) -> str:
+    """DuckDB twin of ahash_near_dup_pairs over documents + planted
+    clones (doc_id % 7 == 0 re-ingested as asset_id + 1000000): 16-bit
+    chunk bands, capped band join, exact 128-bit hamming verify."""
+    src = ("SELECT doc_id AS asset_id, text FROM documents "
+           "UNION ALL "
+           "SELECT doc_id + 1000000 AS asset_id, text FROM documents "
+           "WHERE doc_id % 7 = 0")
+    ham = " + ".join(
+        f"bit_count(xor(CAST('0x' || substr(l.ahash, {4*j+1}, 4) AS BIGINT),"
+        f" CAST('0x' || substr(r.ahash, {4*j+1}, 4) AS BIGINT)))"
+        for j in range(8))
+    return f"""
+        WITH {_ahash_hsh_cte(src)},
+        bnd AS (SELECT asset_id AS id, ahash, CAST(b.b AS INT) AS band,
+                       CAST('0x' || substr(ahash, CAST(b.b AS INT) * 4 + 1,
+                                           4) AS BIGINT) AS bucket
+                FROM hsh, LATERAL (SELECT unnest(range(0, 8)) AS b) b),
+        cap AS (SELECT * FROM bnd
+                QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {cap})
+        SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+               CAST({ham} AS INT) AS hamming
+        FROM cap l JOIN cap r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+        WHERE CAST({ham} AS INT) <= {max_hamming}
     """
 
 
@@ -1402,6 +1455,7 @@ def oracle_sql() -> dict[str, str]:
              AND a.ymin <= b.ymax AND b.ymin <= a.ymax
         """,
         "image_ahash": _ahash_oracle(),
+        "ahash_near_dup": _ahash_near_dup_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
         "embedding_near_dup": _near_dup_oracle(),
         "winnow_fingerprint": _winnow_oracle(),

@@ -160,6 +160,52 @@ def ahash_dedup_df(assets: DataFrame, fake: bool = True,
                     .cast("int").alias("is_dup")))
 
 
+def ahash_near_dup_pairs(assets: DataFrame, max_hamming: int = 8,
+                         fake: bool = True,
+                         bucket_cap: int | None = 1000) -> DataFrame:
+    """Hamming-radius perceptual near-dup candidate pairs: two assets
+    are candidates when ANY 16-bit chunk of their 128-bit aHash
+    matches (8 bands), verified by the exact hamming distance — the
+    same banded one-grouping shape as ``simhash_pairs`` (dedup.py),
+    sharing its mega-bucket cap rationale.
+
+    Everything after the decode is Column HOFs: chunks via
+    ``conv(substr(hex))`` (16-bit values, no 64-bit overflow on any
+    engine), candidates via sorted ``collect_list`` + in-bucket
+    combinations (one exchange of slim (id, chunks) rows), hamming as
+    ``aggregate(zip_with(bit_count(xor)))`` — the decoded hash table
+    is consumed ONCE."""
+    h = ahash_df(assets, fake=fake).select(
+        F.col("asset_id").alias("id"),
+        F.expr("transform(sequence(0, 7), j -> "
+               "CAST(conv(substr(ahash, j * 4 + 1, 4), 16, 10) "
+               "AS BIGINT))").alias("ch"))
+    banded = h.select(
+        "id", "ch",
+        F.explode(F.expr(
+            "transform(sequence(0, 7), b -> struct(b AS band, "
+            "element_at(ch, b + 1) AS bucket))")).alias("bk"))
+    grouped = (banded
+               .groupBy(F.col("bk.band").alias("band"),
+                        F.col("bk.bucket").alias("bucket"))
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("id", "ch"))).alias("ms"))
+               .where(F.size("ms") >= 2))
+    if bucket_cap is not None:
+        grouped = grouped.where(F.size("ms") <= bucket_cap)
+    return (grouped.select(F.explode(F.expr(
+        "flatten(transform(ms, (a, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), "
+        "b -> struct(a.id AS id_a, b.id AS id_b, "
+        "a.ch AS ch_a, b.ch AS ch_b))))")).alias("p"))
+        .select("p.id_a", "p.id_b",
+                F.expr("aggregate(zip_with(p.ch_a, p.ch_b, "
+                       "(x, y) -> bit_count(x ^ y)), 0, "
+                       "(acc, v) -> acc + v)").alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming))
+
+
 def resize_df(assets: DataFrame, out_h: int = 4, out_w: int = 8,
               fake: bool = True) -> DataFrame:
     """Image resize: decode → block-mean pooling to (out_h, out_w) —

@@ -1033,3 +1033,30 @@ def test_corpus_profile_exact_quartiles(spark):
         (5, 200, 10, 100)
     assert (r.p25_chars, r.median_chars, r.p75_chars) == (20.0, 30.0, 40.0)
     assert r.avg_chars == 40.0
+
+
+def test_ahash_near_dup_radius_and_cap(spark):
+    """Planted clones pair at hamming 0; the verify filter drops
+    band-colliding pairs beyond the radius; the bucket cap removes a
+    planted mega-bucket instead of going quadratic on it."""
+    from geojson_vt_spark.operators.multimodal import (
+        ahash_near_dup_pairs, assets_from_documents)
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    clone = base.select((F.col("doc_id") + 900000).alias("doc_id"), "text",
+                        "lang", "source", "n_chars")
+    assets = assets_from_documents(base.unionByName(clone))
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in ahash_near_dup_pairs(assets, max_hamming=0).collect()}
+    ids = [r.doc_id for r in base.select("doc_id").collect()]
+    for i in ids:
+        assert pairs.get((i, i + 900000)) == 0
+    # a 50-copy mega-cluster with cap below its size contributes no
+    # pairs from its own bucket (its dupes are exact_dedup's job)
+    mega = spark.range(50).select(
+        (F.col("id") + 500000).alias("doc_id"),
+        F.lit("mega perceptual cluster payload").alias("text"),
+        F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.lit(31).alias("n_chars"))
+    capped = ahash_near_dup_pairs(
+        assets_from_documents(mega), max_hamming=0, bucket_cap=10)
+    assert capped.count() == 0
