@@ -500,6 +500,33 @@ def q_incremental_dedup(spark, sf_dir):
                                 d.where(F.col("doc_id") % 5 != 0))
 
 
+def q_nb_train(spark, sf_dir):
+    """Distributed multinomial Naive-Bayes training (Laplace-smoothed
+    term log-conditionals in int64 micro-units) on the doc_id % 3 != 0
+    train split, labels = lang."""
+    from geojson_vt_spark.operators.webtext import nb_train_df
+    return nb_train_df(_docs(spark, sf_dir).where(F.col("doc_id") % 3 != 0))
+
+
+def q_nb_classify(spark, sf_dir):
+    """NB language classification of the held-out doc_id % 3 == 0
+    split with the model trained on the rest; reports the argmax label
+    and whether it matches the true lang.  (The synthetic corpus draws
+    every language's text from one shared word soup — zero
+    language-specific vocabulary — so accuracy tops out at the
+    majority-class rate here by construction; the learning mechanism
+    itself is pinned by the planted-vocabulary test in
+    tests/test_operators.py.)"""
+    from geojson_vt_spark.operators.webtext import nb_classify_df
+    d = _docs(spark, sf_dir)
+    test = d.where(F.col("doc_id") % 3 == 0)
+    pred = nb_classify_df(test, d.where(F.col("doc_id") % 3 != 0))
+    return (pred.join(test.select("doc_id", "lang"), "doc_id")
+            .select("doc_id", "pred", "nb_logprob",
+                    (F.col("pred") == F.col("lang")).cast("int")
+                    .alias("correct")))
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: drop documents sharing any word
     8-gram with the (synthetic, doc_id % 97 == 0) benchmark set."""
@@ -779,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "corpus_profile": q_corpus_profile,
         "incremental_dedup": q_incremental_dedup,
+        "nb_train": q_nb_train,
+        "nb_classify": q_nb_classify,
         "decontaminate": q_decontaminate,
         "tfidf_topterms": q_tfidf_topterms,
         "pii_redact": q_pii_redact,
@@ -807,6 +836,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # --------------------------------------------------------------- oracles
+
+# shared CTE body for the Naive-Bayes oracles: Laplace-smoothed
+# multinomial model over the doc_id % 3 != 0 train split (micro-unit
+# int64 log-probs, the bm25 determinism rule)
+_NB_MODEL_CTE = """
+            tr AS (SELECT * FROM documents WHERE doc_id % 3 != 0),
+            trt AS (SELECT label, term FROM (
+                        SELECT lang AS label,
+                               unnest(string_split_regex(
+                                   trim(lower(text)), '\\s+')) AS term
+                        FROM tr) u
+                    WHERE term != ''),
+            ct AS (SELECT label, term, count(*) AS n_tc
+                   FROM trt GROUP BY 1, 2),
+            tot AS (SELECT label, sum(n_tc) AS n_c FROM ct GROUP BY 1),
+            v AS (SELECT count(DISTINCT term) AS v FROM ct),
+            model AS (SELECT label, term, n_tc,
+                             CAST(round(ln((n_tc + 1.0) / (n_c + v)) * 1e6)
+                                  AS BIGINT) AS lp
+                      FROM ct JOIN tot USING (label) CROSS JOIN v),
+            dc AS (SELECT lang AS label, count(*) AS nd FROM tr GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM tr),
+            classes AS (SELECT label,
+                               CAST(round(ln(nd * 1.0 / n) * 1e6)
+                                    AS BIGINT) AS prior,
+                               CAST(round(ln(1.0 / (n_c + v)) * 1e6)
+                                    AS BIGINT) AS def_lp
+                        FROM dc JOIN tot USING (label)
+                        CROSS JOIN v CROSS JOIN n)"""
 
 _PX = _PROJ_X_SQL.format(lon="lon")
 _PY = _PROJ_Y_SQL.format(lat="lat")
@@ -1710,6 +1768,36 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(k.n_kept, 0) AS n_kept,
                    coalesce(k.kept_md5, md5('')) AS kept_md5
             FROM sp s LEFT JOIN kept k USING (doc_id)
+        """,
+        "nb_train": f"""
+            WITH {_NB_MODEL_CTE}
+            SELECT label, term, n_tc, lp FROM model
+        """,
+        "nb_classify": f"""
+            WITH {_NB_MODEL_CTE},
+            te AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+            tet AS (SELECT doc_id, term, count(*) AS tf FROM (
+                        SELECT doc_id,
+                               unnest(string_split_regex(
+                                   trim(lower(text)), '\\s+')) AS term
+                        FROM te) u
+                    WHERE term != '' GROUP BY 1, 2),
+            sc AS (SELECT t.doc_id, c.label,
+                          sum(t.tf * coalesce(m.lp, c.def_lp))
+                              + any_value(c.prior) AS s
+                   FROM tet t CROSS JOIN classes c
+                   LEFT JOIN model m
+                     ON m.term = t.term AND m.label = c.label
+                   GROUP BY 1, 2),
+            pred AS (SELECT doc_id, label, s,
+                            row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, label ASC) AS rn
+                     FROM sc)
+            SELECT p.doc_id, p.label AS pred,
+                   round(p.s / 1e6, 6) AS nb_logprob,
+                   CAST(p.label = d.lang AS INT) AS correct
+            FROM pred p JOIN te d USING (doc_id)
+            WHERE p.rn = 1
         """,
         "corpus_profile": """
             SELECT lang, source, count(*) AS n_docs,

@@ -825,3 +825,97 @@ def incremental_dedup_df(incoming: DataFrame, base: DataFrame,
                     ((F.coalesce("in_base", F.lit(0)) == 0) &
                      (F.col(id_col) == F.col("_first_id")))
                     .cast("int").alias("keep")))
+
+
+def _nb_tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def nb_train_df(train: DataFrame, label_col: str = "lang",
+                text_col: str = "text") -> DataFrame:
+    """Train a multinomial Naive-Bayes text classifier as ONE
+    DataFrame job — the distributed stand-in for the fastText-style
+    labeler a curation run trains on the cluster (CCNet / DCLM use
+    exactly this shape to score quality or language).  Returns one row
+    per (label, term): the raw count and the Laplace-smoothed
+    log-conditional ``ln((n_tc+1)/(n_c+V))`` scaled to int64
+    micro-units, so every downstream reduction is order-independent
+    across engines (the bm25 determinism rule).
+
+    Plan: explode to slim (label, term) rows, one partially-aggregated
+    groupBy; class totals and vocabulary size are 1-row/of-C-rows
+    aggregates cross-joined back — no collect, no window."""
+    terms = (train.select(F.col(label_col).alias("label"),
+                          F.explode(_nb_tokens(F.col(text_col)))
+                          .alias("term"))
+             .where(F.col("term") != ""))
+    ct = terms.groupBy("label", "term").agg(
+        F.count(F.lit(1)).alias("n_tc"))
+    tot = ct.groupBy("label").agg(F.sum("n_tc").alias("n_c"))
+    v = ct.agg(F.countDistinct("term").alias("v"))
+    lp = F.log((F.col("n_tc") + 1.0) / (F.col("n_c") + F.col("v")))
+    return (ct.join(tot, "label").crossJoin(F.broadcast(v))
+            .select("label", "term", "n_tc",
+                    F.round(lp * 1e6).cast("long").alias("lp")))
+
+
+def nb_class_df(train: DataFrame, label_col: str = "lang",
+                text_col: str = "text") -> DataFrame:
+    """Per-class side of the NB model: log prior ``ln(n_docs_c/N)``
+    and the unseen-term default ``ln(1/(n_c+V))``, micro-unit int64.
+    C rows — always broadcastable."""
+    terms = (train.select(F.col(label_col).alias("label"),
+                          F.explode(_nb_tokens(F.col(text_col)))
+                          .alias("term"))
+             .where(F.col("term") != ""))
+    ct = terms.groupBy("label", "term").agg(
+        F.count(F.lit(1)).alias("n_tc"))
+    tot = ct.groupBy("label").agg(F.sum("n_tc").alias("n_c"))
+    v = ct.agg(F.countDistinct("term").alias("v"))
+    dc = train.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("nd"))
+    n = train.agg(F.count(F.lit(1)).alias("n"))
+    return (dc.join(tot, "label").crossJoin(F.broadcast(v))
+            .crossJoin(F.broadcast(n))
+            .select(
+                "label",
+                F.round(F.log(F.col("nd") * 1.0 / F.col("n")) * 1e6)
+                .cast("long").alias("prior"),
+                F.round(F.log(1.0 / (F.col("n_c") + F.col("v"))) * 1e6)
+                .cast("long").alias("def_lp")))
+
+
+def nb_classify_df(docs: DataFrame, train: DataFrame,
+                   label_col: str = "lang", text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Score ``docs`` with an NB model trained on ``train``: per doc,
+    argmax over classes of ``prior + Σ tf·lp(term|class)`` (unseen
+    terms take the class default).  Ties break on the lexicographically
+    smallest label.  Returns ``(id_col, pred, nb_logprob)``.
+
+    Plan: the corpus side is slim (doc_id, term, tf) rows crossed with
+    the C-row class table and probed against the broadcast term model
+    (at web scale the model is millions of rows — swap the broadcast
+    for a shuffle join on term, everything else unchanged); the
+    per-(doc, class) sum partial-aggregates map-side; the final argmax
+    is a C-row window per doc.  Integer micro-unit scores make the
+    result independent of aggregation order."""
+    model = nb_train_df(train, label_col, text_col)
+    classes = nb_class_df(train, label_col, text_col)
+    terms = (docs.select(F.col(id_col),
+                         F.explode(_nb_tokens(F.col(text_col)))
+                         .alias("term"))
+             .where(F.col("term") != "")
+             .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    sc = (terms.crossJoin(F.broadcast(classes))
+          .join(F.broadcast(model.select("label", "term", "lp")),
+                ["label", "term"], "left")
+          .groupBy(id_col, "label")
+          .agg((F.sum(F.col("tf") * F.coalesce("lp", "def_lp")) +
+                F.first("prior")).alias("s")))
+    w = Window.partitionBy(id_col).orderBy(F.col("s").desc(),
+                                           F.col("label").asc())
+    return (sc.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col(id_col), F.col("label").alias("pred"),
+                    F.round(F.col("s") / 1e6, 6).alias("nb_logprob")))

@@ -1060,3 +1060,40 @@ def test_ahash_near_dup_radius_and_cap(spark):
     capped = ahash_near_dup_pairs(
         assets_from_documents(mega), max_hamming=0, bucket_cap=10)
     assert capped.count() == 0
+
+
+def test_nb_classifier_learns_planted_vocabulary(spark):
+    """On data with a real lexical signal the NB model classifies
+    held-out docs perfectly; priors break pure-noise ties toward the
+    majority class; unseen terms take the class default (score drops
+    but prediction holds)."""
+    from geojson_vt_spark.operators.webtext import (nb_class_df,
+                                                    nb_classify_df,
+                                                    nb_train_df)
+    rows = []
+    for i in range(40):
+        lab = ["alpha", "beta"][i % 2]
+        word = {"alpha": "apfel", "beta": "birne"}[lab]
+        rows.append((i, f"{word} {word} noise{i % 3} {word}", lab))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = docs.where(F.col("doc_id") < 30)
+    test = docs.where(F.col("doc_id") >= 30)
+    pred = nb_classify_df(test, train)
+    got = {r.doc_id: r.pred for r in pred.collect()}
+    assert all(got[i] == ["alpha", "beta"][i % 2] for i in range(30, 40))
+    # model rows: every (label, term) pair seen in training, lp < 0
+    m = nb_train_df(train).collect()
+    assert all(r.lp < 0 for r in m)
+    assert {(r.label, r.term) for r in m} >= {("alpha", "apfel"),
+                                              ("beta", "birne")}
+    # class table: 2 rows, priors equal (balanced split), def_lp < lp
+    c = {r.label: r for r in nb_class_df(train).collect()}
+    assert c["alpha"].prior == c["beta"].prior
+    seen_lp = {r.term: r.lp for r in m if r.label == "alpha"}
+    assert c["alpha"].def_lp < seen_lp["apfel"]
+    # a doc of only unseen terms falls back to priors + defaults and
+    # still yields a deterministic (tie-broken) prediction
+    odd = spark.createDataFrame([(99, "zzz qqq", "alpha")],
+                                "doc_id long, text string, lang string")
+    p = nb_classify_df(odd, train).collect()[0]
+    assert p.pred == "alpha"          # equal scores -> smallest label
