@@ -88,9 +88,14 @@ def main() -> None:
 
     sink = lambda df, c: df.agg(  # noqa: E731
         F.count(F.lit(1)).alias("n"), F.sum(c).alias("s")).collect()
+    from geojson_vt_spark.operators.webtext import nb_classify_df
+
     # incremental ingest: the newest 20% of replicas arrive as the batch
     cut = int(REPLICAS * 0.8)
     table = {
+        "nb_classify": lambda: sink(nb_classify_df(
+            docs.where(F.col("rep") >= cut),
+            docs.where(F.col("rep") < cut)), "nb_logprob"),
         "incremental_dedup": lambda: sink(incremental_dedup_df(
             docs.where(F.col("rep") >= cut),
             docs.where(F.col("rep") < cut)), "keep"),
