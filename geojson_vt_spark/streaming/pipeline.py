@@ -161,3 +161,29 @@ def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
                     F.col("sess.start").alias("session_start"),
                     F.col("sess.end").alias("session_end"),
                     "n_events", "value_cents"))
+
+
+def streaming_incremental_dedup(pages: DataFrame, base: DataFrame,
+                                text_col: str = "text",
+                                watermark: str = "1 hour",
+                                ts_col: str = "warc_ts",
+                                n_tokens: int = 8) -> DataFrame:
+    """Streaming twin of ``webtext.incremental_dedup_df``: the
+    continuously-ingesting form of snapshot-incremental dedup.  A page
+    survives only if its prefix fingerprint is (a) the first sighting
+    in-stream within the watermark horizon and (b) absent from the
+    static base corpus.
+
+    Plan: the base side collapses to a distinct fingerprint set ONCE
+    per micro-batch as a stream-static ``left_anti`` hash join (16-byte
+    build rows — document bodies never leave the base scan);
+    first-wins state is ``dropDuplicatesWithinWatermark`` keyed on the
+    fingerprint, so state size is bounded by the watermark horizon,
+    not the stream history."""
+    from ..operators.webtext import prefix_fingerprint_col
+    fp = prefix_fingerprint_col(F.col(text_col), n_tokens)
+    seen = base.select(fp.alias("fp")).distinct()
+    return (pages.withColumn("fp", fp)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["fp"])
+            .join(seen, "fp", "left_anti"))

@@ -210,3 +210,41 @@ def test_streaming_sessionize_equals_batch_session_stats(spark, tmp_path):
             for r in batch.collect()}
     assert len(want) > 50
     assert got == want
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
+    """Oracle: streaming_incremental_dedup over a replayed incoming
+    batch (every page duplicated) against a static base == the batch
+    incremental_dedup_df keep-set (rows are byte-identical duplicates,
+    so full-row equality holds regardless of which copy wins)."""
+    from geojson_vt_spark.operators.webtext import (incremental_dedup_df,
+                                                    prefix_fingerprint_col)
+    from geojson_vt_spark.sources.corpus import synth_pages_df
+    from geojson_vt_spark.streaming import streaming_incremental_dedup
+
+    pages = synth_pages_df(spark, 600, seed=42)
+    base = pages.where(F.crc32("url") % 5 != 0)
+    inc = pages.where(F.crc32("url") % 5 == 0)
+    src = str(tmp_path / "inc_src")
+    inc.unionByName(inc).write.parquet(src)
+    static_inc = spark.read.parquet(src)
+
+    stream = _replay_stream(spark, src, static_inc.schema)
+    out = streaming_incremental_dedup(stream, base)
+    q = (out.writeStream.format("memory").queryName("incdd")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_incdd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("incdd").collect()
+
+    fp = prefix_fingerprint_col(F.col("text"))
+    batch = incremental_dedup_df(
+        inc.withColumn("doc_id", F.crc32("url")), base, fp=fp)
+    keep_fps = {r.fp for r in batch.where("keep = 1").collect()}
+    # every kept fingerprint survives exactly once (fp-collision pairs
+    # within the batch may keep either member, so compare by fp)
+    assert sorted(r.fp for r in rows) == sorted(keep_fps)
+    inc_fp_urls = {(r.url, r.fp)
+                   for r in inc.withColumn("fp", fp).collect()}
+    assert all((r.url, r.fp) in inc_fp_urls for r in rows)
