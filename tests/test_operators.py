@@ -1097,3 +1097,39 @@ def test_nb_classifier_learns_planted_vocabulary(spark):
                                 "doc_id long, text string, lang string")
     p = nb_classify_df(odd, train).collect()[0]
     assert p.pred == "alpha"          # equal scores -> smallest label
+
+
+def test_ahash_dedup_plan_decodes_once(spark):
+    """Regression guard for the anti-scaling two-pass shape: the
+    default (window) dedup plan must contain exactly ONE Arrow decode
+    stage (MapInPandas) — the hash table is consumed, not recomputed."""
+    from geojson_vt_spark.operators.multimodal import (ahash_dedup_df,
+                                                       assets_from_documents)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (ahash_dedup_df(assets_from_documents(docs))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("MapInPandas") == 1, plan
+
+
+def test_nb_classify_plan_shape(spark):
+    """Regression guards for the NB plan: the train-side term-count
+    aggregate is shared between the model and the class table
+    (ReusedExchange), nothing runs in Python, and the scoring
+    aggregation's exchange input is the PARTIAL aggregate (map-side
+    collapse of contiguous per-doc token rows — the fix that took the
+    4x8 grid from 0.37 to 0.65 efficiency)."""
+    from geojson_vt_spark.operators.webtext import nb_classify_df
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = nb_classify_df(docs.where(F.col("doc_id") % 3 == 0),
+                        docs.where(F.col("doc_id") % 3 != 0))
+    df.collect()          # ReuseExchange lands in the AQE final plan
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "MapInPandas" not in plan
+    assert "ReusedExchange" in plan, plan
+    # every hash-partitioned exchange is fed by a partial aggregate or
+    # an aggregate result — never by raw exploded token rows
+    import re
+    assert not re.search(r"Exchange hashpartitioning\([^)]*doc_id[^)]*label"
+                         r"[^)]*\)[^\n]*\n\s*\+- (Project|\*\(\d+\) Project)",
+                         plan), plan
