@@ -208,6 +208,24 @@ def bench_webtext(spark) -> tuple[float, dict]:
                 "doc_passes_per_sec": len(passes) * n_docs / dt}
 
 
+def bench_ingest(spark) -> tuple[float, dict]:
+    """Ingest/audit additions: snapshot-incremental dedup, NB
+    classification of the held-out split, corpus profiling, perceptual
+    ahash dedup + hamming near-dup pairs."""
+    from pyspark.sql import functions as F
+    import __spark_entry__ as em
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    agg = F.count(F.lit(1))
+    t0 = time.monotonic()
+    em.q_incremental_dedup(spark, SF_DIR).agg(agg, F.sum("keep")).collect()
+    em.q_nb_classify(spark, SF_DIR).agg(agg, F.sum("correct")).collect()
+    em.q_corpus_profile(spark, SF_DIR).agg(agg, F.sum("n_docs")).collect()
+    em.q_image_ahash(spark, SF_DIR).agg(agg, F.sum("is_dup")).collect()
+    em.q_ahash_near_dup(spark, SF_DIR).agg(agg, F.sum("hamming")).collect()
+    dt = time.monotonic() - t0
+    return dt, {"docs": n_docs, "doc_passes_per_sec": 5 * n_docs / dt}
+
+
 def bench_serve(spark) -> tuple[float, dict]:
     """Batch tile serving: build a small pyramid (outside the timed
     span), then serve EVERY built tile through warmed get_tiles batches
@@ -264,6 +282,7 @@ BENCHES = {
     "text_suite": bench_text,
     "webtext_suite": bench_webtext,
     "search_events_suite": bench_search_events,
+    "ingest_suite": bench_ingest,
     "tile_serve": bench_serve,
 }
 
