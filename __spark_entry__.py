@@ -527,6 +527,13 @@ def q_nb_classify(spark, sf_dir):
                     .alias("correct")))
 
 
+def q_topk_ngrams(spark, sf_dir):
+    """Corpus-wide top-50 word bigrams (vocabulary seeding /
+    boilerplate discovery), gram-ascending tie-break."""
+    from geojson_vt_spark.operators.webtext import topk_ngrams_df
+    return topk_ngrams_df(_docs(spark, sf_dir), n=2, k=50)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: drop documents sharing any word
     8-gram with the (synthetic, doc_id % 97 == 0) benchmark set."""
@@ -806,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "corpus_profile": q_corpus_profile,
         "incremental_dedup": q_incremental_dedup,
+        "topk_ngrams": q_topk_ngrams,
         "nb_train": q_nb_train,
         "nb_classify": q_nb_classify,
         "decontaminate": q_decontaminate,
@@ -1768,6 +1776,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(k.n_kept, 0) AS n_kept,
                    coalesce(k.kept_md5, md5('')) AS kept_md5
             FROM sp s LEFT JOIN kept k USING (doc_id)
+        """,
+        "topk_ngrams": """
+            WITH toks AS (
+                SELECT string_split_regex(trim(text), '\\s+') AS w
+                FROM documents),
+            grams AS (
+                SELECT unnest(list_transform(range(len(w) - 1),
+                    i -> array_to_string(w[i+1:i+2], ' '))) AS gram
+                FROM toks),
+            c AS (SELECT gram, count(*) AS n_occurrences
+                  FROM grams GROUP BY 1)
+            SELECT gram, n_occurrences FROM c
+            ORDER BY n_occurrences DESC, gram ASC LIMIT 50
         """,
         "nb_train": f"""
             WITH {_NB_MODEL_CTE}

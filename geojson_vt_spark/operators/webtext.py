@@ -934,3 +934,23 @@ def nb_classify_df(docs: DataFrame, train: DataFrame,
             .where(F.col("_rn") == 1)
             .select(F.col(id_col), F.col("label").alias("pred"),
                     F.round(F.col("s") / 1e6, 6).alias("nb_logprob")))
+
+
+def topk_ngrams_df(docs: DataFrame, n: int = 2, k: int = 50,
+                   text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-``k`` word n-grams by occurrence count — the
+    vocabulary-seeding / boilerplate-discovery aggregate (tokenizer
+    merges start from exactly this table).  Deterministic at the
+    boundary: ties order by gram ascending.
+
+    Plan: one explode of the shared ``word_ngrams_col`` emitter, one
+    partially-aggregated groupBy on the gram, and a global top-k that
+    Spark executes as TakeOrderedAndProject (per-partition heaps, no
+    full sort, no single-partition shuffle of the count table)."""
+    grams = docs.select(
+        F.explode(word_ngrams_col(F.col(text_col), n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"))
+    return (counts.orderBy(F.col("n_occurrences").desc(),
+                           F.col("gram").asc())
+            .limit(k))
