@@ -341,6 +341,23 @@ def q_events_window(spark, sf_dir):
                  F.round(F.sum("value"), 3).alias("total_value")))
 
 
+def q_events_rollup(spark, sf_dir):
+    """Subtotal hierarchy over events via ROLLUP (event_type, month):
+    per-(type, month) rows plus per-type and grand-total subtotal rows
+    (null-marked) in ONE pass — the grouping-sets surface §2.8 notes
+    Spark provides for free.  Value sums go through int64 micro-units
+    so every subtotal is order-independent and engine-exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    micro = F.round(F.col("value") * 1e6).cast("long")
+    return (ev.select("event_type",
+                      F.date_format(F.date_trunc("month", "ts"),
+                                    "yyyy-MM").alias("month"),
+                      micro.alias("_v"))
+            .rollup("event_type", "month")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("_v") / 1e6, 6).alias("total_value")))
+
+
 # rows-only checks (geometry kernels / hash-scheme ops not expressible
 # in portable SQL; pinned by the pytest golden suite instead)
 
@@ -814,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "incremental_dedup": q_incremental_dedup,
         "topk_ngrams": q_topk_ngrams,
+        "events_rollup": q_events_rollup,
         "nb_train": q_nb_train,
         "nb_classify": q_nb_classify,
         "decontaminate": q_decontaminate,
@@ -1776,6 +1794,15 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(k.n_kept, 0) AS n_kept,
                    coalesce(k.kept_md5, md5('')) AS kept_md5
             FROM sp s LEFT JOIN kept k USING (doc_id)
+        """,
+        "events_rollup": """
+            SELECT event_type,
+                   strftime(date_trunc('month', ts), '%Y-%m') AS month,
+                   count(*) AS n_events,
+                   round(sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6, 6)
+                       AS total_value
+            FROM events
+            GROUP BY ROLLUP (event_type, month)
         """,
         "topk_ngrams": """
             WITH toks AS (
