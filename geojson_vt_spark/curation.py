@@ -147,7 +147,8 @@ class CurationPipeline:
         found = None
         for snap in self.snapshots():
             c = snap.get("commit", {})
-            if c.get("stage") == stage_idx and c.get("name") == name:
+            if (c.get("stage") == stage_idx and c.get("name") == name
+                    and "ingest" not in c):
                 found = snap
         return found
 
@@ -217,6 +218,170 @@ class CurationPipeline:
                 len(snap["manifests"][os.path.basename(sdir)]),
                 dt, skipped=False))
         return df, results
+
+    # ------------------------------------------------------------ ingest
+
+    def _ingest_ids(self) -> list[int]:
+        return sorted({s["commit"]["ingest"] for s in self.snapshots()
+                       if "ingest" in s.get("commit", {})})
+
+    def _ingest_stage_dir(self, ingest_id: int, i: int, name: str) -> str:
+        return os.path.join(self.workdir, f"ingest={ingest_id:04d}",
+                            f"stage={i:02d}_{name}")
+
+    def corpus(self, corpus_stage: int = -2) -> DataFrame:
+        """The current curated corpus: the base run's ``corpus_stage``
+        store unioned with every committed ingest's — one multi-path
+        parquet scan, no shuffle."""
+        i = range(len(self.stages))[corpus_stage]
+        paths = [self._stage_dir(i, self.stages[i][0])]
+        for ing in self._ingest_ids():
+            p = self._ingest_stage_dir(ing, i, self.stages[i][0])
+            if os.path.isdir(p):
+                paths.append(p)
+        return self.spark.read.parquet(*paths)
+
+    def ingest(self, batch: DataFrame,
+               fingerprints: list | None = None,
+               corpus_stage: int = -2
+               ) -> tuple[DataFrame, list[StageResult]]:
+        """Incremental snapshot ingest — the daily-crawl append.  The
+        batch is first deduplicated against EVERYTHING already curated
+        (the base run plus all prior ingests — so re-ingesting the same
+        batch is a no-op), then the survivors run through the full
+        stage chain into their own ``ingest=NNNN/stage=...`` stores
+        with the same commit protocol (parent-linked snapshots, atomic
+        VERSION advance, per-file manifests, resume-at-stage-grain).
+        The base corpus is never rewritten — exactly the append-only
+        shape Iceberg snapshot semantics exist for.
+
+        ``fingerprints``: list of unbound Columns computed on both
+        sides (default: the prefix-8-token content fingerprint).  The
+        anti-join build side is distinct fingerprints only — curated
+        document bodies never leave their scan.
+
+        Every ingest ALSO commits a ``seen`` store holding the raw
+        batch's distinct fingerprints (crawl-frontier semantics): later
+        ingests anti-join against curated-corpus fingerprints ∪ all
+        prior seen stores, so a document REJECTED by the chain is
+        remembered too — re-ingesting any previously-presented batch is
+        a no-op, and chain filters whose outcome depends on the cohort
+        (keep-lowest URL dedup) can't resurrect last time's losers."""
+        if fingerprints is None:
+            from .operators.webtext import prefix_fingerprint_col
+            fingerprints = [prefix_fingerprint_col(F.col("text"))]
+
+        ids = self._ingest_ids()
+        # resume an ingest left incomplete (its last stage uncommitted),
+        # else open the next ingest id
+        ing = ids[-1] if ids and self._committed_ingest_stage(
+            ids[-1], len(self.stages) - 1,
+            self.stages[-1][0]) is None else (ids[-1] + 1 if ids else 1)
+
+        def fps_of(df):
+            out = None
+            for fp in fingerprints:
+                part = df.select(fp.alias("_fp"))
+                out = part if out is None else out.unionByName(part)
+            return out.distinct()
+
+        base_fps = fps_of(self.corpus(corpus_stage))
+        for prior in ids:
+            if prior == ing:
+                continue     # resuming: never anti-join our own batch
+            sdir = os.path.join(self.workdir, f"ingest={prior:04d}", "seen")
+            if os.path.isdir(sdir):
+                base_fps = base_fps.unionByName(
+                    self.spark.read.parquet(sdir))
+        base_fps = base_fps.distinct()
+        new = (batch.withColumn("_fp", fingerprints[0])
+               .join(base_fps, "_fp", "left_anti").drop("_fp"))
+        for fp in fingerprints[1:]:
+            new = (new.withColumn("_fp", fp)
+                   .join(base_fps, "_fp", "left_anti").drop("_fp"))
+
+        # commit the raw batch's fingerprints as this ingest's seen
+        # store (before the chain — rejected docs must be remembered)
+        seen_dir = os.path.join(self.workdir, f"ingest={ing:04d}", "seen")
+        if self._committed_ingest_stage(ing, -1, "seen") is None:
+            tmp = seen_dir + "._tmp"
+            (fps_of(batch).write
+             .option("maxRecordsPerFile", self.target_file_rows)
+             .mode("overwrite").parquet(tmp))
+            if os.path.isdir(seen_dir):
+                import shutil
+                shutil.rmtree(seen_dir)
+            os.rename(tmp, seen_dir)
+            self._commit_ingest(ing, -1, "seen", seen_dir, 0.0)
+
+        df = new
+        results = []
+        dirty = False
+        for i, (name, fn) in enumerate(self.stages):
+            sdir = self._ingest_stage_dir(ing, i, name)
+            snap = self._committed_ingest_stage(ing, i, name)
+            if not dirty and snap is not None and not self._audit_one(snap):
+                df = self.spark.read.parquet(sdir)
+                results.append(StageResult(
+                    name, snap["commit"]["rows"],
+                    len(next(iter(snap["manifests"].values()))),
+                    0.0, skipped=True))
+                continue
+            dirty = True
+            t0 = time.monotonic()
+            out = fn(df)
+            tmp = sdir + "._tmp"
+            (out.write.option("maxRecordsPerFile", self.target_file_rows)
+             .mode("overwrite").parquet(tmp))
+            if os.path.isdir(sdir):
+                import shutil
+                shutil.rmtree(sdir)
+            os.rename(tmp, sdir)
+            dt = time.monotonic() - t0
+            snap = self._commit_ingest(ing, i, name, sdir, dt)
+            df = self.spark.read.parquet(sdir)
+            results.append(StageResult(
+                name, snap["commit"]["rows"],
+                len(next(iter(snap["manifests"].values()))),
+                dt, skipped=False))
+        return df, results
+
+    def _commit_ingest(self, ingest_id: int, stage_idx: int, name: str,
+                       stage_dir: str, seconds: float) -> dict:
+        files = self._manifest(stage_dir)
+        rows = sum(f.get("rows", 0) for f in files)
+        prev = self.current_snapshot_id()
+        sid = prev + 1
+        os.makedirs(self._snap_dir(), exist_ok=True)
+        rel = os.path.relpath(stage_dir, self.workdir)
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": prev or None,
+            "operation": "ingest-stage",
+            "committed_at": time.time(),
+            "commit": {"ingest": ingest_id, "stage": stage_idx,
+                       "name": name, "rows": rows,
+                       "seconds": round(seconds, 3)},
+            "manifests": {rel: files},
+        }
+        with open(os.path.join(self._snap_dir(), f"v{sid:06d}.json"),
+                  "w") as fh:
+            json.dump(snap, fh)
+        tmp = self._version_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"snapshot_id": sid}, fh)
+        os.replace(tmp, self._version_path())
+        return snap
+
+    def _committed_ingest_stage(self, ingest_id: int, stage_idx: int,
+                                name: str) -> dict | None:
+        found = None
+        for snap in self.snapshots():
+            c = snap.get("commit", {})
+            if (c.get("ingest") == ingest_id and c.get("stage") == stage_idx
+                    and c.get("name") == name):
+                found = snap
+        return found
 
     def _audit_one(self, snap: dict) -> list[str]:
         problems = []

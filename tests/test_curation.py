@@ -102,3 +102,66 @@ def test_chain_matches_manual_composition(spark, corpus, tmp_path):
                .select("doc_id"), "doc_id", "left_semi")
     assert (sorted(r.doc_id for r in out.select("doc_id").collect())
             == sorted(r.doc_id for r in m.select("doc_id").collect()))
+
+
+def test_ingest_appends_only_new_documents(spark, corpus, tmp_path):
+    """Incremental ingest: overlap with the curated base is dropped by
+    the fingerprint anti-join, survivors run the full chain into their
+    own ingest stores, corpus() unions base + ingest, and lineage
+    verifies clean."""
+    base_src = corpus.where(F.col("doc_id") % 4 != 0)
+    batch = corpus.where(F.col("doc_id") % 4 == 0)
+    pipe = _mk(spark, corpus, tmp_path)
+    out, _ = pipe.run(base_src)
+    base_n = pipe.corpus().count()
+
+    # plus re-crawled CURATED content (same text, new ids) — its
+    # fingerprints are in corpus(), so the anti-join must drop it
+    recrawl = pipe.corpus().limit(20).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "url", "text",
+        "lang")
+    df, results = pipe.ingest(batch.unionByName(recrawl))
+    assert [r.name for r in results] == [n for n, _ in pipe.stages]
+    assert not pipe.verify()
+    got = pipe.corpus().count()
+    assert got > base_n                       # genuinely new docs landed
+    ids = {r.doc_id for r in pipe.corpus().select("doc_id").collect()}
+    assert not any(i >= 10_000_000 for i in ids)   # re-crawls dropped
+
+
+def test_ingest_is_idempotent(spark, corpus, tmp_path):
+    """Re-ingesting an already-ingested batch is a no-op: every
+    fingerprint is now in corpus(), so zero rows survive the anti-join
+    and the corpus row count is unchanged."""
+    pipe = _mk(spark, corpus, tmp_path)
+    pipe.run(corpus.where(F.col("doc_id") % 4 != 0))
+    batch = corpus.where(F.col("doc_id") % 4 == 0)
+    pipe.ingest(batch)
+    n1 = pipe.corpus().count()
+    _, results = pipe.ingest(batch)
+    assert pipe.corpus().count() == n1
+    assert results[-2].rows == 0              # corpus stage empty
+    assert not pipe.verify()
+
+
+def test_ingest_snapshot_lineage_chains(spark, corpus, tmp_path):
+    """Ingest commits extend the same parent-linked snapshot chain and
+    flag corruption in an ingest store like any other store."""
+    import os
+    pipe = _mk(spark, corpus, tmp_path)
+    pipe.run(corpus.where(F.col("doc_id") % 4 != 0))
+    sid0 = pipe.current_snapshot_id()
+    pipe.ingest(corpus.where(F.col("doc_id") % 4 == 0))
+    snaps = pipe.snapshots()
+    # one seen-store commit + one commit per stage
+    assert snaps[-1]["snapshot_id"] == sid0 + len(pipe.stages) + 1
+    assert all(s["parent_id"] == s["snapshot_id"] - 1 for s in snaps[1:])
+    assert all(s["operation"] == "ingest-stage" for s in snaps[sid0:])
+    # truncate one ingest part file -> verify flags it
+    rel, files = next(iter(snaps[-1]["manifests"].items()))
+    victim = os.path.join(pipe.workdir, rel,
+                          next(f["name"] for f in files
+                               if f["name"].endswith(".parquet")))
+    with open(victim, "r+b") as fh:
+        fh.truncate(max(os.path.getsize(victim) - 7, 1))
+    assert pipe.verify()
