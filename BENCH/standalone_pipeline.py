@@ -85,13 +85,43 @@ def main() -> None:
     out, results = pipe.run(corpus)
     total = time.monotonic() - t0
     assert pipe.verify() == []
+
+    # incremental snapshot ingest: a 25%-sized fresh batch (new
+    # replica ids, same url/text recipe) through pipe.ingest — dedup
+    # against corpus+seen fps, then the chain over survivors only.
+    # Full-text md5 fingerprints: the prefix fp would collapse every
+    # replica of a base doc into one fingerprint and zero the batch.
+    n_batch_reps = max(REPLICAS // 4, 1)
+    reps2 = spark.range(REPLICAS, REPLICAS + n_batch_reps) \
+        .select(F.col("id").alias("rep"))
+    batch = (docs.crossJoin(reps2)
+             .select((F.col("doc_id") + F.col("rep") * 1_000_000)
+                     .alias("doc_id"), "text", "lang")
+             .select("doc_id", text2.alias("text"), "lang",
+                     url.alias("url"))
+             .repartition(cores))
+    t1 = time.monotonic()
+    out2, results2 = pipe.ingest(batch,
+                                 fingerprints=[F.md5(F.col("text"))])
+    ingest_total = time.monotonic() - t1
+    assert pipe.verify() == []
+    corpus_rows = pipe.corpus().count()
+
     print(json.dumps({
         "mode": "standalone", "cores": cores, "executors": want // 8,
         "docs_in": REPLICAS * docs.count(), "sec": round(total, 2),
         "stages": {r.name: {"sec": round(r.seconds, 2), "rows": r.rows}
                    for r in results},
         "docs_out": results[-1].rows,
-        "docs_per_sec": round(REPLICAS * 5000 / total)}))
+        "docs_per_sec": round(REPLICAS * 5000 / total),
+        "ingest": {"docs_in": n_batch_reps * 5000,
+                   "sec": round(ingest_total, 2),
+                   "stages": {r.name: {"sec": round(r.seconds, 2),
+                                       "rows": r.rows}
+                              for r in results2},
+                   "docs_per_sec": round(n_batch_reps * 5000
+                                         / ingest_total),
+                   "corpus_rows": corpus_rows}}))
     shutil.rmtree(wd, ignore_errors=True)
     spark.stop()
 
