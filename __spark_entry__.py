@@ -551,6 +551,14 @@ def q_topk_ngrams(spark, sf_dir):
     return topk_ngrams_df(_docs(spark, sf_dir), n=2, k=50)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """RAG-style overlapping token-window chunker (128-token chunks,
+    32-token overlap) — shuffle-free Column HOFs."""
+    from geojson_vt_spark.operators.webtext import chunk_documents_df
+    return chunk_documents_df(_docs(spark, sf_dir), chunk_tokens=128,
+                              overlap=32)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: drop documents sharing any word
     8-gram with the (synthetic, doc_id % 97 == 0) benchmark set."""
@@ -832,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "topk_ngrams": q_topk_ngrams,
         "events_rollup": q_events_rollup,
+        "chunk_documents": q_chunk_documents,
         "nb_train": q_nb_train,
         "nb_classify": q_nb_classify,
         "decontaminate": q_decontaminate,
@@ -1794,6 +1803,22 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(k.n_kept, 0) AS n_kept,
                    coalesce(k.kept_md5, md5('')) AS kept_md5
             FROM sp s LEFT JOIN kept k USING (doc_id)
+        """,
+        "chunk_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS w
+                FROM documents),
+            n AS (SELECT doc_id, w,
+                         greatest(1, CAST(ceil((len(w) - 128) / 96.0)
+                                          AS BIGINT) + 1) AS nc
+                  FROM toks)
+            SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+                   CAST(len(w[u.i*96+1 : u.i*96+128]) AS BIGINT)
+                       AS n_tokens,
+                   array_to_string(w[u.i*96+1 : u.i*96+128], ' ')
+                       AS chunk_text
+            FROM n, LATERAL (SELECT unnest(range(0, nc)) AS i) u
         """,
         "events_rollup": """
             SELECT event_type,

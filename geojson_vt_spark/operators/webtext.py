@@ -954,3 +954,36 @@ def topk_ngrams_df(docs: DataFrame, n: int = 2, k: int = 50,
     return (counts.orderBy(F.col("n_occurrences").desc(),
                            F.col("gram").asc())
             .limit(k))
+
+
+def chunk_documents_df(docs: DataFrame, chunk_tokens: int = 128,
+                       overlap: int = 32, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Split each document into overlapping token windows (the
+    RAG/embedding-training chunker): window i covers tokens
+    ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the last window is the
+    remainder (never empty, docs shorter than one chunk yield one
+    chunk).  Returns ``(id_col, chunk_idx, n_tokens, chunk_text)``.
+
+    Pure Column HOFs over the token array — shuffle-free,
+    embarrassingly parallel, stays in whole-stage codegen; each chunk
+    re-joins its tokens with single spaces (i.e. chunking is defined on
+    the TOKEN stream, the way the downstream tokenizer consumes it, not
+    on raw bytes)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = tokens_col(F.col(text_col))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(w) - F.lit(chunk_tokens)) / F.lit(stride)) + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.slice(w, i * stride + 1, chunk_tokens).alias("_t")))
+    return (docs.select(F.col(id_col), F.explode(chunks).alias("c"))
+            .select(id_col, "c.chunk_idx",
+                    F.size("c._t").cast("long").alias("n_tokens"),
+                    F.array_join("c._t", " ").alias("chunk_text")))

@@ -1133,3 +1133,30 @@ def test_nb_classify_plan_shape(spark):
     assert not re.search(r"Exchange hashpartitioning\([^)]*doc_id[^)]*label"
                          r"[^)]*\)[^\n]*\n\s*\+- (Project|\*\(\d+\) Project)",
                          plan), plan
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token is covered, consecutive chunks overlap by exactly
+    `overlap` tokens, short docs yield one chunk, and reassembling
+    stride-prefixes reproduces the token stream."""
+    from geojson_vt_spark.operators.webtext import chunk_documents_df
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(300))),
+         (2, "only five tokens right here"),
+         (3, " ".join(f"u{i}" for i in range(128)))],
+        "doc_id long, text string")
+    out = chunk_documents_df(docs, chunk_tokens=128, overlap=32)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.n_tokens for r in by_doc[1]] == [128, 128, 108]
+    c = [r.chunk_text.split(" ") for r in by_doc[1]]
+    assert c[0][96:] == c[1][:32] and c[1][96:] == c[2][:32]
+    rebuilt = c[0][:96] + c[1][:96] + c[2]
+    assert rebuilt == [f"t{i}" for i in range(300)]
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 5
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_tokens == 128
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents_df(docs, chunk_tokens=32, overlap=32)
