@@ -88,11 +88,17 @@ def main() -> None:
 
     sink = lambda df, c: df.agg(  # noqa: E731
         F.count(F.lit(1)).alias("n"), F.sum(c).alias("s")).collect()
-    from geojson_vt_spark.operators.webtext import nb_classify_df
+    from geojson_vt_spark.operators.webtext import (chunk_documents_df,
+                                                    nb_classify_df,
+                                                    topk_ngrams_df)
 
     # incremental ingest: the newest 20% of replicas arrive as the batch
     cut = int(REPLICAS * 0.8)
     table = {
+        "chunk_documents": lambda: sink(chunk_documents_df(
+            docs, chunk_tokens=64, overlap=16), "n_tokens"),
+        "topk_ngrams": lambda: sink(topk_ngrams_df(docs, n=2, k=50),
+                                    "n_occurrences"),
         "nb_classify": lambda: sink(nb_classify_df(
             docs.where(F.col("rep") >= cut),
             docs.where(F.col("rep") < cut)), "nb_logprob"),
