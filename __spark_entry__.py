@@ -491,6 +491,29 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(pages)
 
 
+def q_latest_capture(spark, sf_dir):
+    """Common-Crawl revisit dedup: newest capture per canonical URL.
+    warc_ts is synthesized as deterministic epoch seconds so the
+    oracle orders by the identical value."""
+    from geojson_vt_spark.operators.webtext import latest_capture_df
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", _synth_url_col().alias("url"),
+        (F.lit(1704067200) + (F.col("doc_id") * 37 % 100000))
+        .cast("long").alias("warc_ts"))
+    return latest_capture_df(pages)
+
+
+def q_hilbert_cell(spark, sf_dir):
+    """S2-style Hilbert cell key per point at order 10 — the
+    locality-preserving join/clustering index (functions/hilbert.py);
+    the oracle replays the identical per-level transition as nested
+    SELECTs generated from the same transition description."""
+    from geojson_vt_spark.functions.hilbert import with_hilbert_cell
+    pts = _events_points(spark, sf_dir)
+    return (with_hilbert_cell(pts, F.col("lon"), F.col("lat"), 10)
+            .select("point_id", "hilbert_d"))
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style repetition/shape rules: top-bigram share,
     duplicate-trigram share, mean word length, alpha-word fraction,
@@ -835,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "frame_sample": q_frame_sample,
         "url_dedup": q_url_dedup,
+        "latest_capture": q_latest_capture,
+        "hilbert_cell": q_hilbert_cell,
         "gopher_quality": q_gopher_quality,
         "corpus_profile": q_corpus_profile,
         "incremental_dedup": q_incremental_dedup,
@@ -896,9 +921,12 @@ _NB_MODEL_CTE = """
             classes AS (SELECT label,
                                CAST(round(ln(nd * 1.0 / n) * 1e6)
                                     AS BIGINT) AS prior,
-                               CAST(round(ln(1.0 / (n_c + v)) * 1e6)
-                                    AS BIGINT) AS def_lp
-                        FROM dc JOIN tot USING (label)
+                               CASE WHEN coalesce(n_c, 0) + v > 0
+                                    THEN CAST(round(ln(1.0 /
+                                        (coalesce(n_c, 0) + v)) * 1e6)
+                                        AS BIGINT)
+                                    ELSE 0 END AS def_lp
+                        FROM dc LEFT JOIN tot USING (label)
                         CROSS JOIN v CROSS JOIN n)"""
 
 _PX = _PROJ_X_SQL.format(lon="lon")
@@ -909,6 +937,8 @@ _TX6 = f"least(greatest(CAST(floor(({_PX}) * 64) AS BIGINT), 0), 63)"
 _TY6 = f"least(greatest(CAST(floor(({_PY}) * 64) AS BIGINT), 0), 63)"
 _TX5 = f"least(greatest(CAST(floor(({_PX}) * 32) AS BIGINT), 0), 31)"
 _TY5 = f"least(greatest(CAST(floor(({_PY}) * 32) AS BIGINT), 0), 31)"
+_TX10 = f"least(greatest(CAST(floor(({_PX}) * 1024) AS BIGINT), 0), 1023)"
+_TY10 = f"least(greatest(CAST(floor(({_PY}) * 1024) AS BIGINT), 0), 1023)"
 
 _EN_STOP = "'the','a','and','of','to','in','is','it','that','for'"
 _LANG_LISTS = {
@@ -1642,6 +1672,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups
             FROM canon GROUP BY md5(canon_url)
         """,
+        "latest_capture": f"""
+            WITH urls AS (
+                SELECT doc_id, {_URL_SYNTH_SQL} AS u,
+                       1704067200 + (doc_id * 37 % 100000) AS ts
+                FROM documents),
+            s1 AS (SELECT doc_id, ts,
+                          regexp_replace(regexp_replace(u, '#.*', '', 'g'),
+                              '[?&](utm_[A-Za-z0-9_]*|gclid|fbclid|sid|ref)=[^&#]*',
+                              '', 'g') AS u
+                   FROM urls),
+            s2 AS (SELECT doc_id, ts,
+                          regexp_replace(u, '^([^?]*)&', '\\1?') AS u
+                   FROM s1),
+            s3 AS (SELECT doc_id, ts, u,
+                          regexp_extract(u, '^[^/]*//[^/]*') AS head
+                   FROM s2),
+            s4 AS (SELECT doc_id, ts,
+                          regexp_replace(regexp_replace(lower(head),
+                              '^(https?://)www\\.', '\\1'),
+                              ':(443|80)$', '')
+                          || substr(u, length(head) + 1) AS u
+                   FROM s3),
+            canon AS (SELECT doc_id, ts,
+                             regexp_replace(u, '[/?&]+$', '') AS canon_url
+                      FROM s4),
+            grp AS (SELECT md5(canon_url) AS h, min(canon_url) AS canon_url,
+                           count(*) AS n_captures
+                    FROM canon GROUP BY 1),
+            win AS (SELECT md5(canon_url) AS h, doc_id,
+                           row_number() OVER (PARTITION BY md5(canon_url)
+                               ORDER BY ts DESC, doc_id DESC) AS rn
+                    FROM canon)
+            SELECT g.canon_url, w.doc_id AS keep_id, g.n_captures
+            FROM grp g JOIN win w ON w.h = g.h AND w.rn = 1
+        """,
+        "hilbert_cell": __import__(
+            "geojson_vt_spark.functions.hilbert",
+            fromlist=["hilbert_sql"]).hilbert_sql(
+                10, _TX10, _TY10, f"({_POINTS_SQL})",
+                carry_cols="point_id"),
         "gopher_quality": """
             WITH base AS (
                 SELECT doc_id,

@@ -1,0 +1,140 @@
+"""Hilbert-curve (S2-style) locality-preserving cell ids.
+
+The north rule names an "H3/S2 cell index" for the spatial-join suite.
+The join itself only needs an equi-joinable cell key, which the
+quadtree Z-cells in functions/geo.py provide — but Z-order has long
+diagonal seams where 2-D neighbours land 2^k apart in key space.  S2's
+core primitive is the Hilbert curve (a Hilbert walk over each cube
+face): every curve step moves to a 2-D neighbour, so a contiguous key
+RANGE is a spatially compact region.  That is what makes range
+partitioning, parquet row-group pruning on key min/max, and
+range-bounded neighbour scans work for spatial data at 100-TB scale.
+
+This module provides the Hilbert d-index as BOTH
+  * a Spark plan fragment (`with_hilbert`) — pure Column integer
+    arithmetic, one narrow Project per curve level, no Python, no
+    shuffle, whole-stage-codegen friendly; and
+  * a DuckDB SQL twin (`hilbert_sql`) — the identical per-level
+    transition emitted as nested SELECTs,
+generated from ONE transition description so the driver oracle checks
+the real operator, not a reimplementation.
+
+Why per-level Projects instead of a single Column expression: the
+classic xy→d walk (Hamilton's iterative rotation) references the
+running (x, y) twice per level, so inlining all levels into one
+expression tree doubles its size per level — 2^order nodes.  Chained
+`withColumns` keep it linear; Catalyst's CollapseProject declines to
+inline non-cheap expressions used more than once, so the plan stays
+linear too (asserted by tests/test_operators.py::test_hilbert_plan).
+
+Algorithm: standard iterative Hilbert xy→d (public domain, e.g.
+Wikipedia "Hilbert curve", Hamilton 2006 compact Hilbert indices) —
+per level s = 2^(order-1) … 1:
+
+    rx = (x & s) > 0;  ry = (y & s) > 0
+    d += s · s · ((3·rx) XOR ry)
+    if not ry:  (x, y) = (s-1-y, s-1-x) if rx else (y, x)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .geo import project_x_col, project_y_col, tile_coord_col
+
+
+def _levels(order: int) -> list[int]:
+    return [1 << i for i in range(order - 1, -1, -1)]
+
+
+def with_hilbert(df: DataFrame, x: Column, y: Column, order: int,
+                 out: str = "hilbert_d") -> DataFrame:
+    """Append column ``out`` = Hilbert d-index of integer cell (x, y)
+    on the 2^order × 2^order grid.  One narrow Project per level —
+    linear plan size, JVM-side end to end."""
+    df = df.withColumns({"_hx": x.cast("long"), "_hy": y.cast("long"),
+                         "_hd": F.lit(0).cast("long")})
+    for s in _levels(order):
+        rx = F.when((F.col("_hx").bitwiseAND(F.lit(s))) > 0, F.lit(1)) \
+             .otherwise(F.lit(0)).cast("long")
+        ry = F.when((F.col("_hy").bitwiseAND(F.lit(s))) > 0, F.lit(1)) \
+             .otherwise(F.lit(0)).cast("long")
+        df = df.withColumns({"_rx": rx, "_ry": ry})
+        nx = (F.when(F.col("_ry") == 1, F.col("_hx"))
+              .when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hy"))
+              .otherwise(F.col("_hy")))
+        ny = (F.when(F.col("_ry") == 1, F.col("_hy"))
+              .when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hx"))
+              .otherwise(F.col("_hx")))
+        nd = (F.col("_hd")
+              + F.lit(s) * F.lit(s)
+              * (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry")))
+        df = df.withColumns({"_hx": nx, "_hy": ny, "_hd": nd})
+    return (df.withColumn(out, F.col("_hd"))
+            .drop("_hx", "_hy", "_hd", "_rx", "_ry"))
+
+
+def with_hilbert_cell(df: DataFrame, lon: Column, lat: Column,
+                      order: int, out: str = "hilbert_d") -> DataFrame:
+    """lon/lat → Web-Mercator cell (x, y) at resolution ``order`` →
+    Hilbert d-index.  The S2-style point→cell-key path."""
+    px, py = project_x_col(lon), project_y_col(lat)
+    return with_hilbert(df, tile_coord_col(px, order),
+                        tile_coord_col(py, order), order, out)
+
+
+def hilbert_sql(order: int, x_expr: str, y_expr: str,
+                source_sql: str, carry_cols: str = "") -> str:
+    """DuckDB twin of `with_hilbert`: the same per-level transition as
+    nested SELECTs over ``source_sql`` (a FROM-able subquery/view).
+    ``carry_cols`` (e.g. ``"id, lon, lat"``) ride through unchanged;
+    the result exposes them plus ``hilbert_d``."""
+    carry = (carry_cols + ", ") if carry_cols else ""
+    q = (f"SELECT {carry}CAST({x_expr} AS BIGINT) AS hx, "
+         f"CAST({y_expr} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd "
+         f"FROM {source_sql}")
+    for s in _levels(order):
+        q = (
+            f"SELECT {carry}"
+            f"  CASE WHEN hry = 1 THEN hx"
+            f"       WHEN hrx = 1 THEN {s - 1} - hy ELSE hy END AS hx,"
+            f"  CASE WHEN hry = 1 THEN hy"
+            f"       WHEN hrx = 1 THEN {s - 1} - hx ELSE hx END AS hy,"
+            f"  hd + {s * s} * xor(3 * hrx, hry) AS hd "
+            f"FROM (SELECT {carry}hx, hy, hd,"
+            f"  CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS hrx,"
+            f"  CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS hry"
+            f" FROM ({q}))"
+        )
+    return (f"SELECT {carry}hd AS hilbert_d FROM ({q})")
+
+
+def hilbert_xy2d(order: int, x: int, y: int) -> int:
+    """Plain-Python reference for property tests (same transition)."""
+    d = 0
+    for s in _levels(order):
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - y, s - 1 - x
+            else:
+                x, y = y, x
+    return d
+
+
+def cluster_by_hilbert(df: DataFrame, lon: Column, lat: Column,
+                       order: int = 12, num_partitions: int | None = None,
+                       out: str = "hilbert_d") -> DataFrame:
+    """Spatially cluster a DataFrame for writing: compute the Hilbert
+    key and range-partition + sort on it, so each output file covers a
+    compact region and parquet min/max row-group stats prune spatial
+    range scans.  (Z-order keys leave diagonal seams in every file's
+    key range; Hilbert ranges are compact by construction.)"""
+    keyed = with_hilbert_cell(df, lon, lat, order, out)
+    if num_partitions:
+        keyed = keyed.repartitionByRange(num_partitions, F.col(out))
+    else:
+        keyed = keyed.repartitionByRange(F.col(out))
+    return keyed.sortWithinPartitions(out)

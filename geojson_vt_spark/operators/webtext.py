@@ -78,6 +78,32 @@ def url_dedup(pages: DataFrame, url_col: str = "url",
             .drop("_h"))
 
 
+def latest_capture_df(pages: DataFrame, url_col: str = "url",
+                      ts_col: str = "warc_ts",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Common-Crawl revisit dedup: a crawler re-fetches the same URL
+    across snapshots; keep the NEWEST capture per canonical URL
+    (ties → highest id, so re-ingesting a WARC is idempotent).
+    Returns ``(canon_url, keep_id, n_captures)``.
+
+    Same slim-shuffle shape as ``url_dedup``: the exchange carries
+    ``(md5(canon), ts, id)`` — never page bodies — and ``max(struct)``
+    is an ordinary hash aggregate, so map-side partial combine applies
+    (a window over raw URLs would ship every capture row to one
+    reducer per URL with no combine).  Struct ordering is
+    lexicographic (ts first, then id), matching the oracle's
+    ``ORDER BY ts DESC, id DESC`` tie-break."""
+    canon = canonicalize_url_col(F.col(url_col)).alias("canon_url")
+    return (pages.select(canon, F.col(ts_col).alias("_ts"), F.col(id_col))
+            .groupBy(F.md5(F.col("canon_url")).alias("_h"))
+            .agg(F.min("canon_url").alias("canon_url"),
+                 F.max(F.struct(F.col("_ts"),
+                                F.col(id_col).alias("_id"))).alias("_w"),
+                 F.count(F.lit(1)).alias("n_captures"))
+            .select("canon_url", F.col("_w._id").alias("keep_id"),
+                    "n_captures"))
+
+
 def word_ngrams_col(text: Column, n: int, arrow: bool = True) -> Column:
     """Array of space-joined word n-grams, in document order with
     duplicates kept; empty array when the document has fewer than
@@ -884,14 +910,21 @@ def nb_class_df(train: DataFrame, label_col: str = "lang",
     dc = train.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("nd"))
     n = train.agg(F.count(F.lit(1)).alias("n"))
-    return (dc.join(tot, "label").crossJoin(F.broadcast(v))
+    # LEFT join: a class whose training docs contain no tokens (all
+    # empty/whitespace) must still classify — it scores prior-only
+    # (token mass 0 when n_c + V = 0, found by hypothesis; an inner
+    # join silently dropped the class from the argmax).
+    n_c = F.coalesce(F.col("n_c"), F.lit(0))
+    return (dc.join(tot, "label", "left").crossJoin(F.broadcast(v))
             .crossJoin(F.broadcast(n))
             .select(
                 "label",
                 F.round(F.log(F.col("nd") * 1.0 / F.col("n")) * 1e6)
                 .cast("long").alias("prior"),
-                F.round(F.log(1.0 / (F.col("n_c") + F.col("v"))) * 1e6)
-                .cast("long").alias("def_lp")))
+                F.when(n_c + F.col("v") > 0,
+                       F.round(F.log(1.0 / (n_c + F.col("v"))) * 1e6)
+                       .cast("long"))
+                .otherwise(F.lit(0).cast("long")).alias("def_lp")))
 
 
 def nb_classify_df(docs: DataFrame, train: DataFrame,

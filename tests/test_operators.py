@@ -1160,3 +1160,117 @@ def test_chunk_documents_coverage_and_overlap(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_documents_df(docs, chunk_tokens=32, overlap=32)
+
+
+def test_hilbert_matches_reference_and_is_bijective(spark):
+    """Spark Hilbert d-index == plain-Python reference on a random
+    grid sample, and the full order-5 curve is a bijection whose
+    consecutive steps are 4-neighbours (the locality property that
+    makes key ranges spatially compact — Z-order fails this at every
+    diagonal seam)."""
+    from geojson_vt_spark.functions.hilbert import (hilbert_xy2d,
+                                                    with_hilbert)
+    n = 1 << 5
+    full = {}
+    for x in range(n):
+        for y in range(n):
+            full[hilbert_xy2d(5, x, y)] = (x, y)
+    assert sorted(full) == list(range(n * n))  # bijection
+    for d in range(1, n * n):                  # unit steps
+        (x0, y0), (x1, y1) = full[d - 1], full[d]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+    df = spark.range(0, 500).select(
+        ((F.col("id") * 2654435761) % 4096).alias("x"),
+        ((F.col("id") * 40503) % 4096).alias("y"))
+    rows = with_hilbert(df, F.col("x"), F.col("y"), 12).collect()
+    for r in rows:
+        assert r["hilbert_d"] == hilbert_xy2d(12, r["x"], r["y"])
+
+
+def test_hilbert_plan_is_narrow_and_linear(spark):
+    """The per-level withColumns chain stays JVM-side: zero exchanges,
+    no Python workers, and the executed-plan text grows linearly in
+    curve order (Catalyst must not inline the levels into one
+    exponential expression tree)."""
+    from geojson_vt_spark.functions.hilbert import with_hilbert
+    df = spark.range(0, 10).select((F.col("id") % 64).alias("x"),
+                                   (F.col("id") % 32).alias("y"))
+    plans = {}
+    for order in (8, 16):
+        out = with_hilbert(df, F.col("x"), F.col("y"), order)
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p
+        assert "Python" not in p  # pure Column, no Arrow/UDF stage
+        plans[order] = len(p)
+    # doubling the order should roughly double plan size, not square it
+    assert plans[16] < plans[8] * 3
+
+
+def test_hilbert_range_partitions_are_spatially_compact(spark):
+    """cluster_by_hilbert: every range partition's cells span a
+    bounded x/y extent (compact region ⇒ parquet min/max row-group
+    stats prune spatial scans).  The same points range-partitioned by
+    the Z-order key leave at least one partition spanning nearly the
+    whole grid — the diagonal seam Hilbert removes."""
+    from geojson_vt_spark.functions.geo import cell_xy_cols, tile_id_col
+    from geojson_vt_spark.functions.hilbert import cluster_by_hilbert
+    pts = spark.range(0, 4000).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("id") * 104729 % 17000) / 100.0 - 85.0).alias("lat"))
+    order, nparts = 6, 16
+    n = 1 << order
+
+    def spans(df, key):
+        cx, cy = cell_xy_cols(F.col("lon"), F.col("lat"), order)
+        part = df.withColumns({"cx": cx, "cy": cy}).withColumn(
+            "pid", F.spark_partition_id())
+        agg = (part.groupBy("pid")
+               .agg((F.max("cx") - F.min("cx")).alias("dx"),
+                    (F.max("cy") - F.min("cy")).alias("dy"))
+               .collect())
+        return [max(r["dx"], r["dy"]) for r in agg]
+
+    hil = cluster_by_hilbert(pts, F.col("lon"), F.col("lat"),
+                             order=order, num_partitions=nparts)
+    zord = (pts.withColumn("z", tile_id_col(
+        order, *cell_xy_cols(F.col("lon"), F.col("lat"), order)))
+        .repartitionByRange(nparts, F.col("z")))
+    h_spans, z_spans = spans(hil, "hilbert_d"), spans(zord, "z")
+    # Hilbert: every partition covers a compact block (≤ half the grid)
+    assert max(h_spans) <= n // 2 + 1, h_spans
+    # Z-order: the row-major key makes most partitions full-width rows
+    assert max(z_spans) >= n - 1, z_spans
+
+
+def test_latest_capture_keeps_newest_and_is_idempotent(spark):
+    """Planted revisits: the newest warc_ts wins per canonical URL;
+    equal timestamps break to the highest id (so re-ingesting the same
+    WARC twice is a no-op); n_captures counts every revisit."""
+    from geojson_vt_spark.operators.webtext import latest_capture_df
+    rows = [
+        (1, "https://WWW.a.example.com/p?utm_source=x", 100),
+        (2, "https://a.example.com/p", 300),          # newest → wins
+        (3, "https://a.example.com/p/", 200),
+        (4, "https://b.example.com/q", 50),
+        (5, "https://b.example.com/q#frag", 50),      # tie → higher id
+    ]
+    pages = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts long")
+    got = {r["canon_url"]: r for r in latest_capture_df(pages).collect()}
+    assert got["https://a.example.com/p"]["keep_id"] == 2
+    assert got["https://a.example.com/p"]["n_captures"] == 3
+    assert got["https://b.example.com/q"]["keep_id"] == 5
+    assert got["https://b.example.com/q"]["n_captures"] == 2
+
+    # idempotence: re-ingesting the identical rows changes nothing
+    twice = latest_capture_df(pages.unionAll(pages))
+    got2 = {r["canon_url"]: (r["keep_id"],) for r in twice.collect()}
+    assert {k: (v["keep_id"],) for k, v in got.items()} == got2
+
+    # plan: the exchange carries hashes, not URLs or bodies, and the
+    # aggregate is partial (map-side combine present)
+    plan = (latest_capture_df(pages)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_min" in plan or "partial" in plan.lower()

@@ -115,8 +115,11 @@ def test_nb_scores_match_local_model(spark, docs, labels):
         for lab in sorted(nd):
             s = round(math.log(nd[lab] / n) * 1e6)
             for w in toks:
-                s += round(math.log(
-                    (ct[lab][w] + 1.0) / (tot[lab] + v)) * 1e6)
+                # token-less model (n_c + V = 0): prior-only, the
+                # same guard nb_class_df applies
+                if tot[lab] + v > 0:
+                    s += round(math.log(
+                        (ct[lab][w] + 1.0) / (tot[lab] + v)) * 1e6)
             if best is None or s > best[0]:
                 best = (s, lab)
         assert got[i] == best[1], (i, t)
