@@ -124,6 +124,66 @@ def hilbert_xy2d(order: int, x: int, y: int) -> int:
     return d
 
 
+def bbox_hilbert_ranges(minx: float, miny: float, maxx: float,
+                        maxy: float, order: int,
+                        max_cells: int = 1024) -> list[tuple[int, int]]:
+    """S2-style region covering: the Hilbert key ranges (inclusive)
+    whose union contains every order-``order`` cell intersecting the
+    projected-space bbox.  Driver-side pure Python over the cover
+    cells — bounded by ``max_cells``: when the bbox covers more cells
+    than that, the cover is computed at a coarser level and scaled
+    exactly (the curve is hierarchical: a level-o cell is
+    4^(order-o) CONSECUTIVE fine keys — containment asserted by
+    tests).  Consecutive keys merge, so a compact query region yields
+    a handful of ranges regardless of order.
+
+    These ranges are what make `cluster_by_hilbert` layouts prunable:
+    ``hilbert_d BETWEEN lo AND hi`` predicates reach the parquet scan
+    and row-group min/max stats skip everything outside the region."""
+    if not (0 < max_cells):
+        raise ValueError("max_cells must be positive")
+    o = order
+    while o > 0:
+        n = 1 << o
+        x0 = min(max(int(minx * n), 0), n - 1)
+        x1 = min(max(int(maxx * n), 0), n - 1)
+        y0 = min(max(int(miny * n), 0), n - 1)
+        y1 = min(max(int(maxy * n), 0), n - 1)
+        if (x1 - x0 + 1) * (y1 - y0 + 1) <= max_cells:
+            break
+        o -= 1
+    ds = sorted(hilbert_xy2d(o, x, y)
+                for x in range(x0, x1 + 1) for y in range(y0, y1 + 1))
+    scale = 4 ** (order - o)
+    ranges: list[tuple[int, int]] = []
+    for d in ds:
+        lo, hi = d * scale, (d + 1) * scale - 1
+        if ranges and ranges[-1][1] + 1 == lo:
+            ranges[-1] = (ranges[-1][0], hi)
+        else:
+            ranges.append((lo, hi))
+    return ranges
+
+
+def filter_bbox_by_hilbert(df: DataFrame, minx: float, miny: float,
+                           maxx: float, maxy: float, order: int,
+                           key_col: str = "hilbert_d",
+                           max_cells: int = 1024) -> DataFrame:
+    """Candidate filter for a projected-space bbox over a
+    Hilbert-keyed table: OR of BETWEEN predicates from
+    `bbox_hilbert_ranges` — pure Column, pushed to the parquet scan,
+    so a `cluster_by_hilbert`-written table reads only the row groups
+    whose key range intersects the region.  A superset of the exact
+    bbox rows (cell granularity); refine on x/y afterwards."""
+    ranges = bbox_hilbert_ranges(minx, miny, maxx, maxy, order,
+                                 max_cells)
+    pred = None
+    for lo, hi in ranges:
+        p = F.col(key_col).between(F.lit(lo), F.lit(hi))
+        pred = p if pred is None else pred | p
+    return df.where(pred) if pred is not None else df
+
+
 def cluster_by_hilbert(df: DataFrame, lon: Column, lat: Column,
                        order: int = 12, num_partitions: int | None = None,
                        out: str = "hilbert_d") -> DataFrame:

@@ -1274,3 +1274,60 @@ def test_latest_capture_keeps_newest_and_is_idempotent(spark):
     plan = (latest_capture_df(pages)
             ._jdf.queryExecution().executedPlan().toString())
     assert "partial_min" in plan or "partial" in plan.lower()
+
+
+def test_hilbert_bbox_ranges_cover_and_prune(spark, tmp_path):
+    """S2-style region covering: every point inside a projected bbox
+    lands inside the returned key ranges (superset guarantee); a small
+    region's ranges span a tiny fraction of key space; and after a
+    cluster_by_hilbert parquet write the BETWEEN predicates reach the
+    scan as PushedFilters, so row-group min/max stats prune it."""
+    from geojson_vt_spark.functions.geo import cell_xy_cols
+    from geojson_vt_spark.functions.hilbert import (
+        bbox_hilbert_ranges, cluster_by_hilbert, filter_bbox_by_hilbert,
+        hilbert_xy2d)
+    from geojson_vt_spark.functions import project_x_col, project_y_col
+    order = 10
+
+    # pure covering property against the python reference
+    import random
+    rnd = random.Random(7)
+    for _ in range(25):
+        x0, y0 = rnd.random() * 0.9, rnd.random() * 0.9
+        w, h = rnd.random() * 0.1, rnd.random() * 0.1
+        ranges = bbox_hilbert_ranges(x0, y0, x0 + w, y0 + h, order)
+        n = 1 << order
+        for _ in range(40):
+            px = x0 + rnd.random() * w
+            py = y0 + rnd.random() * h
+            d = hilbert_xy2d(order, min(int(px * n), n - 1),
+                             min(int(py * n), n - 1))
+            assert any(lo <= d <= hi for lo, hi in ranges), (px, py)
+        covered = sum(hi - lo + 1 for lo, hi in ranges)
+        assert covered <= max((int(w * n) + 2) * (int(h * n) + 2) * 4,
+                              4 ** 5), "cover far looser than the bbox"
+
+    # end-to-end: clustered write, pushed-down range scan, exact refine
+    pts = spark.range(0, 5000).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("id") * 104729 % 17000) / 100.0 - 85.0).alias("lat"))
+    path = str(tmp_path / "hilkeyed")
+    cluster_by_hilbert(pts, F.col("lon"), F.col("lat"),
+                       order=order, num_partitions=8).write.parquet(path)
+    keyed = spark.read.parquet(path)
+    bbox = (0.30, 0.40, 0.34, 0.44)  # projected space
+    cand = filter_bbox_by_hilbert(keyed, *bbox, order=order)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "hilbert_d" in plan
+    exact = (cand
+             .where((project_x_col(F.col("lon")).between(bbox[0], bbox[2]))
+                    & (project_y_col(F.col("lat"))
+                       .between(bbox[1], bbox[3]))))
+    naive = (keyed
+             .where((project_x_col(F.col("lon")).between(bbox[0], bbox[2]))
+                    & (project_y_col(F.col("lat"))
+                       .between(bbox[1], bbox[3]))))
+    got = sorted(r["point_id"] for r in exact.collect())
+    want = sorted(r["point_id"] for r in naive.collect())
+    assert got == want and len(want) > 0
