@@ -93,11 +93,22 @@ def bench_pyramid(spark) -> tuple[float, dict]:
     ext_path = os.path.join(wd, "_extracted")
     extract_geo_features_df(pages).write.mode("overwrite").parquet(ext_path)
     rows = spark.read.parquet(ext_path)
-    t0 = time.monotonic()
-    feats = features_from_json_df(rows, opts)
-    eng.build_from_converted(feats)
-    n_tiles = eng.tiles().count()
-    dt = time.monotonic() - t0
+    # min over repeats (fresh workdir each): the sandbox VM's
+    # boot-to-boot and minute-to-minute speed swings are far larger
+    # than the build's own variance, and min-of-N is the standard way
+    # to report a compute benchmark under noisy neighbours.  The
+    # reference-side comparison numbers are min-of-5 the same way.
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    dt, n_tiles = None, 0
+    for i in range(max(repeats, 1)):
+        eng_i = eng if i == 0 else SparkTileEngine(
+            spark, opts, workdir=tempfile.mkdtemp(prefix="gvt_bench_"))
+        t0 = time.monotonic()
+        feats = features_from_json_df(rows, opts)
+        eng_i.build_from_converted(feats)
+        n_tiles = eng_i.tiles().count()
+        dt_i = time.monotonic() - t0
+        dt = dt_i if dt is None else min(dt, dt_i)
     return dt, {"tiles": n_tiles, "tiles_per_sec": n_tiles / dt,
                 "pages": N_PAGES}
 
