@@ -1,7 +1,9 @@
 from .pipeline import (streaming_dedup_by_url, streaming_heavy_tiles,
-                       streaming_incremental_dedup, streaming_sessionize,
+                       streaming_incremental_dedup,
+                       streaming_latest_capture, streaming_sessionize,
                        streaming_synth_pages, streaming_tile_counts)
 
 __all__ = ["streaming_dedup_by_url", "streaming_heavy_tiles",
-           "streaming_incremental_dedup", "streaming_sessionize",
-           "streaming_synth_pages", "streaming_tile_counts"]
+           "streaming_incremental_dedup", "streaming_latest_capture",
+           "streaming_sessionize", "streaming_synth_pages",
+           "streaming_tile_counts"]

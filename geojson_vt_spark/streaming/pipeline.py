@@ -187,3 +187,67 @@ def streaming_incremental_dedup(pages: DataFrame, base: DataFrame,
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["fp"])
             .join(seen, "fp", "left_anti"))
+
+
+def streaming_latest_capture(pages: DataFrame, url_col: str = "url",
+                             ts_col: str = "warc_ts",
+                             id_col: str = "doc_id",
+                             idle_timeout_ms: int = 3600 * 1000
+                             ) -> DataFrame:
+    """Streaming twin of ``webtext.latest_capture_df``: maintain the
+    NEWEST capture per canonical URL as the crawl streams in, emitting
+    an updated winner row whenever a key's best capture improves or
+    its revisit count grows.  The last emission per key therefore
+    carries the same ``(keep_id, n_captures)`` the batch operator
+    computes over the full corpus (equivalence pinned in
+    tests/test_streaming.py).
+
+    Cross-batch max-with-count is cumulative state with
+    emit-on-change — not a windowed aggregate — so this uses
+    ``applyInPandasWithState``: one ``(best_us, best_id, n)`` triple
+    per ACTIVE canonical URL, dropped after ``idle_timeout_ms`` idle
+    (a crawl frontier revisits a URL on a bounded schedule; state is
+    the working set, not the corpus).  Ties on timestamp break to the
+    highest id, matching the batch operator, so replaying a WARC twice
+    changes nothing but ``n_captures``."""
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    from ..operators.webtext import canonicalize_url_col
+
+    keyed = pages.select(
+        canonicalize_url_col(F.col(url_col)).alias("canon_url"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.col(id_col).alias("_id"))
+
+    def track(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best_us, best_id, n = state.get if state.exists else (
+            -(1 << 62), -(1 << 62), 0)
+        new = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            new += len(pdf)
+            us = pdf["_ts"].astype("int64").to_numpy()
+            ids = pdf["_id"].to_numpy()
+            j = max(range(len(us)), key=lambda i: (us[i], ids[i]))
+            if (int(us[j]), int(ids[j])) > (best_us, best_id):
+                best_us, best_id = int(us[j]), int(ids[j])
+        if new:
+            n += new
+            state.update((best_us, best_id, n))
+            state.setTimeoutDuration(idle_timeout_ms)
+            yield pd.DataFrame({"canon_url": [key[0]],
+                                "keep_id": [best_id],
+                                "n_captures": [n]})
+
+    return (keyed.groupBy("canon_url").applyInPandasWithState(
+        track,
+        outputStructType="canon_url string, keep_id long, "
+                         "n_captures long",
+        stateStructType="best_us long, best_id long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

@@ -248,3 +248,53 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
     inc_fp_urls = {(r.url, r.fp)
                    for r in inc.withColumn("fp", fp).collect()}
     assert all((r.url, r.fp) in inc_fp_urls for r in rows)
+
+
+def test_streaming_latest_capture_equals_batch(spark, tmp_path):
+    """Oracle: streaming_latest_capture over a replayed capture log ==
+    batch latest_capture_df.  Emissions are monotone per key (winner
+    only improves, count only grows), so the max-n_captures emission
+    per canonical URL is the final state and must equal the batch
+    winner row exactly — including timestamp ties breaking to the
+    highest id."""
+    from geojson_vt_spark.operators.webtext import latest_capture_df
+    from geojson_vt_spark.streaming import streaming_latest_capture
+
+    rows = []
+    for i in range(300):
+        host = f"h{i % 20}"
+        mess = ["https://WWW.%s.example.com/p%d?utm_source=x",
+                "https://%s.example.com/p%d/",
+                "https://%s.example.com/p%d#frag"][i % 3]
+        # colliding timestamps every 5th capture exercise the id tie
+        rows.append((i, mess % (host, i % 40), 1_700_000_000 + (i * 37 % 50)))
+    pages = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts long")
+    src = str(tmp_path / "cap_src")
+    # timestamp column for the stream (state logic uses its int64 form)
+    pages.withColumn("warc_ts", F.col("warc_ts").cast("timestamp")) \
+         .write.parquet(src)
+    static = spark.read.parquet(src)
+
+    stream = _replay_stream(spark, src, static.schema)
+    q = (streaming_latest_capture(stream)
+         .writeStream.format("memory").queryName("lc_oracle")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_lc"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    emitted = spark.table("lc_oracle").collect()
+    final = {}
+    for r in emitted:
+        cur = final.get(r.canon_url)
+        if cur is None or r.n_captures > cur.n_captures:
+            final[r.canon_url] = r
+
+    # batch twin on epoch-second timestamps: ordering identical
+    want = {r.canon_url: r for r in latest_capture_df(
+        static.withColumn("warc_ts", F.col("warc_ts").cast("long"))
+    ).collect()}
+    assert set(final) == set(want) and len(want) >= 40
+    for k, w in want.items():
+        g = final[k]
+        assert (g.keep_id, g.n_captures) == (w.keep_id, w.n_captures), k
