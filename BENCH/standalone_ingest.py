@@ -92,9 +92,37 @@ def main() -> None:
                                                     nb_classify_df,
                                                     topk_ngrams_df)
 
+    from geojson_vt_spark.functions.hilbert import with_hilbert_cell
+    from geojson_vt_spark.operators.webtext import latest_capture_df
+
+    # latest-capture input: messy synthetic urls + revisit timestamps
+    # (same construction as the driver query, sized by the replica set)
+    def _captures():
+        return docs.select(
+            "doc_id",
+            F.concat(F.lit("https://WWW."), F.col("source"),
+                     F.lit(".Example.COM/A-"),
+                     (F.col("doc_id") % 50_000).cast("string"),
+                     F.lit("?utm_campaign=x&id="),
+                     (F.col("doc_id") % 11).cast("string")).alias("url"),
+            (F.lit(1_700_000_000) + F.col("doc_id") * 37 % 100_000)
+            .cast("long").alias("warc_ts"))
+
+    # hilbert input: deterministic point cloud keyed off doc_id
+    def _points():
+        return docs.select(
+            ((F.col("doc_id") * 7919 % 36000) / 100.0 - 180.0)
+            .alias("lon"),
+            ((F.col("doc_id") * 104729 % 17000) / 100.0 - 85.0)
+            .alias("lat"))
+
     # incremental ingest: the newest 20% of replicas arrive as the batch
     cut = int(REPLICAS * 0.8)
     table = {
+        "latest_capture": lambda: sink(latest_capture_df(_captures()),
+                                       "n_captures"),
+        "hilbert_cell": lambda: sink(with_hilbert_cell(
+            _points(), F.col("lon"), F.col("lat"), 12), "hilbert_d"),
         "chunk_documents": lambda: sink(chunk_documents_df(
             docs, chunk_tokens=64, overlap=16), "n_tokens"),
         "topk_ngrams": lambda: sink(topk_ngrams_df(docs, n=2, k=50),
