@@ -152,6 +152,58 @@ class CurationPipeline:
                 found = snap
         return found
 
+    def expire_snapshots(self, keep_last: int = 3) -> dict:
+        """Iceberg-style table maintenance: drop superseded snapshot
+        metadata older than the ``keep_last`` most recent commits and
+        remove orphaned data files no retained manifest references.
+
+        Retention rule: a snapshot is expirable only if it is BOTH
+        older than the retention window AND not the latest committer
+        of any store — the latest committer carries the manifest that
+        ``verify()`` / resume audit against, so per-store lineage
+        survives arbitrary expiry (recompute-on-resume never cascades
+        from maintenance).  Orphans are files inside a committed store
+        that its live manifest doesn't list (crash leftovers) plus
+        abandoned ``._tmp`` staging dirs; the base corpus and every
+        committed ingest store are untouched.  Returns
+        ``{"expired_snapshots": [...], "orphans_removed": [...]}``."""
+        import shutil
+
+        snaps = self.snapshots()
+        latest_committer: dict[str, int] = {}
+        for s in snaps:
+            for store in s["manifests"]:
+                latest_committer[store] = s["snapshot_id"]
+        keep_floor = self.current_snapshot_id() - keep_last + 1
+        keep_ids = set(latest_committer.values())
+        expired = []
+        for s in snaps:
+            sid = s["snapshot_id"]
+            if sid >= keep_floor or sid in keep_ids:
+                continue
+            os.remove(os.path.join(self._snap_dir(), f"v{sid:06d}.json"))
+            expired.append(sid)
+
+        live: dict[str, set] = {}
+        for s in self.snapshots():           # re-read surviving set
+            for store, files in s["manifests"].items():
+                live[store] = {f["name"] for f in files}
+        orphans = []
+        for store, names in live.items():
+            base = os.path.join(self.workdir, store)
+            if not os.path.isdir(base):
+                continue
+            for fn in os.listdir(base):
+                if fn not in names:
+                    p = os.path.join(base, fn)
+                    (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+                    orphans.append(os.path.join(store, fn))
+        for fn in os.listdir(self.workdir):
+            if fn.endswith("._tmp"):
+                shutil.rmtree(os.path.join(self.workdir, fn))
+                orphans.append(fn)
+        return {"expired_snapshots": expired, "orphans_removed": orphans}
+
     def verify(self, snapshot_id: int | None = None) -> list[str]:
         """Audit committed manifests against the filesystem; empty list
         = intact.  Run before trusting a workdir for resume.

@@ -165,3 +165,44 @@ def test_ingest_snapshot_lineage_chains(spark, corpus, tmp_path):
     with open(victim, "r+b") as fh:
         fh.truncate(max(os.path.getsize(victim) - 7, 1))
     assert pipe.verify()
+
+
+def test_expire_snapshots_keeps_lineage_and_removes_orphans(
+        spark, corpus, tmp_path):
+    """Maintenance must not break resume or audit: after a corruption-
+    recovery rerun doubles the snapshot history, expire_snapshots drops
+    only superseded metadata (never a store's latest committer), the
+    workdir still verifies clean, a further run still skips every
+    stage, and crash leftovers (orphan files, abandoned ._tmp staging
+    dirs) are swept."""
+    pipe = _mk(spark, corpus, tmp_path)
+    pipe.run(corpus)
+    # corrupt stage 0 → rerun recommits every stage (history: 14 snaps)
+    sdir = pipe._stage_dir(0, pipe.stages[0][0])
+    part = [f for f in os.listdir(sdir) if f.endswith(".parquet")][0]
+    with open(os.path.join(sdir, part), "ab") as fh:
+        fh.write(b"junk")
+    pipe.run(corpus)
+    assert len(pipe.snapshots()) == 14
+
+    # plant crash leftovers
+    orphan = os.path.join(sdir, "part-junk-leftover.parquet.crc")
+    open(orphan, "wb").write(b"x")
+    os.makedirs(os.path.join(str(tmp_path / "cur"), "stage=99_x._tmp"),
+                exist_ok=True)
+
+    res = pipe.expire_snapshots(keep_last=3)
+    # snapshots 1-7 are all superseded by the rerun's 8-14 → expirable
+    # except none of them is a latest committer; 8-11 are latest
+    # committers of their stores so they survive the window too
+    assert res["expired_snapshots"] == [1, 2, 3, 4, 5, 6, 7]
+    assert any("part-junk-leftover" in o for o in res["orphans_removed"])
+    assert any(o.endswith("._tmp") for o in res["orphans_removed"])
+    assert not os.path.exists(orphan)
+
+    assert pipe.verify() == []
+    _, again = pipe.run(corpus)
+    assert all(r.skipped for r in again)
+    # idempotent: a second expiry finds nothing
+    res2 = pipe.expire_snapshots(keep_last=3)
+    assert res2 == {"expired_snapshots": [], "orphans_removed": []}
