@@ -121,6 +121,8 @@ def main() -> None:
     table = {
         "latest_capture": lambda: sink(latest_capture_df(_captures()),
                                        "n_captures"),
+        "latest_capture_slim": lambda: sink(latest_capture_df(
+            _captures(), keys_only=True), "n_captures"),
         "hilbert_cell": lambda: sink(with_hilbert_cell(
             _points(), F.col("lon"), F.col("lat"), 12), "hilbert_d"),
         "chunk_documents": lambda: sink(chunk_documents_df(

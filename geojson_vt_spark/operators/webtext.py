@@ -80,25 +80,46 @@ def url_dedup(pages: DataFrame, url_col: str = "url",
 
 def latest_capture_df(pages: DataFrame, url_col: str = "url",
                       ts_col: str = "warc_ts",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      keys_only: bool = False) -> DataFrame:
     """Common-Crawl revisit dedup: a crawler re-fetches the same URL
     across snapshots; keep the NEWEST capture per canonical URL
     (ties → highest id, so re-ingesting a WARC is idempotent).
-    Returns ``(canon_url, keep_id, n_captures)``.
+    Returns ``(canon_url, keep_id, n_captures)``, or with
+    ``keys_only=True`` the slim ``(fp1, fp2, keep_id, n_captures)``
+    where (fp1, fp2) is the canon's md5 split into two int64s.
 
-    Same slim-shuffle shape as ``url_dedup``: the exchange carries
-    ``(md5(canon), ts, id)`` — never page bodies — and ``max(struct)``
-    is an ordinary hash aggregate, so map-side partial combine applies
-    (a window over raw URLs would ship every capture row to one
-    reducer per URL with no combine).  Struct ordering is
-    lexicographic (ts first, then id), matching the oracle's
-    ``ORDER BY ts DESC, id DESC`` tie-break."""
-    canon = canonicalize_url_col(F.col(url_col)).alias("canon_url")
-    return (pages.select(canon, F.col(ts_col).alias("_ts"), F.col(id_col))
+    The exchange never carries page bodies; ``max(struct)`` aggregates
+    with map-side partial combine (a window over raw URLs would ship
+    every capture row to one reducer per URL with no combine).  Struct
+    ordering is lexicographic (ts first, then id), matching the
+    oracle's ``ORDER BY ts DESC, id DESC`` tie-break.
+
+    ``keys_only`` is the 100-TB path: on the 4×8-executor standalone
+    grid over 1.2M captures the numbers-only exchange settles at
+    ~2.1 s (1×8 parity) while carrying the canonical-URL string
+    through the cross-JVM exchange — as a min() rider or as the group
+    key — measured 4–22 s across repeats (BENCH/SCALING.md).  The kept
+    page row owns its URL, so downstream joins on ``keep_id`` recover
+    it without ever shuffling strings."""
+    canon = canonicalize_url_col(F.col(url_col))
+    win = F.max(F.struct(F.col("_ts"), F.col(id_col).alias("_id")))
+    if keys_only:
+        h = F.md5(canon)
+        base = pages.select(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fp1"),
+            F.conv(F.substring(h, 16, 15), 16, 10).cast("long").alias("fp2"),
+            F.col(ts_col).alias("_ts"), F.col(id_col))
+        return (base.groupBy("fp1", "fp2")
+                .agg(win.alias("_w"),
+                     F.count(F.lit(1)).alias("n_captures"))
+                .select("fp1", "fp2", F.col("_w._id").alias("keep_id"),
+                        "n_captures"))
+    return (pages.select(canon.alias("canon_url"),
+                         F.col(ts_col).alias("_ts"), F.col(id_col))
             .groupBy(F.md5(F.col("canon_url")).alias("_h"))
             .agg(F.min("canon_url").alias("canon_url"),
-                 F.max(F.struct(F.col("_ts"),
-                                F.col(id_col).alias("_id"))).alias("_w"),
+                 win.alias("_w"),
                  F.count(F.lit(1)).alias("n_captures"))
             .select("canon_url", F.col("_w._id").alias("keep_id"),
                     "n_captures"))

@@ -1275,6 +1275,20 @@ def test_latest_capture_keeps_newest_and_is_idempotent(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "partial_min" in plan or "partial" in plan.lower()
 
+    # the keys_only scale path picks identical winners — fp halves
+    # join back to the canon rows one-to-one
+    slim = latest_capture_df(pages, keys_only=True)
+    full = latest_capture_df(pages).withColumn(
+        "_h", F.md5("canon_url")).select(
+        F.conv(F.substring("_h", 1, 15), 16, 10).cast("long").alias("fp1"),
+        F.conv(F.substring("_h", 16, 15), 16, 10).cast("long").alias("fp2"),
+        "keep_id", "n_captures")
+    assert sorted(map(tuple, slim.collect())) == \
+        sorted(map(tuple, full.collect()))
+    # numbers-only contract: nothing variable-width leaves the agg
+    assert all(f.dataType.simpleString() == "bigint"
+               for f in slim.schema.fields)
+
 
 def test_hilbert_bbox_ranges_cover_and_prune(spark, tmp_path):
     """S2-style region covering: every point inside a projected bbox
