@@ -61,16 +61,32 @@ def canonicalize_url_col(url: Column) -> Column:
 
 
 def url_dedup(pages: DataFrame, url_col: str = "url",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id",
+              keys_only: bool = False) -> DataFrame:
     """Keep one page per canonical URL (lowest id wins), RefinedWeb
-    style.  Returns ``(canon_url, keep_id, n_dups)``.
+    style.  Returns ``(canon_url, keep_id, n_dups)``, or with
+    ``keys_only=True`` the slim ``(fp1, fp2, keep_id, n_dups)``.
 
     The aggregation groups on ``md5(canon_url)`` so the shuffle rows
     are fixed-width hashes (not arbitrary-length URLs) and partial
     aggregation applies map-side; the canonical URL itself rides
-    along as ``min(canon_url)`` (bijective with its md5)."""
-    canon = canonicalize_url_col(F.col(url_col)).alias("canon_url")
-    return (pages.select(canon, F.col(id_col))
+    along as ``min(canon_url)`` (bijective with its md5).  At
+    multi-executor scale even that rider costs: the standalone grid
+    measured the sibling ``latest_capture_df`` anti-scaling 1×8→4×8
+    purely from URL strings crossing the cross-JVM exchange
+    (BENCH/SCALING.md).  ``keys_only`` keeps everything int64 — the
+    kept page row owns its URL, recover it by joining ``keep_id``."""
+    canon = canonicalize_url_col(F.col(url_col))
+    if keys_only:
+        h = F.md5(canon)
+        return (pages.select(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("fp1"),
+            F.conv(F.substring(h, 16, 15), 16, 10).cast("long").alias("fp2"),
+            F.col(id_col))
+            .groupBy("fp1", "fp2")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_dups")))
+    return (pages.select(canon.alias("canon_url"), F.col(id_col))
             .groupBy(F.md5(F.col("canon_url")).alias("_h"))
             .agg(F.min("canon_url").alias("canon_url"),
                  F.min(id_col).alias("keep_id"),

@@ -551,6 +551,13 @@ def test_url_dedup_keeps_lowest_id(spark):
             for r in url_dedup(pages).collect()}
     assert rows == {"https://a.com/p": (2, 3), "https://b.com/q": (1, 1)}
 
+    # keys_only scale path: identical winners, all-int64 schema
+    slim = url_dedup(pages, keys_only=True)
+    assert sorted((r.keep_id, r.n_dups) for r in slim.collect()) == \
+        sorted(rows.values())
+    assert all(f.dataType.simpleString() == "bigint"
+               for f in slim.schema.fields)
+
 
 def test_repetition_stats_flags_repetitive_doc(spark):
     from geojson_vt_spark.operators import repetition_stats_df
