@@ -123,3 +123,53 @@ def test_nb_scores_match_local_model(spark, docs, labels):
             if best is None or s > best[0]:
                 best = (s, lab)
         assert got[i] == best[1], (i, t)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(caps=st.lists(
+    st.tuples(st.integers(0, 6),      # url group
+              st.integers(0, 4),      # timestamp (small → forced ties)
+              st.booleans()),         # messy-url variant
+    min_size=1, max_size=40))
+def test_latest_capture_algebra(spark, caps):
+    """For ANY capture log: (1) the winner per canonical URL is the
+    local max-by-(ts, id); (2) re-ingesting the whole log doubles
+    n_captures but never changes a winner (idempotence under replay);
+    (3) the keys_only form picks identical (keep_id, n_captures)
+    multisets; (4) splitting the log in two and recombining equals one
+    pass (the aggregate is associative — what makes map-side combine
+    legal)."""
+    from geojson_vt_spark.operators.webtext import latest_capture_df
+    rows = []
+    for i, (g, ts, messy) in enumerate(caps):
+        url = (f"https://WWW.h{g}.Example.COM/p?utm_x=1" if messy
+               else f"https://h{g}.example.com/p")
+        rows.append((i, url, 100 + ts))
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts long")
+    got = {r.canon_url: r for r in latest_capture_df(df).collect()}
+
+    local = {}
+    for i, (g, ts, _) in enumerate(caps):
+        canon = f"https://h{g}.example.com/p"
+        cur = local.get(canon)
+        if cur is None or (100 + ts, i) > cur[:2]:
+            local[canon] = (100 + ts, i, 0)
+    counts = {}
+    for g, _, _ in caps:
+        canon = f"https://h{g}.example.com/p"
+        counts[canon] = counts.get(canon, 0) + 1
+    assert set(got) == set(local)
+    for canon, (_, wid, _) in local.items():
+        assert got[canon].keep_id == wid, canon
+        assert got[canon].n_captures == counts[canon]
+
+    doubled = {r.canon_url: r
+               for r in latest_capture_df(df.unionAll(df)).collect()}
+    for canon in got:
+        assert doubled[canon].keep_id == got[canon].keep_id
+        assert doubled[canon].n_captures == 2 * got[canon].n_captures
+
+    slim = sorted((r.keep_id, r.n_captures) for r in
+                  latest_capture_df(df, keys_only=True).collect())
+    assert slim == sorted((r.keep_id, r.n_captures) for r in got.values())
