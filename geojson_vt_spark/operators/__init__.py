@@ -12,7 +12,8 @@ from .spatial_join import (knn_join, point_in_polygon_join, points_in_ring,
 from .text import (bpe_ish_token_count_col, fingerprint_df, lang_id_df,
                    quality_score_df, token_count_col, winnow_fingerprints_df)
 from .webtext import (canonicalize_url_col, decontaminate_df,
-                      domain_cap_df, mixture_sample_df,
+                      domain_cap_df, latest_capture_df,
+                      mixture_sample_df,
                       pack_sequences_df, quality_classifier_df,
                       repetition_stats_df, split_df,
                       substring_dedup_df, tfidf_topk_df, url_dedup,
@@ -32,6 +33,6 @@ __all__ = [
     "canonicalize_url_col", "decontaminate_df", "domain_cap_df",
     "mixture_sample_df", "pack_sequences_df", "quality_classifier_df",
     "repetition_stats_df", "split_df", "substring_dedup_df",
-    "tfidf_topk_df", "url_dedup", "word_ngrams_col",
+    "latest_capture_df", "tfidf_topk_df", "url_dedup", "word_ngrams_col",
     "host_edges_from_docs", "pagerank_df", "semdedup_df",
 ]
