@@ -307,8 +307,19 @@ def run(cpus: int, only: list[str] | None = None) -> dict:
     # read surface, and adding it to the default set would make the
     # headline total incomparable across rounds
     names = only or [n for n in BENCHES if n != "tile_serve"]
+    # min over repeats for every query (the sandbox host's speed swings
+    # minute-to-minute; min-of-N is the standard report under noisy
+    # neighbours).  The pyramid manages its own fresh-workdir repeats.
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
     for name in names:
         dt, extra = BENCHES[name](spark)
+        for _ in range(max(repeats, 1) - 1):
+            if name == "pyramid":
+                break          # repeats internally
+            spark.catalog.clearCache()
+            dt2, extra2 = BENCHES[name](spark)
+            if dt2 < dt:
+                dt, extra = dt2, extra2
         queries[name] = round(dt, 3)
         for k, v in extra.items():
             throughput[f"{name}.{k}"] = round(v, 2) if isinstance(v, float) else v
