@@ -192,7 +192,7 @@ def streaming_incremental_dedup(pages: DataFrame, base: DataFrame,
 def streaming_latest_capture(pages: DataFrame, url_col: str = "url",
                              ts_col: str = "warc_ts",
                              id_col: str = "doc_id",
-                             idle_timeout_ms: int = 3600 * 1000
+                             idle_timeout_ms: int | None = None
                              ) -> DataFrame:
     """Streaming twin of ``webtext.latest_capture_df``: maintain the
     NEWEST capture per canonical URL as the crawl streams in, emitting
@@ -205,11 +205,18 @@ def streaming_latest_capture(pages: DataFrame, url_col: str = "url",
     Cross-batch max-with-count is cumulative state with
     emit-on-change — not a windowed aggregate — so this uses
     ``applyInPandasWithState``: one ``(best_us, best_id, n)`` triple
-    per ACTIVE canonical URL, dropped after ``idle_timeout_ms`` idle
-    (a crawl frontier revisits a URL on a bounded schedule; state is
-    the working set, not the corpus).  Ties on timestamp break to the
-    highest id, matching the batch operator, so replaying a WARC twice
-    changes nothing but ``n_captures``."""
+    per canonical URL.  Ties on timestamp break to the highest id,
+    matching the batch operator, so replaying a WARC twice changes
+    nothing but ``n_captures``.
+
+    ``idle_timeout_ms``: for long-running deployments, pass a timeout
+    to drop state for URLs the frontier stopped revisiting (state
+    becomes the working set, not the corpus).  Default None — pending
+    processing-time timers keep an ``availableNow`` replay scheduling
+    EMPTY micro-batches until the farthest timer fires, so bounded
+    replays/backfills must run timer-free (measured: a 2k-row replay
+    ran 160+ empty batches before the 1-hour timers would ever fire;
+    the timer-free form terminates with the data)."""
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
 
@@ -239,15 +246,19 @@ def streaming_latest_capture(pages: DataFrame, url_col: str = "url",
         if new:
             n += new
             state.update((best_us, best_id, n))
-            state.setTimeoutDuration(idle_timeout_ms)
+            if idle_timeout_ms is not None:
+                state.setTimeoutDuration(idle_timeout_ms)
             yield pd.DataFrame({"canon_url": [key[0]],
                                 "keep_id": [best_id],
                                 "n_captures": [n]})
 
+    timeout_conf = (GroupStateTimeout.NoTimeout
+                    if idle_timeout_ms is None
+                    else GroupStateTimeout.ProcessingTimeTimeout)
     return (keyed.groupBy("canon_url").applyInPandasWithState(
         track,
         outputStructType="canon_url string, keep_id long, "
                          "n_captures long",
         stateStructType="best_us long, best_id long, n long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+        timeoutConf=timeout_conf))
