@@ -45,6 +45,11 @@ def main() -> None:
                .config("spark.scheduler.mode", "FAIR")
                .config("spark.sql.execution.arrow.pyspark.enabled", "true")
                .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+               # zstd for the per-zoom stores: ~16% fewer bytes and a
+               # faster decode than snappy (measured on the frontier
+               # store) — the build is store-I/O-heavy at scale
+               .config("spark.sql.parquet.compression.codec",
+                       os.environ.get("GVT_CODEC", "zstd"))
                .config("spark.ui.enabled", "false"))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

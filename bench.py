@@ -62,6 +62,10 @@ def make_spark(cpus: int):
             .config("spark.scheduler.mode", "FAIR")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+            # zstd for the per-zoom stores: ~16% fewer bytes and a
+            # faster decode than snappy (measured on the frontier
+            # store) — the build is store-I/O-heavy at scale
+            .config("spark.sql.parquet.compression.codec", "zstd")
             .config("spark.driver.memory", "16g")
             .config("spark.ui.enabled", "false")
             .getOrCreate())
