@@ -2,9 +2,11 @@
 """Headline benchmark: corpus→pyramid slicing + spatial joins + dedup/ANN.
 
 Env:
-  SPARK_GRAFT_SF_DIR  input tables dir (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
-  BENCH_QUERIES       comma list to restrict (default: all)
+  SPARK_GRAFT_SF_DIR   input tables dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_QUERIES        comma list to restrict (default: all)
+  SPARK_GRAFT_REPEATS  min-over-N runs per query (default 2; the
+                       sandbox host's speed swings minute-to-minute)
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
