@@ -2001,8 +2001,9 @@ def oracle_sql() -> dict[str, str]:
                      FROM canon)
             SELECT host, count(*) AS n_pages,
                    count(DISTINCT p) AS n_unique_paths,
-                   sum(nc) AS total_chars,
-                   round(avg(nw), 6) AS avg_doc_words
+                   CAST(sum(nc) AS BIGINT) AS total_chars,
+                   CAST(sum(nw) * 1000000 // count(*) AS BIGINT)
+                       AS avg_doc_words_micro
             FROM slim GROUP BY host
         """,
         "c4_line_filter": """
@@ -2050,15 +2051,17 @@ def oracle_sql() -> dict[str, str]:
                        END AS n_tokens
                 FROM documents),
             cum AS (
-                SELECT *, sum(n_tokens) OVER (
+                SELECT *, CAST(sum(n_tokens) OVER (
                     PARTITION BY shard ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS a
                 FROM slim)
             SELECT doc_id, shard, n_tokens,
-                   (a - n_tokens) // 256 AS first_seq,
-                   CASE WHEN n_tokens > 0 THEN (a - 1) // 256
-                        ELSE (a - n_tokens) // 256 END AS last_seq,
-                   (a - n_tokens) % 256 AS offset_in_seq
+                   CAST((a - n_tokens) // 256 AS BIGINT) AS first_seq,
+                   CAST(CASE WHEN n_tokens > 0 THEN (a - 1) // 256
+                        ELSE (a - n_tokens) // 256 END AS BIGINT)
+                       AS last_seq,
+                   CAST((a - n_tokens) % 256 AS BIGINT) AS offset_in_seq
             FROM cum
         """,
         "mixture_sample": """

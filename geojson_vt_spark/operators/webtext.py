@@ -472,8 +472,11 @@ def domain_stats_df(pages: DataFrame, url_col: str = "url",
     return (slim.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_pages"),
         F.countDistinct("_p").alias("n_unique_paths"),
-        F.sum("_nc").alias("total_chars"),
-        F.round(F.avg("_nw"), 6).alias("avg_doc_words")))
+        F.sum("_nc").cast("long").alias("total_chars"),
+        # mean doc length in integer micro-words (floor), per the repo's
+        # integer-micro-unit doctrine: no float ever crosses a hash gate
+        F.expr("CAST(sum(_nw) AS BIGINT) * 1000000 DIV count(1)")
+        .alias("avg_doc_words_micro")))
 
 
 def c4_line_filter_df(docs: DataFrame, text_col: str = "text",

@@ -2,6 +2,8 @@
 and compare row-count + column names + sorted canonical values against
 its oracle_sql() twin via DuckDB."""
 
+import datetime
+import decimal
 import math
 
 import duckdb
@@ -23,26 +25,48 @@ def _duck(sf_dir):
 
 
 def _canon(v):
+    """Type-tagged canonical form, mirroring the driver's *typed* value
+    hashing: a DuckDB HUGEINT (arrives as Decimal via Arrow) must NOT
+    collapse to the same token as a Spark int64 — that masking is
+    exactly how the r03 `domain_stats`/`pack_sequences` driver fails
+    slipped past the old str()-based gate."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "b:%d" % int(v)
+    if isinstance(v, int):
+        return "i:%d" % v
+    if isinstance(v, decimal.Decimal):
+        return "dec:%s" % v
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return repr(round(v, 9))
-    if isinstance(v, bool):
-        return str(int(v))
-    return str(v)
+            return "f:nan"
+        return "f:" + repr(round(v, 9))
+    if isinstance(v, str):
+        return "s:" + v
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + bytes(v).hex()
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return "t:" + v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k}={_canon(v[k])}" for k in sorted(v)) + "}"
+    return type(v).__name__ + ":" + str(v)
 
 
 def _rows_spark(df):
     cols = sorted(df.columns)
-    return sorted(tuple(_canon(r[c]) for c in cols) for r in df.collect()), cols
+    rows = df.toArrow().to_pylist()
+    return sorted(tuple(_canon(r[c]) for c in cols) for r in rows), cols
 
 
 def _rows_duck(con, sql):
-    cur = con.execute(sql)
-    names = [d[0] for d in cur.description]
-    order = sorted(range(len(names)), key=lambda i: names[i])
-    rows = cur.fetchall()
-    return (sorted(tuple(_canon(r[i]) for i in order) for r in rows),
+    tbl = con.execute(sql).arrow()
+    names = list(tbl.schema.names)
+    rows = tbl.to_pylist()
+    return (sorted(tuple(_canon(r[c]) for c in sorted(names)) for r in rows),
             sorted(names))
 
 
