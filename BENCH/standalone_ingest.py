@@ -119,8 +119,8 @@ def main() -> None:
     # incremental ingest: the newest 20% of replicas arrive as the batch
     cut = int(REPLICAS * 0.8)
     table = {
-        "latest_capture": lambda: sink(latest_capture_df(_captures()),
-                                       "n_captures"),
+        "latest_capture": lambda: sink(latest_capture_df(
+            _captures(), keys_only=False), "n_captures"),
         "latest_capture_slim": lambda: sink(latest_capture_df(
             _captures(), keys_only=True), "n_captures"),
         "hilbert_cell": lambda: sink(with_hilbert_cell(

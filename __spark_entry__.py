@@ -488,7 +488,9 @@ def q_url_dedup(spark, sf_dir):
     from geojson_vt_spark.operators.webtext import url_dedup
     pages = _docs(spark, sf_dir).select(
         "doc_id", _synth_url_col().alias("url"))
-    return url_dedup(pages)
+    # string-keyed form: the DuckDB oracle compares canon_url values;
+    # the library default is the slim int64 keys_only exchange
+    return url_dedup(pages, keys_only=False)
 
 
 def q_latest_capture(spark, sf_dir):
@@ -500,7 +502,7 @@ def q_latest_capture(spark, sf_dir):
         "doc_id", _synth_url_col().alias("url"),
         (F.lit(1704067200) + (F.col("doc_id") * 37 % 100000))
         .cast("long").alias("warc_ts"))
-    return latest_capture_df(pages)
+    return latest_capture_df(pages, keys_only=False)
 
 
 def q_hilbert_cell(spark, sf_dir):

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -91,11 +92,12 @@ def bench_pyramid(spark) -> tuple[float, dict]:
     # (JIT + python workers), matching how the reference measurement
     # excludes node/V8 startup; cold-session first-build overhead was
     # measured at +4-7 s of pure warmup, swamping the job itself.
-    warm = SparkTileEngine(spark, opts,
-                           workdir=tempfile.mkdtemp(prefix="gvt_warm_"))
+    warm_wd = tempfile.mkdtemp(prefix="gvt_warm_")
+    warm = SparkTileEngine(spark, opts, workdir=warm_wd)
     wpages = synth_pages_df(spark, 2000, seed=7)
     warm.build_from_converted(
         features_from_json_df(extract_geo_features_df(wpages), opts))
+    shutil.rmtree(warm_wd, ignore_errors=True)
     ext_path = os.path.join(wd, "_extracted")
     extract_geo_features_df(pages).write.mode("overwrite").parquet(ext_path)
     rows = spark.read.parquet(ext_path)
@@ -107,14 +109,17 @@ def bench_pyramid(spark) -> tuple[float, dict]:
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
     dt, n_tiles = None, 0
     for i in range(max(repeats, 1)):
-        eng_i = eng if i == 0 else SparkTileEngine(
-            spark, opts, workdir=tempfile.mkdtemp(prefix="gvt_bench_"))
+        wd_i = None if i == 0 else tempfile.mkdtemp(prefix="gvt_bench_")
+        eng_i = eng if i == 0 else SparkTileEngine(spark, opts,
+                                                   workdir=wd_i)
         t0 = time.monotonic()
         feats = features_from_json_df(rows, opts)
         eng_i.build_from_converted(feats)
         n_tiles = eng_i.tiles().count()
         dt_i = time.monotonic() - t0
         dt = dt_i if dt is None else min(dt, dt_i)
+        if wd_i is not None:
+            shutil.rmtree(wd_i, ignore_errors=True)
     return dt, {"tiles": n_tiles, "tiles_per_sec": n_tiles / dt,
                 "pages": N_PAGES}
 

@@ -166,7 +166,14 @@ class CurationPipeline:
         that its live manifest doesn't list (crash leftovers) plus
         abandoned ``._tmp`` staging dirs; the base corpus and every
         committed ingest store are untouched.  Returns
-        ``{"expired_snapshots": [...], "orphans_removed": [...]}``."""
+        ``{"expired_snapshots": [...], "orphans_removed": [...]}``.
+
+        .. warning:: Maintenance must NOT run concurrently with an
+           active ``run()`` / ``ingest()`` on the same workdir: a
+           live ``._tmp`` staging dir being written by that run is
+           indistinguishable from an abandoned one and would be
+           swept.  (Iceberg's own remove-orphan-files carries the
+           same single-writer caveat.)"""
         import shutil
 
         snaps = self.snapshots()
@@ -198,10 +205,20 @@ class CurationPipeline:
                     p = os.path.join(base, fn)
                     (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
                     orphans.append(os.path.join(store, fn))
-        for fn in os.listdir(self.workdir):
-            if fn.endswith("._tmp"):
-                shutil.rmtree(os.path.join(self.workdir, fn))
-                orphans.append(fn)
+        # abandoned staging dirs at the workdir root AND inside
+        # ingest=NNNN subdirs (per-ingest stage/seen staging leftovers)
+        sweep_roots = [self.workdir] + [
+            os.path.join(self.workdir, d)
+            for d in os.listdir(self.workdir)
+            if d.startswith("ingest=") and
+            os.path.isdir(os.path.join(self.workdir, d))]
+        for root in sweep_roots:
+            rel = os.path.relpath(root, self.workdir)
+            for fn in os.listdir(root):
+                if fn.endswith("._tmp"):
+                    shutil.rmtree(os.path.join(root, fn))
+                    orphans.append(fn if rel == "." else
+                                   os.path.join(rel, fn))
         return {"expired_snapshots": expired, "orphans_removed": orphans}
 
     def verify(self, snapshot_id: int | None = None) -> list[str]:

@@ -52,26 +52,35 @@ def with_hilbert(df: DataFrame, x: Column, y: Column, order: int,
     """Append column ``out`` = Hilbert d-index of integer cell (x, y)
     on the 2^order × 2^order grid.  One narrow Project per level —
     linear plan size, JVM-side end to end."""
-    df = df.withColumns({"_hx": x.cast("long"), "_hy": y.cast("long"),
-                         "_hd": F.lit(0).cast("long")})
+    # withColumns REPLACES silently, so the per-level scratch columns
+    # must not collide with caller data: suffix until free
+    suffix = ""
+    existing = set(df.columns)
+    while any(f"_{c}{suffix}" in existing for c in ("hx", "hy", "hd",
+                                                    "rx", "ry")):
+        suffix += "_"
+    hx, hy, hd, rxc, ryc = (f"_{c}{suffix}" for c in ("hx", "hy", "hd",
+                                                      "rx", "ry"))
+    df = df.withColumns({hx: x.cast("long"), hy: y.cast("long"),
+                         hd: F.lit(0).cast("long")})
     for s in _levels(order):
-        rx = F.when((F.col("_hx").bitwiseAND(F.lit(s))) > 0, F.lit(1)) \
+        rx = F.when((F.col(hx).bitwiseAND(F.lit(s))) > 0, F.lit(1)) \
              .otherwise(F.lit(0)).cast("long")
-        ry = F.when((F.col("_hy").bitwiseAND(F.lit(s))) > 0, F.lit(1)) \
+        ry = F.when((F.col(hy).bitwiseAND(F.lit(s))) > 0, F.lit(1)) \
              .otherwise(F.lit(0)).cast("long")
-        df = df.withColumns({"_rx": rx, "_ry": ry})
-        nx = (F.when(F.col("_ry") == 1, F.col("_hx"))
-              .when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hy"))
-              .otherwise(F.col("_hy")))
-        ny = (F.when(F.col("_ry") == 1, F.col("_hy"))
-              .when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hx"))
-              .otherwise(F.col("_hx")))
-        nd = (F.col("_hd")
+        df = df.withColumns({rxc: rx, ryc: ry})
+        nx = (F.when(F.col(ryc) == 1, F.col(hx))
+              .when(F.col(rxc) == 1, F.lit(s - 1) - F.col(hy))
+              .otherwise(F.col(hy)))
+        ny = (F.when(F.col(ryc) == 1, F.col(hy))
+              .when(F.col(rxc) == 1, F.lit(s - 1) - F.col(hx))
+              .otherwise(F.col(hx)))
+        nd = (F.col(hd)
               + F.lit(s) * F.lit(s)
-              * (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry")))
-        df = df.withColumns({"_hx": nx, "_hy": ny, "_hd": nd})
-    return (df.withColumn(out, F.col("_hd"))
-            .drop("_hx", "_hy", "_hd", "_rx", "_ry"))
+              * (F.lit(3) * F.col(rxc)).bitwiseXOR(F.col(ryc)))
+        df = df.withColumns({hx: nx, hy: ny, hd: nd})
+    return (df.withColumn(out, F.col(hd))
+            .drop(hx, hy, hd, rxc, ryc))
 
 
 def with_hilbert_cell(df: DataFrame, lon: Column, lat: Column,
@@ -143,13 +152,17 @@ def bbox_hilbert_ranges(minx: float, miny: float, maxx: float,
     if not (0 < max_cells):
         raise ValueError("max_cells must be positive")
     o = order
-    while o > 0:
+    while True:
+        # coords are recomputed at every level, including the last one
+        # taken, so `ds` below always uses cell coords that match `o`
+        # (a max_cells < 4 bottoms out at o == 0: one whole-keyspace
+        # range, still a correct cover — never stale level-1 coords)
         n = 1 << o
         x0 = min(max(int(minx * n), 0), n - 1)
         x1 = min(max(int(maxx * n), 0), n - 1)
         y0 = min(max(int(miny * n), 0), n - 1)
         y1 = min(max(int(maxy * n), 0), n - 1)
-        if (x1 - x0 + 1) * (y1 - y0 + 1) <= max_cells:
+        if (x1 - x0 + 1) * (y1 - y0 + 1) <= max_cells or o == 0:
             break
         o -= 1
     ds = sorted(hilbert_xy2d(o, x, y)

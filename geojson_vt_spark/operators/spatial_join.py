@@ -58,12 +58,23 @@ def _poly_bbox_cells(polys: DataFrame, res: int) -> DataFrame:
 
 def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int = 7,
                           salt_n: int = 0,
-                          broadcast_polys: bool | None = None) -> DataFrame:
+                          broadcast_polys: bool | None = None,
+                          poly_count_hint: int | None = None,
+                          poly_vertex_hint: int | None = None) -> DataFrame:
     """points(point_id, lon, lat) ⨝ polys(poly_id, pxs, pys projected)
     → (point_id, poly_id) pairs with the point inside the polygon ring.
 
     salt_n > 0 replicates build rows across salt buckets so one hot
-    cell spreads over salt_n reducers."""
+    cell spreads over salt_n reducers.
+
+    ``poly_count_hint`` / ``poly_vertex_hint``: caller-known (row
+    count, total vertex count) of the polygon side.  When
+    ``broadcast_polys`` is None the auto-broadcast decision normally
+    runs one ``limit().collect()`` probe job per call; a caller that
+    joins the same dim table repeatedly can supply the hints and the
+    probe job is skipped entirely (the decision uses the hints, and
+    the ring broadcast — when chosen — collects once as its payload,
+    which it must do regardless)."""
     pts = (points
            .withColumn("px", project_x_col(F.col("lon")))
            .withColumn("py", project_y_col(F.col("lat")))
@@ -73,6 +84,10 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int = 7,
     build = _poly_bbox_cells(polys, res).select("poly_id", "pxs", "pys", "cell")
 
     poly_rows = None
+    if broadcast_polys is None and poly_count_hint is not None:
+        broadcast_polys = (poly_count_hint <= 100_000 and
+                           (poly_vertex_hint if poly_vertex_hint is not None
+                            else poly_count_hint * 50) <= 5_000_000)
     if broadcast_polys is None:
         # a small polygon side should broadcast: the probe side (the
         # corpus-scale one) then never shuffles at all and the join +

@@ -62,10 +62,13 @@ def canonicalize_url_col(url: Column) -> Column:
 
 def url_dedup(pages: DataFrame, url_col: str = "url",
               id_col: str = "doc_id",
-              keys_only: bool = False) -> DataFrame:
+              keys_only: bool = True) -> DataFrame:
     """Keep one page per canonical URL (lowest id wins), RefinedWeb
-    style.  Returns ``(canon_url, keep_id, n_dups)``, or with
-    ``keys_only=True`` the slim ``(fp1, fp2, keep_id, n_dups)``.
+    style.  Returns the slim ``(fp1, fp2, keep_id, n_dups)`` by
+    default, or with ``keys_only=False`` the string-keyed
+    ``(canon_url, keep_id, n_dups)`` (the DuckDB-oracle twin; its
+    canon-URL rider measurably anti-scales on multi-executor grids —
+    see below — so the int64 exchange is the default).
 
     The aggregation groups on ``md5(canon_url)`` so the shuffle rows
     are fixed-width hashes (not arbitrary-length URLs) and partial
@@ -97,13 +100,14 @@ def url_dedup(pages: DataFrame, url_col: str = "url",
 def latest_capture_df(pages: DataFrame, url_col: str = "url",
                       ts_col: str = "warc_ts",
                       id_col: str = "doc_id",
-                      keys_only: bool = False) -> DataFrame:
+                      keys_only: bool = True) -> DataFrame:
     """Common-Crawl revisit dedup: a crawler re-fetches the same URL
     across snapshots; keep the NEWEST capture per canonical URL
     (ties → highest id, so re-ingesting a WARC is idempotent).
-    Returns ``(canon_url, keep_id, n_captures)``, or with
-    ``keys_only=True`` the slim ``(fp1, fp2, keep_id, n_captures)``
-    where (fp1, fp2) is the canon's md5 split into two int64s.
+    Returns the slim ``(fp1, fp2, keep_id, n_captures)`` by default,
+    where (fp1, fp2) is the canon's md5 split into two int64s, or
+    with ``keys_only=False`` the string-keyed
+    ``(canon_url, keep_id, n_captures)``.
 
     The exchange never carries page bodies; ``max(struct)`` aggregates
     with map-side partial combine (a window over raw URLs would ship
@@ -111,7 +115,7 @@ def latest_capture_df(pages: DataFrame, url_col: str = "url",
     ordering is lexicographic (ts first, then id), matching the
     oracle's ``ORDER BY ts DESC, id DESC`` tie-break.
 
-    ``keys_only`` is the 100-TB path: on the 4×8-executor standalone
+    ``keys_only`` (the default) is the 100-TB path: on the 4×8-executor standalone
     grid over 1.2M captures the numbers-only exchange settles at
     ~2.1 s (1×8 parity) while carrying the canonical-URL string
     through the cross-JVM exchange — as a min() rider or as the group

@@ -1,9 +1,11 @@
 from .pipeline import (streaming_dedup_by_url, streaming_heavy_tiles,
+                       streaming_heavy_tiles_continuous,
                        streaming_incremental_dedup,
                        streaming_latest_capture, streaming_sessionize,
                        streaming_synth_pages, streaming_tile_counts)
 
 __all__ = ["streaming_dedup_by_url", "streaming_heavy_tiles",
+           "streaming_heavy_tiles_continuous",
            "streaming_incremental_dedup", "streaming_latest_capture",
            "streaming_sessionize", "streaming_synth_pages",
            "streaming_tile_counts"]

@@ -98,12 +98,20 @@ def streaming_heavy_tiles(pages: DataFrame, res: int = 6,
     the batch engine should re-split it.  Cumulative cross-batch state
     with emit-on-transition is not expressible as a windowed aggregate,
     which is exactly what applyInPandasWithState is for; state is one
-    (long, bool) per tile.  ``idle_timeout_ms``: opt-in state eviction
-    for continuous deployments — timer-free by default because pending
-    processing-time timers keep ``availableNow`` replays scheduling
-    empty micro-batches until the farthest timer fires (the
-    latest-capture twin measured 160+ zero-input batches on a 2k-row
-    replay before this was made opt-in)."""
+    (long, bool) per tile.
+
+    .. warning:: **Behavior change (round 3):** the default switched
+       from a 1-hour state-eviction timer to ``NoTimeout``.  A
+       long-running continuous deployment upgrading across that change
+       silently moves to UNBOUNDED per-tile state growth — pass
+       ``idle_timeout_ms`` explicitly (e.g. ``3_600_000``) for
+       continuous jobs, or use :func:`streaming_heavy_tiles_continuous`
+       which keeps eviction on.  The timer-free default exists because
+       pending processing-time timers keep ``availableNow`` replays
+       scheduling empty micro-batches until the farthest timer fires
+       (the latest-capture twin measured 160+ zero-input batches on a
+       2k-row replay before this was made opt-in) — bounded
+       replays/backfills must run timer-free."""
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
 
@@ -137,6 +145,22 @@ def streaming_heavy_tiles(pages: DataFrame, res: int = 6,
         stateStructType="total long, fired boolean",
         outputMode="append",
         timeoutConf=timeout_conf))
+
+
+def streaming_heavy_tiles_continuous(pages: DataFrame, res: int = 6,
+                                     max_points: int = 1000,
+                                     ts_col: str = "warc_ts",
+                                     idle_timeout_ms: int = 3_600_000
+                                     ) -> DataFrame:
+    """:func:`streaming_heavy_tiles` with state eviction ON (1-hour
+    idle timeout by default) — the form long-running continuous
+    deployments should use so per-tile state tracks the active
+    frontier, not every tile ever seen.  Bounded ``availableNow``
+    replays should use the timer-free :func:`streaming_heavy_tiles`
+    instead (pending timers make such replays spin empty batches)."""
+    return streaming_heavy_tiles(pages, res=res, max_points=max_points,
+                                 ts_col=ts_col,
+                                 idle_timeout_ms=idle_timeout_ms)
 
 
 def streaming_sessionize(events: DataFrame, gap: str = "30 minutes",
@@ -251,7 +275,7 @@ def streaming_latest_capture(pages: DataFrame, url_col: str = "url",
             new += len(pdf)
             us = pdf["_ts"].astype("int64").to_numpy()
             ids = pdf["_id"].to_numpy()
-            j = max(range(len(us)), key=lambda i: (us[i], ids[i]))
+            j = int(np.lexsort((ids, us))[-1])
             if (int(us[j]), int(ids[j])) > (best_us, best_id):
                 best_us, best_id = int(us[j]), int(ids[j])
         if new:

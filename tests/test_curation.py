@@ -185,11 +185,16 @@ def test_expire_snapshots_keeps_lineage_and_removes_orphans(
     pipe.run(corpus)
     assert len(pipe.snapshots()) == 14
 
-    # plant crash leftovers
+    # plant crash leftovers — at the workdir root AND inside an
+    # ingest=NNNN subdir (the staging layout ingest() actually uses;
+    # ADVICE r3: these were previously never swept)
     orphan = os.path.join(sdir, "part-junk-leftover.parquet.crc")
     open(orphan, "wb").write(b"x")
     os.makedirs(os.path.join(str(tmp_path / "cur"), "stage=99_x._tmp"),
                 exist_ok=True)
+    ing_tmp = os.path.join(str(tmp_path / "cur"), "ingest=0042",
+                           "seen._tmp")
+    os.makedirs(ing_tmp, exist_ok=True)
 
     res = pipe.expire_snapshots(keep_last=3)
     # snapshots 1-7 are all superseded by the rerun's 8-14 → expirable
@@ -198,6 +203,9 @@ def test_expire_snapshots_keeps_lineage_and_removes_orphans(
     assert res["expired_snapshots"] == [1, 2, 3, 4, 5, 6, 7]
     assert any("part-junk-leftover" in o for o in res["orphans_removed"])
     assert any(o.endswith("._tmp") for o in res["orphans_removed"])
+    assert os.path.join("ingest=0042", "seen._tmp") \
+        in res["orphans_removed"]
+    assert not os.path.exists(ing_tmp)
     assert not os.path.exists(orphan)
 
     assert pipe.verify() == []

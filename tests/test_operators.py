@@ -59,6 +59,35 @@ def test_pip_join_matches_naive(spark, points, rects):
     assert a == b
 
 
+def test_pip_join_size_hint_skips_probe_job(spark, points, rects):
+    """With poly_count_hint supplied, building the PIP plan must launch
+    ZERO Spark jobs (no limit().collect() auto-broadcast probe) when
+    the hint rules out broadcasting, and exactly the ring-payload
+    collect (1 job) when it chooses it — and both hinted forms return
+    the same pairs as the probing default (VERDICT r3 #8)."""
+    sc = spark.sparkContext
+    polys = _rect_polys(rects)
+
+    sc.setJobGroup("pip-hint-nobc", "plan build, hint says too big")
+    no_bc = point_in_polygon_join(points, polys, res=5,
+                                  poly_count_hint=200_000)
+    sc.setJobGroup("other", "")
+    n = len(sc.statusTracker().getJobIdsForGroup("pip-hint-nobc"))
+    assert n == 0, f"hinted no-broadcast plan build ran {n} jobs"
+
+    sc.setJobGroup("pip-hint-bc", "plan build, hint fits broadcast")
+    bc = point_in_polygon_join(points, polys, res=5,
+                               poly_count_hint=20, poly_vertex_hint=100)
+    sc.setJobGroup("other", "")
+    n = len(sc.statusTracker().getJobIdsForGroup("pip-hint-bc"))
+    assert n <= 1, f"hinted broadcast plan build ran {n} jobs (payload=1)"
+
+    want = sorted(map(tuple,
+                      point_in_polygon_join(points, polys, res=5).collect()))
+    assert sorted(map(tuple, no_bc.collect())) == want
+    assert sorted(map(tuple, bc.collect())) == want
+
+
 def test_pip_join_salted_identical(spark, points, rects):
     plain = point_in_polygon_join(points, _rect_polys(rects), res=5)
     salted = point_in_polygon_join(points, _rect_polys(rects), res=5, salt_n=4)
@@ -548,7 +577,7 @@ def test_url_dedup_keeps_lowest_id(spark):
          (9, "https://a.com/p#frag"), (1, "https://b.com/q")],
         "doc_id long, url string")
     rows = {r.canon_url: (r.keep_id, r.n_dups)
-            for r in url_dedup(pages).collect()}
+            for r in url_dedup(pages, keys_only=False).collect()}
     assert rows == {"https://a.com/p": (2, 3), "https://b.com/q": (1, 1)}
 
     # keys_only scale path: identical winners, all-int64 schema
@@ -1195,6 +1224,39 @@ def test_hilbert_matches_reference_and_is_bijective(spark):
         assert r["hilbert_d"] == hilbert_xy2d(12, r["x"], r["y"])
 
 
+def test_hilbert_scratch_columns_never_clobber_caller_data(spark):
+    """with_hilbert must not silently overwrite/drop caller columns
+    that happen to be named like its per-level scratch (_hx/_hy/_hd/
+    _rx/_ry) — withColumns replaces silently (ADVICE r3)."""
+    from geojson_vt_spark.functions.hilbert import (hilbert_xy2d,
+                                                    with_hilbert)
+    df = spark.range(0, 50).select(
+        (F.col("id") % 32).alias("x"), ((F.col("id") * 7) % 32).alias("y"),
+        F.col("id").alias("_hx"), (-F.col("id")).alias("_rx"),
+        F.lit("keep").alias("_hd"))
+    out = with_hilbert(df, F.col("x"), F.col("y"), 5)
+    assert {"_hx", "_rx", "_hd", "hilbert_d"} <= set(out.columns)
+    rows = out.collect()
+    for r in rows:
+        assert r["hilbert_d"] == hilbert_xy2d(5, r["x"], r["y"])
+        assert r["_hd"] == "keep"
+    assert {(r["_hx"], r["_rx"]) for r in rows} == \
+        {(i, -i) for i in range(50)}
+
+
+def test_hilbert_bbox_ranges_tiny_max_cells_bottom_out():
+    """max_cells < 4 bottoms the coarsening loop out at o == 0 and must
+    yield ONE exact whole-keyspace range, not duplicate stale-coord
+    ranges (ADVICE r3)."""
+    from geojson_vt_spark.functions.hilbert import bbox_hilbert_ranges
+    for mc in (1, 2, 3):
+        r = bbox_hilbert_ranges(0.1, 0.1, 0.9, 0.9, 8, max_cells=mc)
+        assert r == [(0, 4 ** 8 - 1)], r
+    # and a cover that fits at a mid level is unaffected
+    r = bbox_hilbert_ranges(0.40, 0.40, 0.41, 0.41, 8, max_cells=64)
+    assert r and all(lo <= hi for lo, hi in r)
+
+
 def test_hilbert_plan_is_narrow_and_linear(spark):
     """The per-level withColumns chain stays JVM-side: zero exchanges,
     no Python workers, and the executed-plan text grows linearly in
@@ -1265,27 +1327,28 @@ def test_latest_capture_keeps_newest_and_is_idempotent(spark):
     ]
     pages = spark.createDataFrame(
         rows, "doc_id long, url string, warc_ts long")
-    got = {r["canon_url"]: r for r in latest_capture_df(pages).collect()}
+    got = {r["canon_url"]: r
+           for r in latest_capture_df(pages, keys_only=False).collect()}
     assert got["https://a.example.com/p"]["keep_id"] == 2
     assert got["https://a.example.com/p"]["n_captures"] == 3
     assert got["https://b.example.com/q"]["keep_id"] == 5
     assert got["https://b.example.com/q"]["n_captures"] == 2
 
     # idempotence: re-ingesting the identical rows changes nothing
-    twice = latest_capture_df(pages.unionAll(pages))
+    twice = latest_capture_df(pages.unionAll(pages), keys_only=False)
     got2 = {r["canon_url"]: (r["keep_id"],) for r in twice.collect()}
     assert {k: (v["keep_id"],) for k, v in got.items()} == got2
 
     # plan: the exchange carries hashes, not URLs or bodies, and the
     # aggregate is partial (map-side combine present)
-    plan = (latest_capture_df(pages)
+    plan = (latest_capture_df(pages, keys_only=False)
             ._jdf.queryExecution().executedPlan().toString())
     assert "partial_min" in plan or "partial" in plan.lower()
 
     # the keys_only scale path picks identical winners — fp halves
     # join back to the canon rows one-to-one
     slim = latest_capture_df(pages, keys_only=True)
-    full = latest_capture_df(pages).withColumn(
+    full = latest_capture_df(pages, keys_only=False).withColumn(
         "_h", F.md5("canon_url")).select(
         F.conv(F.substring("_h", 1, 15), 16, 10).cast("long").alias("fp1"),
         F.conv(F.substring("_h", 16, 15), 16, 10).cast("long").alias("fp2"),

@@ -147,7 +147,8 @@ def test_latest_capture_algebra(spark, caps):
                else f"https://h{g}.example.com/p")
         rows.append((i, url, 100 + ts))
     df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts long")
-    got = {r.canon_url: r for r in latest_capture_df(df).collect()}
+    got = {r.canon_url: r
+           for r in latest_capture_df(df, keys_only=False).collect()}
 
     local = {}
     for i, (g, ts, _) in enumerate(caps):
@@ -165,7 +166,8 @@ def test_latest_capture_algebra(spark, caps):
         assert got[canon].n_captures == counts[canon]
 
     doubled = {r.canon_url: r
-               for r in latest_capture_df(df.unionAll(df)).collect()}
+               for r in latest_capture_df(df.unionAll(df),
+                                          keys_only=False).collect()}
     for canon in got:
         assert doubled[canon].keep_id == got[canon].keep_id
         assert doubled[canon].n_captures == 2 * got[canon].n_captures

@@ -292,8 +292,8 @@ def test_streaming_latest_capture_equals_batch(spark, tmp_path):
 
     # batch twin on epoch-second timestamps: ordering identical
     want = {r.canon_url: r for r in latest_capture_df(
-        static.withColumn("warc_ts", F.col("warc_ts").cast("long"))
-    ).collect()}
+        static.withColumn("warc_ts", F.col("warc_ts").cast("long")),
+        keys_only=False).collect()}
     assert set(final) == set(want) and len(want) >= 40
     for k, w in want.items():
         g = final[k]
