@@ -114,7 +114,7 @@ def bench_pyramid(spark) -> tuple[float, dict]:
                                                    workdir=wd_i)
         t0 = time.monotonic()
         feats = features_from_json_df(rows, opts)
-        eng_i.build_from_converted(feats)
+        eng_i.build_from_converted(feats, approx_rows=N_PAGES)
         n_tiles = eng_i.tiles().count()
         dt_i = time.monotonic() - t0
         dt = dt_i if dt is None else min(dt, dt_i)

@@ -49,6 +49,7 @@ from .kernel.index import to_id
 from .model import FEATURE_COLUMNS, TILED_COLUMNS
 from .options import TileOptions
 from .pipeline import (features_from_json_df, geojson_to_input_rows,
+                       one_wave_children_df, one_wave_stage_df,
                        rendered_features_df, split_children_df,
                        subtree_stage_df, wrap_df)
 
@@ -85,7 +86,8 @@ class SparkTileEngine:
     def __init__(self, spark: SparkSession, options: TileOptions | None = None,
                  workdir: str | None = None,
                  target_points_per_partition: int = 2_000_000,
-                 subtree_max_points: int | None = None):
+                 subtree_max_points: int | None = None,
+                 one_wave: bool | None = None):
         self.spark = spark
         self.options = options or TileOptions()
         if workdir is None:
@@ -94,6 +96,12 @@ class SparkTileEngine:
         self.workdir = workdir
         self.target_points_per_partition = target_points_per_partition
         self.subtree_max_points = subtree_max_points
+        # one-wave fast path (small corpora): None → env default (set
+        # GVT_ONE_WAVE=0 to force the per-zoom distributed loop; the
+        # differential tests build both layouts and compare)
+        if one_wave is None:
+            one_wave = os.environ.get("GVT_ONE_WAVE", "1") != "0"
+        self.one_wave = one_wave
         os.makedirs(workdir, exist_ok=True)
         # drill-down overlay: tiles/sources created by get_tile after build
         self._drill_tiles: dict[int, dict] = {}
@@ -164,14 +172,8 @@ class SparkTileEngine:
         spark = session or self.spark
         path = self._p("frontier", f"z={z}")
         if z == 0 and not os.path.isdir(path):
-            from .pipeline import _ord_extend
-            n_verts = (F.size("coords") / 3).cast("long").alias("n_verts")
-            return (spark.read.parquet(self._p("features"))
-                    .withColumn("ord_path", _ord_extend(1, F.lit(0)))
-                    .withColumn("z", F.lit(0))
-                    .withColumn("x", F.lit(0))
-                    .withColumn("y", F.lit(0))
-                    .select(*TILED_COLUMNS, n_verts))
+            return self._frontier0_view(
+                spark.read.parquet(self._p("features")))
         return spark.read.parquet(path)
 
     def _lineage_path(self) -> str:
@@ -309,9 +311,11 @@ class SparkTileEngine:
             rows, "input_ord long, gen_index long, feature_json string")
         if len(rows) > 64:
             df = df.repartition(min(n, max(1, len(rows) // 16)))
-        features = features_from_json_df(df, self.options)
-        features = wrap_df(features, self.options)
-        self.build(features)
+        # route through the converted-features checkpoint: the wrap
+        # decision + z0 stats ride the checkpoint write, and small
+        # inputs take the one-wave fast path exactly like corpus builds
+        self.build_from_converted(features_from_json_df(df, self.options),
+                                  approx_rows=len(rows))
 
     # the handoff threshold targets ~1.5-2s tasks at the measured batch-
     # kernel rate (~300-500k vertex-levels/sec per core after the round-2
@@ -381,17 +385,199 @@ class SparkTileEngine:
     def _ensure_subtrees(self, lineage_rows, pool, futures) -> None:
         """Resume path: re-run any handoff batch whose output is missing
         (killed mid-write) from its recorded keys — the frontier
-        checkpoint it reads is still on disk."""
+        checkpoint it reads is still on disk.  One-wave rows re-run the
+        fused wave from the features checkpoint instead (there is no
+        materialized z1 frontier on that path)."""
         for row in lineage_rows:
             keys = row.get("handoff") or []
             if not keys:
                 continue
             marker = self._p("subtree", f"b={row['zoom']}", "_SUCCESS")
             if not os.path.exists(marker):
-                self._submit_subtree(pool, futures, row["zoom"], keys)
+                if row.get("one_wave"):
+                    futures.append(pool.submit(self._one_wave_subtree_job))
+                else:
+                    self._submit_subtree(pool, futures, row["zoom"], keys)
+
+    def _one_wave_subtree_job(
+            self, fr0: DataFrame | None = None) -> list[tuple[int, int]]:
+        """The fused one-wave handoff: Column router (no map-side
+        Python) → group by z1 child → in-task clip-from-parent + whole
+        descendant pyramid (see pipeline.one_wave_stage_df).  Reads the
+        z0 frontier view (features checkpoint, or the caller-supplied
+        cached frontier); returns the z1 children that received
+        candidate rows (their tiles live in the subtree store — the
+        rest are the split root's empty children)."""
+        from pyspark.sql import Observation
+        restore: dict[str, str] = {}
+        if fr0 is None:
+            # resume / checkpoint mode: the kernel-session clone keeps
+            # AQE from gluing the handful of CPU-heavy groups together
+            fr0 = self._read_frontier(0, self._kernel_spark())
+        else:
+            # cached mode: the persisted frontier is bound to the main
+            # session, so flip the same two knobs there for this one
+            # job (the only concurrent job, the z0 render, shuffles
+            # nothing and is unaffected)
+            conf = self.spark.conf
+            for k, v in (
+                    ("spark.sql.adaptive.coalescePartitions.enabled",
+                     "false"),
+                    ("spark.sql.shuffle.partitions", "64")):
+                restore[k] = conf.get(k)
+                conf.set(k, v)
+        try:
+            obs = Observation()
+            cand = one_wave_children_df(fr0, self.options).observe(
+                obs, *[F.sum(((F.col("x") == dx) & (F.col("y") == dy))
+                             .cast("long")).alias(f"c{dx}{dy}")
+                       for dx in (0, 1) for dy in (0, 1)])
+            (one_wave_stage_df(cand, self.options)
+             .write.mode("overwrite").parquet(self._p("subtree", "b=1")))
+        finally:
+            for k, v in restore.items():
+                self.spark.conf.set(k, v)
+        got = obs.get
+        return [(dx, dy) for dx in (0, 1) for dy in (0, 1)
+                if int(got[f"c{dx}{dy}"] or 0)]
+
+    def _frontier0_view(self, src: DataFrame) -> DataFrame:
+        """z0 frontier view over an already-converted features frame
+        (same shape _read_frontier(0) serves from the checkpoint)."""
+        from .pipeline import _ord_extend
+        n_verts = (F.size("coords") / 3).cast("long").alias("n_verts")
+        return (src
+                .withColumn("ord_path", _ord_extend(1, F.lit(0)))
+                .withColumn("z", F.lit(0))
+                .withColumn("x", F.lit(0))
+                .withColumn("y", F.lit(0))
+                .select(*TILED_COLUMNS, n_verts))
+
+    def _build_one_wave(self, r0: dict, pool, futures,
+                        cached: DataFrame | None = None) -> None:
+        """Small-corpus fast path: the whole pyramid below z0 in ONE
+        fused wave, replacing the per-zoom distributed loop.
+
+        Engaged only when the z0 stats observed during the features
+        checkpoint write prove the remaining work fits one wave of
+        budget-sized kernel tasks (n_points × index_max_zoom ≤
+        parallelism × _KERNEL_PTS_PER_TASK) — the regime where every
+        extra distributed round is pure sync latency that added
+        parallelism cannot win back (the round-3 profile measured ~2 s
+        of fixed cost per round against ~1.2 core-seconds of total
+        kernel work at 30k pages).  Above the bound, build() keeps
+        distributing per zoom unchanged, so the 100-TB path never
+        enters here.
+
+        Output contract is identical to the loop path: tilefeat/z=0
+        holds the z0 render, the subtree store holds every z≥1 tile
+        (roots classified by the normal stop rule inside the kernel,
+        index.js:103-121), the tiles store carries z0 + the split
+        root's empty children (index.js:151-154 pushes ``tl || []``),
+        and lineage rows land only after every store is durable, so a
+        kill anywhere before that restarts the build cleanly."""
+        import pandas as pd
+        opts = self.options
+        from pyspark.sql import Observation
+        t0 = time.monotonic()
+        fut_ck = None
+        if cached is not None:
+            fr0 = self._frontier0_view(cached)
+            # the durable features checkpoint rides CONCURRENTLY with
+            # the wave (both read the warm cache); it must only be on
+            # disk before the lineage commit below
+            fut_ck = pool.submit(
+                lambda: cached.write.mode("overwrite")
+                .parquet(self._p("features")))
+        else:
+            fr0 = self._read_frontier(0)
+        obs_r = Observation()
+
+        def render_job():
+            (rendered_features_df(fr0, opts).drop("z")
+             .observe(obs_r, F.sum("n_simplified").alias("ns"))
+             .write.mode("overwrite")
+             .parquet(self._p("tilefeat", "z=0")))
+
+        fut_render = pool.submit(render_job)
+        t1 = time.monotonic()
+        present = self._one_wave_subtree_job(
+            fr0 if cached is not None else None)
+        wave_sec = time.monotonic() - t1
+        missing = [(x, y) for x in (0, 1) for y in (0, 1)
+                   if (x, y) not in set(present)]
+        _t = time.monotonic()
+        fut_render.result()
+        if fut_ck is not None:
+            fut_ck.result()
+        render_wait = time.monotonic() - _t
+        ns0 = int(obs_r.get["ns"] or 0)
+
+        self._write_local_parquet(pd.DataFrame({
+            "x": pd.Series([0], dtype="int32"),
+            "y": pd.Series([0], dtype="int32"),
+            "num_features": pd.Series([r0["num_features"]], dtype="int64"),
+            "num_points": pd.Series([r0["num_points"]], dtype="int64"),
+            "num_simplified": pd.Series([ns0], dtype="int64"),
+            "minx": pd.Series([r0["minx"]], dtype="float64"),
+            "miny": pd.Series([r0["miny"]], dtype="float64"),
+            "maxx": pd.Series([r0["maxx"]], dtype="float64"),
+            "maxy": pd.Series([r0["maxy"]], dtype="float64"),
+            "is_split": pd.Series([True], dtype="bool"),
+            "has_source": pd.Series([False], dtype="bool"),
+            "tile_id": pd.Series([to_id(0, 0, 0)], dtype="int64"),
+        }), self._p("tiles", "z=0"))
+        if missing:
+            n_e = len(missing)
+            self._write_local_parquet(pd.DataFrame({
+                "x": pd.Series([c[0] for c in missing], dtype="int32"),
+                "y": pd.Series([c[1] for c in missing], dtype="int32"),
+                "num_features": pd.Series([0] * n_e, dtype="int64"),
+                "num_points": pd.Series([0] * n_e, dtype="int64"),
+                "num_simplified": pd.Series([0] * n_e, dtype="int64"),
+                "minx": pd.Series([2.0] * n_e, dtype="float64"),
+                "miny": pd.Series([1.0] * n_e, dtype="float64"),
+                "maxx": pd.Series([-1.0] * n_e, dtype="float64"),
+                "maxy": pd.Series([0.0] * n_e, dtype="float64"),
+                "is_split": pd.Series([False] * n_e, dtype="bool"),
+                "has_source": pd.Series([True] * n_e, dtype="bool"),
+                "tile_id": pd.Series([to_id(1, cx, cy)
+                                      for cx, cy in missing],
+                                     dtype="int64"),
+            }), self._p("tiles", "z=1"))
+
+        # lineage lands LAST, in zoom order — "complete" implies every
+        # store is durable (the resume contract); a kill before this
+        # point rebuilds from the features checkpoint
+        self._append_lineage({
+            "zoom": 0, "n_tiles": 1, "n_split": 1,
+            "n_points": int(r0["num_points"]), "heavy": [],
+            "handoff": [], "one_wave": True,
+            "wall_sec": time.monotonic() - t0,
+            "steps": {"render_wait": round(render_wait, 2)},
+            "complete": True, "final": False})
+        self._append_lineage({"subtree_batch": 1, "n_keys": len(present),
+                              "one_wave": True,
+                              "wall_sec": round(wave_sec, 2)})
+        self._append_lineage({
+            "zoom": 1, "n_tiles": 4, "heavy": [],
+            "handoff": [list(k) for k in present], "one_wave": True,
+            "wall_sec": time.monotonic() - t0,
+            "complete": True, "final": True})
+
+    # cache-first gate: below this many (hinted) feature rows, a small
+    # build materializes the converted features into the block-manager
+    # cache instead of a serial parquet checkpoint — the durable
+    # checkpoint is then written CONCURRENTLY with the one-wave handoff
+    # (still before the lineage commit, so the resume contract holds).
+    # Big corpora keep the checkpoint-first contract: caching 100 TB of
+    # converted features is exactly the anti-pattern the per-zoom loop
+    # avoids.
+    _CACHE_FIRST_MAX_ROWS = 2_000_000
 
     def build_from_converted(self, features_df: DataFrame,
-                             resume: bool = False) -> None:
+                             resume: bool = False,
+                             approx_rows: int | None = None) -> None:
         """Checkpoint the (expensive) converted-features stage to parquet
         before the wrap decision, so ingest/convert executes exactly once.
 
@@ -399,13 +585,61 @@ class SparkTileEngine:
         metrics (no separate agg pass), and in the common no-wrap case
         the z0 frontier is served as a view over this checkpoint
         (``_read_frontier``) — one materialization of the corpus
-        total, not two."""
+        total, not two.
+
+        ``approx_rows``: caller-known rough feature count.  Small
+        hinted inputs take the cache-first route (see
+        ``_CACHE_FIRST_MAX_ROWS``); the hint only picks HOW the stats
+        pass runs — eligibility for the one-wave path itself is decided
+        from the exact observed stats either way."""
         from pyspark.sql import Observation
 
         opts = self.options
         b = opts.buffer / opts.extent
         path = self._p("features")
         counts = z0_stats = None
+        if (not resume and approx_rows is not None
+                and approx_rows <= self._CACHE_FIRST_MAX_ROWS
+                and self.one_wave and self.subtree_max_points is None
+                and opts.index_max_zoom >= 1):
+            cached = features_df.persist()
+            row = cached.agg(
+                F.sum((F.col("minx") <= b).cast("long")).alias("l"),
+                F.sum((F.col("maxx") >= 1 - b).cast("long")).alias("r"),
+                F.count(F.lit(1)).alias("num_features"),
+                F.sum((F.size("coords") / 3).cast("long"))
+                .alias("num_points"),
+                F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+                F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy")
+            ).first()
+            counts = (int(row["l"] or 0), int(row["r"] or 0))
+            if row["num_features"]:
+                z0_stats = [{"x": 0, "y": 0,
+                             "num_features": int(row["num_features"]),
+                             "num_points": int(row["num_points"]),
+                             "minx": float(row["minx"]),
+                             "miny": float(row["miny"]),
+                             "maxx": float(row["maxx"]),
+                             "maxy": float(row["maxy"])}]
+            if (not (counts[0] or counts[1]) and z0_stats
+                    and self._one_wave_eligible(
+                        z0_stats[0]["num_points"])):
+                try:
+                    self.build(None, z0_stats=z0_stats,
+                               cached_features=cached)
+                finally:
+                    cached.unpersist()
+                return
+            # mis-hinted (wraps, or too big for one wave): durable
+            # checkpoint from the warm cache, then exactly as today
+            cached.write.mode("overwrite").parquet(path)
+            feats = self.spark.read.parquet(path)
+            cached.unpersist()
+            if counts[0] or counts[1]:
+                self.build(wrap_df(feats, opts, counts=counts))
+            else:
+                self.build(None, z0_stats=z0_stats)
+            return
         if not (resume and os.path.exists(os.path.join(path, "_SUCCESS"))):
             obs = Observation()
             (features_df.observe(
@@ -440,8 +674,21 @@ class SparkTileEngine:
         else:
             self.build(None, resume=resume, z0_stats=z0_stats)
 
+    def _one_wave_eligible(self, n_points: int) -> bool:
+        """True when the whole pyramid below z0 fits ONE wave of
+        budget-sized kernel tasks — the regime where every distributed
+        round is pure sync latency (see _build_one_wave)."""
+        opts = self.options
+        return (self.one_wave and self.subtree_max_points is None
+                and opts.index_max_zoom >= 1
+                and n_points > opts.index_max_points
+                and n_points * opts.index_max_zoom
+                <= self.spark.sparkContext.defaultParallelism
+                * self._KERNEL_PTS_PER_TASK)
+
     def build(self, features_df: DataFrame | None, resume: bool = False,
-              z0_stats: list[dict] | None = None) -> None:
+              z0_stats: list[dict] | None = None,
+              cached_features: DataFrame | None = None) -> None:
         """First-pass pyramid (cz == null path of splitTile).
 
         features_df: FEATURE_SCHEMA rows, already converted + wrapped —
@@ -480,6 +727,32 @@ class SparkTileEngine:
                 shutil.rmtree(self._snap_dir())
             if os.path.exists(self._version_path()):
                 os.remove(self._version_path())
+            # stale stores from a previous build in the same workdir
+            # must not survive: each write is overwrite-mode, but a
+            # build of different depth or handoff shape leaves
+            # differently-NAMED zoom/batch dirs behind, and the
+            # root-level readers (tiles(), _subtree_df) union whatever
+            # is on disk
+            for store in ("tiles", "tilefeat", "frontier", "sources",
+                          "subtree"):
+                p = self._p(store)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+
+        if (start_z == 0 and features_df is None and z0_stats
+                and self._one_wave_eligible(z0_stats[0]["num_points"])):
+            try:
+                self._build_one_wave(z0_stats[0], pool, futures,
+                                     cached=cached_features)
+            finally:
+                for f in futures:
+                    f.result()
+                pool.shutdown()
+                self._stats_cache = None
+                self._sub_meta_cache.clear()
+                self._source_rows_cache.clear()
+                self._df_cache.clear()
+            return
 
         n_verts = (F.size("coords") / 3).cast("long").alias("n_verts")
         if start_z == 0:

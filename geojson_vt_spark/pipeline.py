@@ -593,13 +593,23 @@ def split_subtree(features, z0: int, x0: int, y0: int, options: TileOptions):
 
 
 def batch_split_subtree(records, z0: int, x0: int, y0: int,
-                        options: TileOptions, state=None):
+                        options: TileOptions, state=None,
+                        root_forced_split: bool = True):
     """Vectorized subtree build: one batch_clip / batch_assemble pass per
     LEVEL covering every tile at that level at once — the per-feature
     clip windows come from each feature's tile assignment, so the whole
     level's 4-way split costs six flat-numpy clips regardless of tile
     count.  Output semantics identical to split_subtree (index.js
     splitTile, first-pass stop rules).
+
+    ``root_forced_split=True`` (the distributed-handoff contract): the
+    root was already classified as splitting by the driver's stop rule
+    and its own tile row was rendered by the distributed tilefeat
+    stage, so the root level only fans out (index.js skips the parent
+    tile inside splitTile the same way).  With ``False`` (the one-wave
+    fast path) the root is a freshly-clipped child whose stop rule has
+    NOT been evaluated: it is classified by the normal rule and its
+    tile row (and leaf source, when it stops) IS emitted.
 
     Returns (tile_rows, sources) where tile_rows are dicts of the
     subtree 'tile' kind and sources maps leaf (z,x,y) → a packed-array
@@ -733,7 +743,7 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
             span = {}
 
         split_keys = []
-        if z == z0:
+        if z == z0 and root_forced_split:
             # root level: exactly one pending tile, classified upstream,
             # never re-emitted (index.js skips the root in splitTile)
             split_keys = [(x0, y0)]
@@ -918,6 +928,27 @@ def _empty_state():
     return rags, np.empty(0, dtype=np.int64)
 
 
+def _subtree_out_pdf(tile_rows, sources) -> pd.DataFrame:
+    """(tile_rows, sources) from batch_split_subtree → one SUBTREE_SCHEMA
+    pandas batch.  Retained sources are ONE packed row per leaf tile
+    (the flat arrays were built by pack_leaves; a per-feature row
+    layout here was the handoff stage's measured straggler term)."""
+    rows = {c: [] for c in _SUBTREE_COLUMNS}
+
+    def emit(vals: dict):
+        for c in _SUBTREE_COLUMNS:
+            rows[c].append(vals.get(c))
+
+    for t in tile_rows:
+        emit({"kind": "tile", **t})
+    for (sz, sx, sy), pack in sources.items():
+        if pack["n"] == 0:
+            continue
+        emit({"kind": "source", "z": sz, "x": sx, "y": sy,
+              **{k: v for k, v in pack.items() if k != "n"}})
+    return pd.DataFrame(rows, columns=_SUBTREE_COLUMNS)
+
+
 def subtree_stage_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
     """Grouped-map handoff: each light splitting tile's features become
     one Arrow batch; the whole descendant pyramid of that tile is built
@@ -938,24 +969,98 @@ def subtree_stage_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
         state = _pdf_state(pdf)
         tile_rows, sources = batch_split_subtree(None, z0, x0, y0, options,
                                                  state=state)
-
-        rows = {c: [] for c in _SUBTREE_COLUMNS}
-
-        def emit(vals: dict):
-            for c in _SUBTREE_COLUMNS:
-                rows[c].append(vals.get(c))
-
-        for t in tile_rows:
-            emit({"kind": "tile", **t})
-
-        # retained sources: ONE packed row per leaf tile (the flat
-        # arrays were built by pack_leaves; a per-feature row layout
-        # here was the handoff stage's measured straggler term)
-        for (sz, sx, sy), pack in sources.items():
-            if pack["n"] == 0:
-                continue
-            emit({"kind": "source", "z": sz, "x": sx, "y": sy,
-                  **{k: v for k, v in pack.items() if k != "n"}})
-        return pd.DataFrame(rows, columns=_SUBTREE_COLUMNS)
+        return _subtree_out_pdf(tile_rows, sources)
 
     return frontier.groupBy("z", "x", "y").applyInPandas(run, SUBTREE_SCHEMA)
+
+
+# --------------------------------------------------------------- one-wave
+
+def one_wave_children_df(frontier0: DataFrame,
+                         options: TileOptions) -> DataFrame:
+    """z0 frontier → candidate (feature, z1 child) rows for the one-wave
+    fast path: each feature is routed to every quadrant its bbox is not
+    trivially rejected from (the same rejection windows splitTile's clip
+    uses, /root/reference/src/index.js:123-140 + clip.js:13-20).
+
+    Pure Column explode — NO map-side Python and NO clipping here: the
+    wave kernel clips each group against its child window itself, so
+    geometry crosses the Arrow pipe exactly once.  Features are NOT
+    modified (ord_path, coords, clip bookkeeping all ride unchanged);
+    a feature spanning several quadrants is duplicated per quadrant,
+    exactly the candidate set the parent clip would hand each child."""
+    k1c = 0.5 * options.buffer / options.extent
+    k2c, k3c, k4c = 0.5 - k1c, 0.5 + k1c, 1 + k1c
+    quads = []
+    for q in range(4):
+        dx, dy = q & 1, q >> 1
+        xlo = (k2c if dx else -k1c)
+        xhi = (k4c if dx else k3c)
+        ylo = (k2c if dy else -k1c)
+        yhi = (k4c if dy else k3c)
+        rej = ((F.col("maxx") < xlo) | (F.col("minx") >= xhi) |
+               (F.col("maxy") < ylo) | (F.col("miny") >= yhi))
+        quads.append(F.when(~rej, F.struct(
+            F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))))
+    return (frontier0
+            .withColumn("q", F.explode(
+                F.filter(F.array(*quads), lambda s: s.isNotNull())))
+            .withColumn("z", F.lit(1))
+            .withColumn("x", F.col("q.dx"))
+            .withColumn("y", F.col("q.dy"))
+            .select(*TILED_COLUMNS))
+
+
+def one_wave_stage_df(candidates: DataFrame,
+                      options: TileOptions) -> DataFrame:
+    """One-wave handoff: candidate rows from one_wave_children_df,
+    grouped by z1 child; each group task clips its candidates against
+    the child's buffered window (the exact x-then-y clip sequence
+    splitTile applies, /root/reference/src/index.js:134-147) and then
+    builds the whole descendant pyramid with the batch kernel — the
+    root classified by the NORMAL stop rule and emitted, since no
+    distributed round ever touched it.
+
+    Scale posture: this stage only runs when the driver's observed z0
+    stats prove the whole remaining pyramid fits one wave of
+    budget-sized tasks (SparkTileEngine._build_one_wave) — above that
+    bound the per-zoom distributed loop takes over unchanged."""
+    def run(key, pdf):
+        import numpy as np
+
+        from .kernel.vec import batch_clip
+        cx, cy = int(key[1]), int(key[2])
+        ords = [tuple(v) for v in pdf["ord_path"]]
+        order = sorted(range(len(ords)), key=ords.__getitem__)
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        (rags, gcodes, mnx, mny, mxx, mxy,
+         fids, tagss, _o) = _pdf_state(pdf)
+        fids = np.asarray(fids, dtype=object)
+        tagss = np.asarray(tagss, dtype=object)
+        k1c = 0.5 * options.buffer / options.extent
+        k2c, k3c, k4c = 0.5 - k1c, 0.5 + k1c, 1 + k1c
+        lm = options.line_metrics
+        n = rags.n_feats
+        xk1 = np.full(n, (k2c if cx else -k1c))
+        xk2 = np.full(n, (k4c if cx else k3c))
+        side = batch_clip(rags, gcodes, mnx, mny, mxx, mxy,
+                          xk1, xk2, 0, lm)
+        fid_s = fids[side.src]
+        tag_s = tagss[side.src]
+        m = side.n_feats
+        yk1 = np.full(m, (k2c if cy else -k1c))
+        yk2 = np.full(m, (k4c if cy else k3c))
+        q = batch_clip(side.rags, side.gcodes, side.minx, side.miny,
+                       side.maxx, side.maxy, yk1, yk2, 1, lm)
+        state = (q.rags, q.gcodes, q.minx, q.miny, q.maxx, q.maxy,
+                 fid_s[q.src].tolist(), tag_s[q.src].tolist(), None)
+        # post-clip-empty children still flow through: the kernel emits
+        # the empty leaf tile row (a split tile's children all exist,
+        # index.js:151-154), with sentinel bbox and no source pack
+        tile_rows, sources = batch_split_subtree(
+            None, 1, cx, cy, options, state=state,
+            root_forced_split=False)
+        return _subtree_out_pdf(tile_rows, sources)
+
+    return candidates.groupBy("z", "x", "y").applyInPandas(
+        run, SUBTREE_SCHEMA)
