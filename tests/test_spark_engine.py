@@ -245,3 +245,80 @@ def test_spark_resume_view_mode_corpus(spark, tmp_path):
                               subtree_max_points=500)
     resumed.build_from_converted(feats, resume=True)
     assert resumed.enumerate_tiles() == full.enumerate_tiles()
+
+
+def test_one_wave_matches_loop_layout(spark, tmp_path):
+    """The one-wave fast path (router → clip-from-parent kernel groups,
+    no per-zoom rounds) must produce byte-identical tiles, stats,
+    insertion order and drill-down behavior to the distributed loop on
+    the same corpus — including z1 roots classified by the in-kernel
+    stop rule and the split root's empty children."""
+    from geojson_vt_spark.pipeline import features_from_json_df
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+
+    opts = TileOptions(index_max_zoom=6, index_max_points=500)
+    pages = synth_pages_df(spark, 2500, seed=11)
+    feats = features_from_json_df(extract_geo_features_df(pages), opts)
+
+    wave = SparkTileEngine(spark, opts, workdir=str(tmp_path / "w"),
+                           one_wave=True)
+    wave.build_from_converted(feats, approx_rows=2500)
+    loop = SparkTileEngine(spark, opts, workdir=str(tmp_path / "l"),
+                           one_wave=False)
+    loop.build_from_converted(feats)
+
+    # the wave layout really is one-wave (no z1 frontier, no z1 render)
+    assert not (tmp_path / "w" / "frontier").exists()
+    assert not (tmp_path / "w" / "tilefeat" / "z=1").exists()
+    assert (tmp_path / "l" / "frontier" / "z=1").exists()
+
+    a, b = wave.enumerate_tiles(), loop.enumerate_tiles()
+    assert set(a) == set(b)
+    assert not [k for k in a if a[k] != b[k]]
+    assert wave.tile_coords() == loop.tile_coords()
+    ra = {(r["z"], r["x"], r["y"]): r for r in wave.tiles().collect()}
+    rb = {(r["z"], r["x"], r["y"]): r for r in loop.tiles().collect()}
+    assert ra == rb
+    for zxy in [(0, 0, 0), (1, 0, 0), (1, 1, 1), (4, 3, 7),
+                (9, 137, 190), (12, 1100, 1500)]:
+        ta, tb = wave.get_tile(*zxy), loop.get_tile(*zxy)
+        assert (ta is None) == (tb is None), zxy
+        if ta is not None:
+            assert ta["features"] == tb["features"], zxy
+    assert wave.verify_snapshot() == []
+
+
+def test_one_wave_resume_rebuilds_missing_wave(spark, tmp_path):
+    """Kill-and-resume on the one-wave path: a missing subtree batch is
+    re-run from the durable features checkpoint (there is no z1
+    frontier store to replay), and a completed build resumes as a
+    no-op."""
+    import shutil
+
+    from geojson_vt_spark.pipeline import features_from_json_df
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+
+    opts = TileOptions(index_max_zoom=5, index_max_points=300)
+    pages = synth_pages_df(spark, 1500, seed=23)
+    feats = features_from_json_df(extract_geo_features_df(pages), opts)
+
+    eng = SparkTileEngine(spark, opts, workdir=str(tmp_path / "e"),
+                          one_wave=True)
+    eng.build_from_converted(feats, approx_rows=1500)
+    want = eng.enumerate_tiles()
+    lineage = (tmp_path / "e" / "lineage.json").read_text()
+    assert '"one_wave": true' in lineage
+
+    # no-op resume: nothing to redo
+    again = SparkTileEngine(spark, opts, workdir=str(tmp_path / "e"))
+    again.build_from_converted(feats, resume=True)
+    assert again.enumerate_tiles() == want
+
+    # killed mid-wave: subtree batch gone, lineage intact → the resume
+    # path re-runs the fused wave from the features checkpoint
+    shutil.rmtree(tmp_path / "e" / "subtree")
+    resumed = SparkTileEngine(spark, opts, workdir=str(tmp_path / "e"))
+    resumed.build_from_converted(feats, resume=True)
+    assert resumed.enumerate_tiles() == want
