@@ -366,6 +366,7 @@ class SparkTileEngine:
         packed = [_pack_xy(int(x), int(y)) for x, y in keys]
 
         def job(z=z, packed=packed, keys=keys):
+            import shutil
             t0 = time.monotonic()
             # x/y isin conjuncts are parquet-pushdownable (row-group
             # pruning); the packed-pair filter alone is an expression
@@ -374,8 +375,12 @@ class SparkTileEngine:
                 F.col("x").isin([int(x) for x, _ in keys]) &
                 F.col("y").isin([int(y) for _, y in keys]) &
                 _pack_col().isin(packed))
-            (subtree_stage_df(sel, self.options)
-             .write.mode("overwrite").parquet(self._p("subtree", f"b={z}")))
+            out = self._p("subtree", f"b={z}")
+            if os.path.isdir(out):
+                shutil.rmtree(out)  # overwrite semantics incl. partials
+            subtree_stage_df(sel, self.options, out_dir=out).collect()
+            os.makedirs(out, exist_ok=True)
+            open(os.path.join(out, "_SUCCESS"), "w").close()
             self._append_lineage({
                 "subtree_batch": z, "n_keys": len(packed),
                 "wall_sec": round(time.monotonic() - t0, 2)})
@@ -408,7 +413,6 @@ class SparkTileEngine:
         cached frontier); returns the z1 children that received
         candidate rows (their tiles live in the subtree store — the
         rest are the split root's empty children)."""
-        from pyspark.sql import Observation
         restore: dict[str, str] = {}
         if fr0 is None:
             # resume / checkpoint mode: the kernel-session clone keeps
@@ -427,19 +431,19 @@ class SparkTileEngine:
                 restore[k] = conf.get(k)
                 conf.set(k, v)
         try:
-            obs = Observation()
-            cand = one_wave_children_df(fr0, self.options).observe(
-                obs, *[F.sum(((F.col("x") == dx) & (F.col("y") == dy))
-                             .cast("long")).alias(f"c{dx}{dy}")
-                       for dx in (0, 1) for dy in (0, 1)])
-            (one_wave_stage_df(cand, self.options)
-             .write.mode("overwrite").parquet(self._p("subtree", "b=1")))
+            import shutil
+            out = self._p("subtree", "b=1")
+            if os.path.isdir(out):
+                shutil.rmtree(out)  # overwrite semantics incl. partials
+            acks = one_wave_stage_df(
+                one_wave_children_df(fr0, self.options), self.options,
+                out_dir=out).collect()
+            os.makedirs(out, exist_ok=True)
+            open(os.path.join(out, "_SUCCESS"), "w").close()
         finally:
             for k, v in restore.items():
                 self.spark.conf.set(k, v)
-        got = obs.get
-        return [(dx, dy) for dx in (0, 1) for dy in (0, 1)
-                if int(got[f"c{dx}{dy}"] or 0)]
+        return sorted((r["x"], r["y"]) for r in acks)
 
     def _frontier0_view(self, src: DataFrame) -> DataFrame:
         """z0 frontier view over an already-converted features frame

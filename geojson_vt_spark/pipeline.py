@@ -949,7 +949,42 @@ def _subtree_out_pdf(tile_rows, sources) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=_SUBTREE_COLUMNS)
 
 
-def subtree_stage_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
+SUBTREE_ACK_SCHEMA = "z int, x int, y int, n long"
+
+
+def _write_subtree_part(out_pdf: pd.DataFrame, out_dir: str,
+                        z: int, x: int, y: int) -> None:
+    """Write one group's subtree rows straight from the kernel task via
+    pyarrow, atomically (tmp + rename; a task retry overwrites the same
+    deterministic name, so duplicate attempts cannot double rows).
+
+    Rationale (measured, 30k-page wave): returning the packed rows
+    through the grouped-map Arrow pipe and letting Spark's writer
+    persist them costs ~1 s of pure pandas→Arrow→JVM boxing tax per
+    wave, vs ~0.2 s writing the same bytes task-side — the store is
+    engine-private, its _SUCCESS marker is written by the driver after
+    the job, and the lineage row remains the real commit point.  On
+    object storage the per-file rename becomes a single PUT, the same
+    direct-write pattern cloud committers use."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    os.makedirs(out_dir, exist_ok=True)
+    codec = os.environ.get("GVT_CODEC", "zstd")
+    path = os.path.join(out_dir, f"part-z{z}-x{x}-y{y}.parquet")
+    tmp = path + ".inprogress"
+    pq.write_table(
+        pa.Table.from_pandas(out_pdf, schema=to_arrow_schema(SUBTREE_SCHEMA),
+                             preserve_index=False),
+        tmp, compression=codec)
+    os.replace(tmp, path)
+
+
+def subtree_stage_df(frontier: DataFrame, options: TileOptions,
+                     out_dir: str | None = None) -> DataFrame:
     """Grouped-map handoff: each light splitting tile's features become
     one Arrow batch; the whole descendant pyramid of that tile is built
     inside the task with the parity-exact local kernel.
@@ -958,7 +993,11 @@ def subtree_stage_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
     distributed per-zoom loop runs only while tiles are heavy (few,
     skewed), then 4^z-way tile parallelism takes over with zero further
     driver coordination — per-task work is bounded by the handoff
-    threshold, so no group can exceed executor memory."""
+    threshold, so no group can exceed executor memory.
+
+    With ``out_dir`` set, each task writes its own parquet part there
+    (see _write_subtree_part) and the returned frame carries one slim
+    ack row per group instead of the packed rows."""
     def run(key, pdf):
         z0, x0, y0 = int(key[0]), int(key[1]), int(key[2])
         # materialize sort keys once — a per-comparison .iloc lambda
@@ -969,9 +1008,15 @@ def subtree_stage_df(frontier: DataFrame, options: TileOptions) -> DataFrame:
         state = _pdf_state(pdf)
         tile_rows, sources = batch_split_subtree(None, z0, x0, y0, options,
                                                  state=state)
-        return _subtree_out_pdf(tile_rows, sources)
+        out = _subtree_out_pdf(tile_rows, sources)
+        if out_dir is None:
+            return out
+        _write_subtree_part(out, out_dir, z0, x0, y0)
+        return pd.DataFrame({"z": [z0], "x": [x0], "y": [y0],
+                             "n": [len(out)]})
 
-    return frontier.groupBy("z", "x", "y").applyInPandas(run, SUBTREE_SCHEMA)
+    return frontier.groupBy("z", "x", "y").applyInPandas(
+        run, SUBTREE_ACK_SCHEMA if out_dir is not None else SUBTREE_SCHEMA)
 
 
 # --------------------------------------------------------------- one-wave
@@ -1011,8 +1056,8 @@ def one_wave_children_df(frontier0: DataFrame,
             .select(*TILED_COLUMNS))
 
 
-def one_wave_stage_df(candidates: DataFrame,
-                      options: TileOptions) -> DataFrame:
+def one_wave_stage_df(candidates: DataFrame, options: TileOptions,
+                      out_dir: str | None = None) -> DataFrame:
     """One-wave handoff: candidate rows from one_wave_children_df,
     grouped by z1 child; each group task clips its candidates against
     the child's buffered window (the exact x-then-y clip sequence
@@ -1060,7 +1105,12 @@ def one_wave_stage_df(candidates: DataFrame,
         tile_rows, sources = batch_split_subtree(
             None, 1, cx, cy, options, state=state,
             root_forced_split=False)
-        return _subtree_out_pdf(tile_rows, sources)
+        out = _subtree_out_pdf(tile_rows, sources)
+        if out_dir is None:
+            return out
+        _write_subtree_part(out, out_dir, 1, cx, cy)
+        return pd.DataFrame({"z": [1], "x": [cx], "y": [cy],
+                             "n": [len(out)]})
 
     return candidates.groupBy("z", "x", "y").applyInPandas(
-        run, SUBTREE_SCHEMA)
+        run, SUBTREE_ACK_SCHEMA if out_dir is not None else SUBTREE_SCHEMA)
