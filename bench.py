@@ -120,6 +120,7 @@ def bench_pyramid(spark) -> tuple[float, dict]:
         dt = dt_i if dt is None else min(dt, dt_i)
         if wd_i is not None:
             shutil.rmtree(wd_i, ignore_errors=True)
+    shutil.rmtree(wd, ignore_errors=True)  # repeat 0's workdir + _extracted
     return dt, {"tiles": n_tiles, "tiles_per_sec": n_tiles / dt,
                 "pages": N_PAGES}
 

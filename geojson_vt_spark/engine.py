@@ -48,10 +48,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from .kernel.index import to_id
 from .model import FEATURE_COLUMNS, TILED_COLUMNS
 from .options import TileOptions
-from .pipeline import (features_from_json_df, geojson_to_input_rows,
-                       one_wave_children_df, one_wave_stage_df,
-                       rendered_features_df, split_children_df,
-                       subtree_stage_df, wrap_df)
+from .pipeline import (_subtree_out_pdf, _write_subtree_part,
+                       batch_split_subtree, features_from_json_df,
+                       geojson_to_input_rows, one_wave_children_df,
+                       one_wave_stage_df, rendered_features_df,
+                       split_children_df, wave_children_df,
+                       wave_stage_df, wrap_df)
 
 TILE_COLUMNS = ["z", "x", "y", "tile_id", "num_features", "num_points",
                 "num_simplified", "minx", "miny",
@@ -326,6 +328,16 @@ class SparkTileEngine:
     # bounds the skew straggler (the hottest metro tile's subtree task)
     _KERNEL_PTS_PER_TASK = 600_000
 
+    # handoff budget for the per-zoom loop: round-4 lineage profiling
+    # at 2M pages / 4×8 executors measured ~9-15 s of wall per
+    # distributed round against ~2 s subtree tasks — every avoided
+    # round buys far more than a longer straggler task costs, so the
+    # LOOP hands off at ~3× the kernel task unit (≈4-6 s tasks).  The
+    # one-wave eligibility and the low-zoom parallelism guard keep the
+    # smaller unit: task sizing inside a single fused wave is still
+    # latency-bound by the slowest task alone.
+    _HANDOFF_PTS_PER_TASK = 1_800_000
+
     # skew guard: a split tile that holds > _SKEW_FACTOR x the mean
     # split-tile mass stays in the distributed loop even when it fits
     # the task budget — otherwise the hottest metro tile becomes the
@@ -336,10 +348,10 @@ class SparkTileEngine:
         if self.subtree_max_points is not None:
             return self.subtree_max_points
         levels_left = max(1, self.options.index_max_zoom - z)
-        budget = self._KERNEL_PTS_PER_TASK // levels_left
+        budget = self._HANDOFF_PTS_PER_TASK // levels_left
         par = self.spark.sparkContext.defaultParallelism
         if (n_points is not None and (1 << (2 * z)) < par
-                and n_points * levels_left > par * self._KERNEL_PTS_PER_TASK):
+                and n_points * levels_left > par * self._HANDOFF_PTS_PER_TASK):
             # parallelism guard: handing off a handful of fat subtrees
             # starves the executors (4 tasks on 32 cores), so while the
             # zoom can't yet hold one tile per core (4^z < parallelism)
@@ -359,8 +371,68 @@ class SparkTileEngine:
         # scheduling overhead dominates under ~20k vertex-levels)
         return max(20_000, budget)
 
+    def _stats_via_pyarrow(self, z: int, heavy_prev) -> list | None:
+        """Per-tile classification stats read straight off the frontier
+        parquet's slim columns on the driver (no executor slots, no
+        queueing behind subtree tasks).  Exact same aggregation the
+        Spark fallback computes; returns None when the store is not a
+        readable local parquet dir (remote workdirs keep the fleet
+        path)."""
+        path = self._p("frontier", f"z={z}")
+        if not os.path.isdir(path):
+            return None
+        try:
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+            parts = [os.path.join(path, f) for f in os.listdir(path)
+                     if f.endswith(".parquet")]  # skip _SUCCESS markers
+            if not parts:
+                return None
+            tbl = pads.dataset(parts, format="parquet").to_table(
+                columns=["x", "y", "n_verts",
+                         "minx", "miny", "maxx", "maxy"])
+            if heavy_prev is not None:
+                xs = tbl["x"].to_numpy(zero_copy_only=False)
+                ys = tbl["y"].to_numpy(zero_copy_only=False)
+                packed = (xs >> 1).astype("int64") * (1 << 25) + (ys >> 1)
+                want = np.fromiter(
+                    ((int(px) << 25) + int(py) for px, py in heavy_prev),
+                    dtype="int64", count=len(heavy_prev))
+                tbl = tbl.filter(pc.is_in(pa.array(packed),
+                                          value_set=pa.array(want)))
+            agg = tbl.group_by(["x", "y"]).aggregate([
+                ("n_verts", "count"), ("n_verts", "sum"),
+                ("minx", "min"), ("miny", "min"),
+                ("maxx", "max"), ("maxy", "max")])
+            out = []
+            cols = {name: agg[name].to_pylist() for name in agg.column_names}
+            for i in range(agg.num_rows):
+                out.append({
+                    "x": int(cols["x"][i]), "y": int(cols["y"][i]),
+                    "num_features": int(cols["n_verts_count"][i]),
+                    "num_points": int(cols["n_verts_sum"][i] or 0),
+                    "minx": float(cols["minx_min"][i]),
+                    "miny": float(cols["miny_min"][i]),
+                    "maxx": float(cols["maxx_max"][i]),
+                    "maxy": float(cols["maxy_max"][i])})
+            return out
+        except Exception:
+            return None
+
     def _submit_subtree(self, pool, futures, z: int, keys: list) -> None:
-        """Async: build the whole descendant pyramid of each light tile."""
+        """Async: build the whole descendant pyramid of each light tile.
+
+        The batch is CHILD-grouped (wave shape): features route to the
+        z+1 children of their handoff tile Column-side, each child's
+        subtree builds in its own task — 4× the tasks at a quarter of
+        the straggler size vs grouping by parent (the round-4 grid
+        profile measured a 10-parent tail batch idling 2/3 of a
+        4×8-core fleet for ~30 s).  Children that receive no candidate
+        rows still exist as tiles (index.js:151-154 pushes ``tl ||
+        []``): the driver back-fills their empty rows with the same
+        kernel call, so the subtree store's contract is unchanged."""
         if not keys:
             return
         packed = [_pack_xy(int(x), int(y)) for x, y in keys]
@@ -378,7 +450,21 @@ class SparkTileEngine:
             out = self._p("subtree", f"b={z}")
             if os.path.isdir(out):
                 shutil.rmtree(out)  # overwrite semantics incl. partials
-            subtree_stage_df(sel, self.options, out_dir=out).collect()
+            acks = wave_stage_df(
+                wave_children_df(sel, z, self.options), self.options,
+                out_dir=out).collect()
+            got = {(r["x"], r["y"]) for r in acks}
+            empties = [(cx, cy)
+                       for x, y in keys
+                       for cx in (2 * int(x), 2 * int(x) + 1)
+                       for cy in (2 * int(y), 2 * int(y) + 1)
+                       if (cx, cy) not in got]
+            for cx, cy in empties:
+                tile_rows, srcs = batch_split_subtree(
+                    [], z + 1, cx, cy, self.options,
+                    root_forced_split=False)
+                _write_subtree_part(_subtree_out_pdf(tile_rows, srcs),
+                                    out, z + 1, cx, cy)
             os.makedirs(out, exist_ok=True)
             open(os.path.join(out, "_SUCCESS"), "w").close()
             self._append_lineage({
@@ -704,7 +790,7 @@ class SparkTileEngine:
         opts = self.options
         spark = self.spark
         par = spark.sparkContext.defaultParallelism
-        pool = ThreadPoolExecutor(max_workers=6)
+        pool = ThreadPoolExecutor(max_workers=12)
         futures: list = []
 
         start_z = 0
@@ -816,23 +902,22 @@ class SparkTileEngine:
                         + F.shiftright(F.col("y"), 1).cast("long"))
                 frontier = frontier.where(pcol.isin(parents))
 
-            # OPTIMISTIC SPLIT: start producing zoom z+1 children for
-            # every tile now, concurrently with assembly — the stop-rule
-            # classification only decides which children the NEXT
-            # iteration reads, so leaves' children are simply never read.
-            # DEFERRED once the remaining work fits a single handoff
-            # wave (the same bound as the threshold guard): there the
-            # round is overwhelmingly likely the last, the optimistic
-            # clip of the whole frontier is dead work competing with the
-            # subtree batches, and if a straggler tile does stay heavy
-            # the split runs after classification over the HEAVY parents
-            # only (a strict subset of the optimistic job)
+            # CLASSIFY-THEN-SPLIT: from round 4 on, every z≥1 round
+            # defers the split until the stop rules ran — stats come
+            # from the previous split's observed metrics or a
+            # driver-side pyarrow scan of the frontier parquet (both
+            # sub-second off-fleet reads), so classification no longer
+            # costs a fleet round trip and splitting the whole frontier
+            # optimistically is pure dead work: light/leaf tiles'
+            # children were written to frontier z+1 but never read
+            # (their subtrees rebuild the same clip inside the handoff
+            # wave).  Deferring also shrinks the frontier store to
+            # HEAVY children only — smaller writes, smaller scans.
+            # The z0 round keeps the concurrent split: its stats are
+            # precomputed and the root is heavy by construction.
             fut_split = None
             split_group = None
-            defer_split = (
-                heavy_prev is not None
-                and prev_points * max(1, opts.index_max_zoom - z)
-                <= par * self._KERNEL_PTS_PER_TASK)
+            defer_split = heavy_prev is not None
             next_obs = None
             if z < opts.index_max_zoom and not defer_split:
                 n_parts = max(par, min(
@@ -916,15 +1001,26 @@ class SparkTileEngine:
                         "maxx": float(got[f"{p}_maxx"]),
                         "maxy": float(got[f"{p}_maxy"])})
             else:
-                stats = (frontier
-                         .groupBy("x", "y")
-                         .agg(F.count(F.lit(1)).alias("num_features"),
-                              F.sum("n_verts").alias("num_points"),
-                              F.min("minx").alias("minx"),
-                              F.min("miny").alias("miny"),
-                              F.max("maxx").alias("maxx"),
-                              F.max("maxy").alias("maxy"))
-                         .collect())
+                # classification stats come off-fleet: a driver-side
+                # pyarrow scan of the just-written frontier parquet's
+                # SLIM columns (x, y, n_verts, bbox — the geometry
+                # arrays are never touched).  The round-4 profile
+                # measured the equivalent Spark agg at 5-7 s per zoom,
+                # all of it slot-wait behind multi-second subtree
+                # tasks under FAIR — pure critical-path latency the
+                # executors cannot give back.  Falls back to the Spark
+                # agg if the frontier is not a local parquet dir.
+                stats = self._stats_via_pyarrow(z, heavy_prev)
+                if stats is None:
+                    stats = (frontier
+                             .groupBy("x", "y")
+                             .agg(F.count(F.lit(1)).alias("num_features"),
+                                  F.sum("n_verts").alias("num_points"),
+                                  F.min("minx").alias("minx"),
+                                  F.min("miny").alias("miny"),
+                                  F.max("maxx").alias("maxx"),
+                                  F.max("maxy").alias("maxy"))
+                             .collect())
             _tm = {"stats": time.monotonic() - t0}
             present = {(r["x"], r["y"]) for r in stats}
             n_points = sum(r["num_points"] for r in stats)

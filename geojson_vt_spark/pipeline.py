@@ -1019,62 +1019,83 @@ def subtree_stage_df(frontier: DataFrame, options: TileOptions,
         run, SUBTREE_ACK_SCHEMA if out_dir is not None else SUBTREE_SCHEMA)
 
 
-# --------------------------------------------------------------- one-wave
+# --------------------------------------------------------------- wave
 
-def one_wave_children_df(frontier0: DataFrame,
-                         options: TileOptions) -> DataFrame:
-    """z0 frontier → candidate (feature, z1 child) rows for the one-wave
-    fast path: each feature is routed to every quadrant its bbox is not
-    trivially rejected from (the same rejection windows splitTile's clip
-    uses, /root/reference/src/index.js:123-140 + clip.js:13-20).
+def wave_children_df(frontier: DataFrame, z: int,
+                     options: TileOptions) -> DataFrame:
+    """Tiles-at-zoom-z frontier → candidate (feature, z+1 child) rows:
+    each feature is routed to every quadrant of ITS OWN tile that its
+    bbox is not trivially rejected from (the same rejection windows
+    splitTile's clip uses, /root/reference/src/index.js:123-140 +
+    clip.js:13-20).
 
     Pure Column explode — NO map-side Python and NO clipping here: the
     wave kernel clips each group against its child window itself, so
     geometry crosses the Arrow pipe exactly once.  Features are NOT
     modified (ord_path, coords, clip bookkeeping all ride unchanged);
     a feature spanning several quadrants is duplicated per quadrant,
-    exactly the candidate set the parent clip would hand each child."""
+    exactly the candidate set the parent clip would hand each child.
+
+    Grouping handoff batches by CHILD instead of parent quarters the
+    straggler task and quadruples wave parallelism — the round-4
+    2M-page grid profile measured the tail batch (10 parent tasks on
+    32 cores) gating the build for ~30 s of mostly-idle fleet."""
+    z2 = 1 << z
     k1c = 0.5 * options.buffer / options.extent
     k2c, k3c, k4c = 0.5 - k1c, 0.5 + k1c, 1 + k1c
     quads = []
     for q in range(4):
         dx, dy = q & 1, q >> 1
-        xlo = (k2c if dx else -k1c)
-        xhi = (k4c if dx else k3c)
-        ylo = (k2c if dy else -k1c)
-        yhi = (k4c if dy else k3c)
+        xlo = (F.col("x") + (k2c if dx else -k1c)) / z2
+        xhi = (F.col("x") + (k4c if dx else k3c)) / z2
+        ylo = (F.col("y") + (k2c if dy else -k1c)) / z2
+        yhi = (F.col("y") + (k4c if dy else k3c)) / z2
         rej = ((F.col("maxx") < xlo) | (F.col("minx") >= xhi) |
                (F.col("maxy") < ylo) | (F.col("miny") >= yhi))
         quads.append(F.when(~rej, F.struct(
             F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))))
-    return (frontier0
+    return (frontier
             .withColumn("q", F.explode(
                 F.filter(F.array(*quads), lambda s: s.isNotNull())))
-            .withColumn("z", F.lit(1))
-            .withColumn("x", F.col("q.dx"))
-            .withColumn("y", F.col("q.dy"))
+            .withColumn("z", F.lit(z + 1))
+            .withColumn("x", F.col("x") * 2 + F.col("q.dx"))
+            .withColumn("y", F.col("y") * 2 + F.col("q.dy"))
             .select(*TILED_COLUMNS))
 
 
-def one_wave_stage_df(candidates: DataFrame, options: TileOptions,
-                      out_dir: str | None = None) -> DataFrame:
-    """One-wave handoff: candidate rows from one_wave_children_df,
-    grouped by z1 child; each group task clips its candidates against
-    the child's buffered window (the exact x-then-y clip sequence
+def one_wave_children_df(frontier0: DataFrame,
+                         options: TileOptions) -> DataFrame:
+    """z0 frontier → candidate (feature, z1 child) rows for the one-wave
+    fast path (the z=0 case of wave_children_df)."""
+    return wave_children_df(frontier0, 0, options)
+
+
+def wave_stage_df(candidates: DataFrame, options: TileOptions,
+                  out_dir: str | None = None) -> DataFrame:
+    """Wave handoff: candidate rows from wave_children_df, grouped by
+    CHILD tile; each group task clips its candidates against the
+    child's buffered window (the exact x-then-y clip sequence
     splitTile applies, /root/reference/src/index.js:134-147) and then
     builds the whole descendant pyramid with the batch kernel — the
     root classified by the NORMAL stop rule and emitted, since no
     distributed round ever touched it.
 
-    Scale posture: this stage only runs when the driver's observed z0
-    stats prove the whole remaining pyramid fits one wave of
-    budget-sized tasks (SparkTileEngine._build_one_wave) — above that
-    bound the per-zoom distributed loop takes over unchanged."""
+    Window floats are computed as (parent + const) / parent_z2 —
+    bit-identical to split_children_df and the reference's
+    (x ± k)/z2, so child-grouped and parent-grouped handoffs emit
+    byte-identical tiles.
+
+    Scale posture: per-task work is bounded by a quarter of the
+    handoff threshold, and a wave of B parent keys yields up to 4B
+    concurrent tasks — the shape that keeps a 4N-executor fleet busy
+    on the tail batches (grid-measured; see BENCH/SCALING.md round 4)."""
     def run(key, pdf):
         import numpy as np
 
         from .kernel.vec import batch_clip
-        cx, cy = int(key[1]), int(key[2])
+        cz, cx, cy = int(key[0]), int(key[1]), int(key[2])
+        z2p = 1 << (cz - 1)  # parent zoom scale: windows match
+        px, py = cx >> 1, cy >> 1
         ords = [tuple(v) for v in pdf["ord_path"]]
         order = sorted(range(len(ords)), key=ords.__getitem__)
         pdf = pdf.iloc[order].reset_index(drop=True)
@@ -1086,15 +1107,15 @@ def one_wave_stage_df(candidates: DataFrame, options: TileOptions,
         k2c, k3c, k4c = 0.5 - k1c, 0.5 + k1c, 1 + k1c
         lm = options.line_metrics
         n = rags.n_feats
-        xk1 = np.full(n, (k2c if cx else -k1c))
-        xk2 = np.full(n, (k4c if cx else k3c))
+        xk1 = np.full(n, (px + (k2c if cx & 1 else -k1c)) / z2p)
+        xk2 = np.full(n, (px + (k4c if cx & 1 else k3c)) / z2p)
         side = batch_clip(rags, gcodes, mnx, mny, mxx, mxy,
                           xk1, xk2, 0, lm)
         fid_s = fids[side.src]
         tag_s = tagss[side.src]
         m = side.n_feats
-        yk1 = np.full(m, (k2c if cy else -k1c))
-        yk2 = np.full(m, (k4c if cy else k3c))
+        yk1 = np.full(m, (py + (k2c if cy & 1 else -k1c)) / z2p)
+        yk2 = np.full(m, (py + (k4c if cy & 1 else k3c)) / z2p)
         q = batch_clip(side.rags, side.gcodes, side.minx, side.miny,
                        side.maxx, side.maxy, yk1, yk2, 1, lm)
         state = (q.rags, q.gcodes, q.minx, q.miny, q.maxx, q.maxy,
@@ -1103,14 +1124,24 @@ def one_wave_stage_df(candidates: DataFrame, options: TileOptions,
         # the empty leaf tile row (a split tile's children all exist,
         # index.js:151-154), with sentinel bbox and no source pack
         tile_rows, sources = batch_split_subtree(
-            None, 1, cx, cy, options, state=state,
+            None, cz, cx, cy, options, state=state,
             root_forced_split=False)
         out = _subtree_out_pdf(tile_rows, sources)
         if out_dir is None:
             return out
-        _write_subtree_part(out, out_dir, 1, cx, cy)
-        return pd.DataFrame({"z": [1], "x": [cx], "y": [cy],
+        _write_subtree_part(out, out_dir, cz, cx, cy)
+        return pd.DataFrame({"z": [cz], "x": [cx], "y": [cy],
                              "n": [len(out)]})
 
     return candidates.groupBy("z", "x", "y").applyInPandas(
         run, SUBTREE_ACK_SCHEMA if out_dir is not None else SUBTREE_SCHEMA)
+
+
+def one_wave_stage_df(candidates: DataFrame, options: TileOptions,
+                      out_dir: str | None = None) -> DataFrame:
+    """One-wave handoff (the z0→z1 case of wave_stage_df): runs when
+    the driver's observed z0 stats prove the whole remaining pyramid
+    fits one wave of budget-sized tasks (SparkTileEngine
+    ._build_one_wave) — above that bound the per-zoom distributed
+    loop takes over, handing off via the same wave shape per batch."""
+    return wave_stage_df(candidates, options, out_dir=out_dir)
