@@ -46,7 +46,9 @@ def main() -> None:
                        os.environ.get("GVT_CODEC", "zstd"))
                .config("spark.ui.enabled", "false"))
     if cpus:
-        builder = builder.master(f"local[{cpus}]")
+        builder = (builder.master(f"local[{cpus}]")
+                   .config("spark.driver.memory",
+                           os.environ.get("GVT_DRIVER_MEM", "48g")))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext

@@ -178,6 +178,20 @@ class SparkTileEngine:
                 spark.read.parquet(self._p("features")))
         return spark.read.parquet(path)
 
+    def _set_pool(self, name: str) -> None:
+        """Assign the CURRENT THREAD's jobs to a FAIR scheduler pool.
+        With ``spark.scheduler.mode=FAIR``, pools are created on demand
+        (weight 1) and the task scheduler round-robins slots BETWEEN
+        pools — without this, every concurrent build job lands in the
+        one default pool, whose internal order is FIFO, so a wide
+        subtree wave monopolizes the fleet while the critical-path
+        split (and the next round with it) waits for leftovers: the
+        round-4 grid profile measured renders queueing 12-19 s behind
+        handoff batches.  Properties are thread-local; every pooled job
+        sets its class at entry because executor threads are reused."""
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", name)
+
     def _lineage_path(self) -> str:
         return self._p("lineage.json")
 
@@ -440,6 +454,7 @@ class SparkTileEngine:
         def job(z=z, packed=packed, keys=keys):
             import shutil
             t0 = time.monotonic()
+            self._set_pool("gvt-subtree")
             # x/y isin conjuncts are parquet-pushdownable (row-group
             # pruning); the packed-pair filter alone is an expression
             # over two columns and forces a full scan of the frontier
@@ -467,9 +482,16 @@ class SparkTileEngine:
                                     out, z + 1, cx, cy)
             os.makedirs(out, exist_ok=True)
             open(os.path.join(out, "_SUCCESS"), "w").close()
+            tasks = sorted(((float(r["secs"]), int(r["n_cand"]),
+                             int(r["x"]), int(r["y"])) for r in acks),
+                           reverse=True)
             self._append_lineage({
                 "subtree_batch": z, "n_keys": len(packed),
-                "wall_sec": round(time.monotonic() - t0, 2)})
+                "wall_sec": round(time.monotonic() - t0, 2),
+                "n_tasks": len(tasks),
+                "task_secs_sum": round(sum(s for s, *_ in tasks), 2),
+                "top_tasks": [[x, y, nc, round(s, 2)]
+                              for s, nc, x, y in tasks[:5]]})
 
         futures.append(pool.submit(job))
 
@@ -518,6 +540,7 @@ class SparkTileEngine:
                 conf.set(k, v)
         try:
             import shutil
+            self._set_pool("gvt-subtree")
             out = self._p("subtree", "b=1")
             if os.path.isdir(out):
                 shutil.rmtree(out)  # overwrite semantics incl. partials
@@ -576,14 +599,16 @@ class SparkTileEngine:
             # the durable features checkpoint rides CONCURRENTLY with
             # the wave (both read the warm cache); it must only be on
             # disk before the lineage commit below
-            fut_ck = pool.submit(
-                lambda: cached.write.mode("overwrite")
-                .parquet(self._p("features")))
+            def ck_job():
+                self._set_pool("gvt-sources")
+                cached.write.mode("overwrite").parquet(self._p("features"))
+            fut_ck = pool.submit(ck_job)
         else:
             fr0 = self._read_frontier(0)
         obs_r = Observation()
 
         def render_job():
+            self._set_pool("gvt-render")
             (rendered_features_df(fr0, opts).drop("z")
              .observe(obs_r, F.sum("n_simplified").alias("ns"))
              .write.mode("overwrite")
@@ -942,6 +967,7 @@ class SparkTileEngine:
                               flag=split_flag, obs=obs, children=children):
                     if flag["cancelled"]:
                         return
+                    self._set_pool("gvt-split")
                     spark.sparkContext.setLocalProperty(
                         "spark.jobGroup.id", grp)
                     try:
@@ -965,10 +991,13 @@ class SparkTileEngine:
             # (the per-tile features_json is materialized lazily on read;
             # a single 100MB tile string would serialize one reduce task)
             tilefeat_path = self._p("tilefeat", f"z={z}")
-            fut_tilefeat = pool.submit(
-                lambda fr=frontier, p=tilefeat_path:
-                rendered_features_df(fr, opts).drop("z")
-                .write.mode("overwrite").parquet(p))
+
+            def render_job(fr=frontier, p=tilefeat_path):
+                self._set_pool("gvt-render")
+                (rendered_features_df(fr, opts).drop("z")
+                 .write.mode("overwrite").parquet(p))
+
+            fut_tilefeat = pool.submit(render_job)
 
             # classification stats come straight from the frontier with
             # a pure-SQL agg (num_points counts every vertex incl. rings
@@ -1041,6 +1070,19 @@ class SparkTileEngine:
             light = [(x, y) for x, y, np_ in splits if np_ <= threshold]
             heavy = [(x, y) for x, y, np_ in splits if np_ > threshold]
             heavy_points = sum(np_ for _, _, np_ in splits if np_ > threshold)
+            if z == opts.index_max_zoom - 1 and heavy and light:
+                # final-level rule: when any tile stays heavy, the
+                # z+1 round happens regardless — and that round's
+                # render/stats/sources are all NARROW distributed maps
+                # that absorb max-zoom leaves at fleet parallelism.
+                # Handing off the light splits would only convert
+                # their children into single-task wave stragglers (the
+                # densest metro leaf gated the 2M/4M grid builds for
+                # 20-60 s of near-idle fleet), so route everything
+                # through the final distributed round instead.
+                heavy = [(x, y) for x, y, _ in splits]
+                light = []
+                heavy_points = sum(np_ for _, _, np_ in splits)
 
             # all 4 children of every split tile at z-1 exist as tiles,
             # even empty ones (index.js:151-154 pushes `tl || []`);
@@ -1067,14 +1109,15 @@ class SparkTileEngine:
                          if (x, y) not in split_set]
             fut_sources = None
             if leaf_keys:
-                fut_sources = pool.submit(
-                    lambda z=z, lp=list(leaf_packed), lk=leaf_keys:
-                    self._read_frontier(z).where(
+                def sources_job(z=z, lp=list(leaf_packed), lk=leaf_keys):
+                    self._set_pool("gvt-sources")
+                    (self._read_frontier(z).where(
                         F.col("x").isin([int(x) for x, _ in lk]) &
                         F.col("y").isin([int(y) for _, y in lk]) &
                         _pack_col().isin(lp))
-                    .drop("z").write.mode("overwrite")
-                    .parquet(self._p("sources", f"z={z}")))
+                     .drop("z").write.mode("overwrite")
+                     .parquet(self._p("sources", f"z={z}")))
+                fut_sources = pool.submit(sources_job)
 
             self._submit_subtree(pool, futures, z, light)
             final = not heavy
@@ -1091,6 +1134,7 @@ class SparkTileEngine:
                          tilefeat_path=tilefeat_path, _tm=_tm, t0=t0,
                          prev_fin=prev_finalize):
                 import pandas as pd
+                self._set_pool("gvt-finalize")
                 _t = time.monotonic()
                 fut_tilefeat.result()
                 _tm["assemble_wait"] = time.monotonic() - _t
@@ -1179,6 +1223,7 @@ class SparkTileEngine:
                 # deferred split: the heavy set is known, so clip only
                 # the heavy parents' rows — light/leaf children come
                 # from the subtree batches and are never read
+                self._set_pool("gvt-split")
                 hp = [_pack_xy(x, y) for x, y in heavy]
                 fr_heavy = frontier.where(
                     F.col("x").isin([int(x) for x, _ in heavy]) &
@@ -1196,7 +1241,9 @@ class SparkTileEngine:
                     dobs = Observation()
                     out = out.observe(dobs, *_child_obs_metrics(children))
                     next_obs = (dobs, children)
-                (out.repartition(n_parts).write.mode("overwrite")
+                if os.environ.get("GVT_NO_REPART", "0") != "1":
+                    out = out.repartition(n_parts)
+                (out.write.mode("overwrite")
                  .parquet(self._p("frontier", f"z={z+1}")))
                 _tm["split_sync"] = time.monotonic() - _t
             split_obs = next_obs if not final else None

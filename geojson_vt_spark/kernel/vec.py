@@ -1119,23 +1119,41 @@ def arrays_to_rags(coords_list, ring_lens3_list, gcodes, poly_lens_list,
     Only MultiPolygon features need a scalar loop (poly regrouping);
     everything else is np.concatenate / repeat / ragged_arange."""
     n = len(gcodes)
-    gcodes = np.asarray(gcodes, dtype=np.int64)
     nr = np.fromiter((len(r) for r in ring_lens3_list), dtype=np.int64,
                      count=n)
     R = int(nr.sum())
-    rlens = (np.concatenate(ring_lens3_list).astype(np.int64) // 3
-             if R else np.empty(0, dtype=np.int64))
+    rlens3 = (np.concatenate(ring_lens3_list).astype(np.int64)
+              if R else np.empty(0, dtype=np.int64))
     xyz = (np.concatenate(coords_list)
            if n else np.empty(0))
+    rsize = (np.concatenate(sizes_list) if R else np.empty(0))
+    rstart = (np.concatenate(starts_list) if R else np.empty(0))
+    rend = (np.concatenate(ends_list) if R else np.empty(0))
+    return flats_to_rags(xyz, nr, rlens3, rsize, rstart, rend, gcodes,
+                         poly_lens_list.__getitem__)
+
+
+def flats_to_rags(xyz, nr, rlens3, rsize, rstart, rend, gcodes,
+                  poly_lens_for):
+    """Flat ragged buffers → Rags: the zero-boxing constructor both the
+    pandas column-of-arrays path (arrays_to_rags) and the Arrow-native
+    path (pipeline._arrow_state) share.
+
+    xyz: all coords concatenated; nr: rings per feature; rlens3:
+    concatenated ring lens (×3); rsize/rstart/rend: concatenated ring
+    metrics; poly_lens_for(fi): per-feature poly_lens accessor (only
+    called for MultiPolygon features)."""
+    n = len(gcodes)
+    gcodes = np.asarray(gcodes, dtype=np.int64)
+    R = int(nr.sum())
+    rlens = (np.asarray(rlens3, dtype=np.int64) // 3
+             if R else np.empty(0, dtype=np.int64))
     xs = np.ascontiguousarray(xyz[0::3])
     ys = np.ascontiguousarray(xyz[1::3])
     zs = np.ascontiguousarray(xyz[2::3])
     roff = np.zeros(R + 1, dtype=np.int64)
     np.cumsum(rlens, out=roff[1:])
     rfeat = np.repeat(np.arange(n, dtype=np.int64), nr)
-    rsize = (np.concatenate(sizes_list) if R else np.empty(0))
-    rstart = (np.concatenate(starts_list) if R else np.empty(0))
-    rend = (np.concatenate(ends_list) if R else np.empty(0))
 
     ring_in_feat = ragged_arange(nr)
     code_r = gcodes[rfeat] if R else np.empty(0, dtype=np.int64)
@@ -1146,7 +1164,7 @@ def arrays_to_rags(coords_list, ring_lens3_list, gcodes, poly_lens_list,
         f_roff = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(nr, out=f_roff[1:])
         for fi in mp:
-            pl = poly_lens_list[fi]
+            pl = poly_lens_for(fi)
             at = int(f_roff[fi])
             for pi, cnt in enumerate(pl):
                 rpoly[at] = pi

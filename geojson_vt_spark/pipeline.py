@@ -17,6 +17,7 @@ partial aggregation.
 from __future__ import annotations
 
 import json
+import time
 
 from .kernel.fastjson import dumps as _jdumps, loads as _jloads
 
@@ -402,47 +403,72 @@ def rendered_features_df(frontier: DataFrame,
     explicit ord_path key (Spark guarantees no row order; the reference
     guarantees insertion order, SURVEY.md §2.6 A1)."""
     def per_feature(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         from .kernel.vec import GT_LINE, batch_assemble
         lm = options.line_metrics
-        for pdf in batches:
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
             (rags, gcodes, mnx, mny, mxx, mxy,
-             fids, tagss, ords) = _pdf_state(pdf)
-            tz = pdf["z"].to_numpy(dtype=np.int64)
-            tx = pdf["x"].to_numpy(dtype=np.int64)
-            ty = pdf["y"].to_numpy(dtype=np.int64)
+             _f, tagss) = _arrow_state(tbl, sort=False, strings=lm)
+            col = {nm: rb.column(rb.schema.get_field_index(nm))
+                   for nm in ("z", "x", "y", "ord_path",
+                              "tags_json", "fid_json")}
+            tz = col["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tx = col["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ty = col["y"].to_numpy(zero_copy_only=False).astype(np.int64)
             geom, n_pts, n_sim = batch_assemble(rags, gcodes, tz, tx, ty,
                                                 options)
             fb, pb = geom.feature_offsets()
             flat = geom.pairs.reshape(-1).astype(np.int32)
             rl32 = geom.r_len.astype(np.int32)
-            n = len(gcodes)
-            coords_col = [flat[2 * pb[i]:2 * pb[i + 1]] for i in range(n)]
-            rlens_col = [rl32[fb[i]:fb[i + 1]] for i in range(n)]
-            tags_col = list(tagss)
+            # rendered geometry leaves the task as flat Arrow list
+            # buffers — no per-row numpy slicing, no object columns
+            coords_arr = pa.ListArray.from_arrays(
+                pa.array((2 * pb).astype(np.int32), pa.int32()),
+                pa.array(flat, pa.int32()))
+            rlens_arr = pa.ListArray.from_arrays(
+                pa.array(fb.astype(np.int32), pa.int32()),
+                pa.array(rl32, pa.int32()))
+            tags_arr = col["tags_json"]
             if lm:
-                sizes = pdf["ring_size"].to_numpy()
-                starts = pdf["ring_start"].to_numpy()
-                ends = pdf["ring_end"].to_numpy()
-                for fi in np.nonzero((geom.ftype > 0) &
-                                     (gcodes == GT_LINE))[0]:
-                    tags = _jloads(tags_col[fi]) if tags_col[fi] else {}
-                    size = float(sizes[fi][0])
-                    tags["mapbox_clip_start"] = float(starts[fi][0]) / size
-                    tags["mapbox_clip_end"] = float(ends[fi][0]) / size
-                    tags_col[fi] = _jdumps(tags)
-            yield pd.DataFrame({
-                "z": tz, "x": tx, "y": ty,
-                "ord_path": ords,
-                "gtype": geom.ftype.astype(np.int32),
-                "coords": coords_col,
-                "rlens": rlens_col,
-                "tags_json": tags_col,
-                "fid_json": list(fids),
-                "n_points": n_pts, "n_simplified": n_sim,
-                "minx": mnx, "miny": mny, "maxx": mxx, "maxy": mxy,
-            })
+                hit = np.nonzero((geom.ftype > 0) &
+                                 (gcodes == GT_LINE))[0]
+                if len(hit):
+                    sizes = pc.list_flatten(tbl.column("ring_size")) \
+                        .to_numpy(zero_copy_only=False)
+                    starts = pc.list_flatten(tbl.column("ring_start")) \
+                        .to_numpy(zero_copy_only=False)
+                    ends = pc.list_flatten(tbl.column("ring_end")) \
+                        .to_numpy(zero_copy_only=False)
+                    roffs = np.zeros(len(gcodes) + 1, dtype=np.int64)
+                    np.cumsum(pc.fill_null(pc.list_value_length(
+                        tbl.column("ring_size")), 0).to_numpy(
+                        zero_copy_only=False), out=roffs[1:])
+                    tags_col = list(tagss)
+                    for fi in hit:
+                        tags = (_jloads(tags_col[fi])
+                                if tags_col[fi] else {})
+                        at = int(roffs[fi])
+                        size = float(sizes[at])
+                        tags["mapbox_clip_start"] = float(starts[at]) / size
+                        tags["mapbox_clip_end"] = float(ends[at]) / size
+                        tags_col[fi] = _jdumps(tags)
+                    tags_arr = pa.array(tags_col, type=pa.string())
+            yield pa.RecordBatch.from_arrays([
+                col["z"], col["x"], col["y"], col["ord_path"],
+                pa.array(geom.ftype.astype(np.int32), pa.int32()),
+                coords_arr, rlens_arr, tags_arr, col["fid_json"],
+                pa.array(n_pts.astype(np.int64), pa.int64()),
+                pa.array(n_sim.astype(np.int64), pa.int64()),
+                pa.array(mnx, pa.float64()), pa.array(mny, pa.float64()),
+                pa.array(mxx, pa.float64()), pa.array(mxy, pa.float64()),
+            ], names=["z", "x", "y", "ord_path", "gtype", "coords",
+                      "rlens", "tags_json", "fid_json", "n_points",
+                      "n_simplified", "minx", "miny", "maxx", "maxy"])
 
-    return frontier.mapInPandas(per_feature, _MAPPED_SCHEMA)
+    return frontier.mapInArrow(per_feature, _MAPPED_SCHEMA)
 
 
 # ---------------------------------------------------------------- subtree
@@ -949,7 +975,8 @@ def _subtree_out_pdf(tile_rows, sources) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=_SUBTREE_COLUMNS)
 
 
-SUBTREE_ACK_SCHEMA = "z int, x int, y int, n long"
+SUBTREE_ACK_SCHEMA = ("z int, x int, y int, n long, "
+                      "n_cand long, secs double")
 
 
 def _write_subtree_part(out_pdf: pd.DataFrame, out_dir: str,
@@ -999,6 +1026,7 @@ def subtree_stage_df(frontier: DataFrame, options: TileOptions,
     (see _write_subtree_part) and the returned frame carries one slim
     ack row per group instead of the packed rows."""
     def run(key, pdf):
+        t0 = time.monotonic()
         z0, x0, y0 = int(key[0]), int(key[1]), int(key[2])
         # materialize sort keys once — a per-comparison .iloc lambda
         # costs ~10µs/row and was a visible slice of the task wall
@@ -1013,7 +1041,8 @@ def subtree_stage_df(frontier: DataFrame, options: TileOptions,
             return out
         _write_subtree_part(out, out_dir, z0, x0, y0)
         return pd.DataFrame({"z": [z0], "x": [x0], "y": [y0],
-                             "n": [len(out)]})
+                             "n": [len(out)], "n_cand": [len(pdf)],
+                             "secs": [time.monotonic() - t0]})
 
     return frontier.groupBy("z", "x", "y").applyInPandas(
         run, SUBTREE_ACK_SCHEMA if out_dir is not None else SUBTREE_SCHEMA)
@@ -1070,6 +1099,88 @@ def one_wave_children_df(frontier0: DataFrame,
     return wave_children_df(frontier0, 0, options)
 
 
+def _arrow_state(tbl, sort=True, strings=True):
+    """One Arrow table → kernel state (ord-sorted when ``sort``), zero
+    pandas boxing: list columns flatten to their backing buffers
+    (pyarrow list_flatten / list_value_length are C++), the ord sort is
+    one np.lexsort over the reshaped fixed-width ord_path matrix, and
+    the rags build goes through the shared flats_to_rags constructor.
+    With ``strings=False`` the fid/tags object arrays are skipped (the
+    caller passes the Arrow columns through unchanged).  The pandas
+    map paths paid ~60 µs/feature in Arrow→object-column conversion +
+    tuple sorts — ~70% of a dense handoff task's wall at 2M pages
+    (measured round 4; the kernel itself was the other 30%)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .kernel.vec import GT_CODE, flats_to_rags
+    tbl = tbl.combine_chunks()
+    n = tbl.num_rows
+
+    def _flat(name, dtype):
+        return pc.list_flatten(tbl.column(name)).to_numpy(
+            zero_copy_only=False).astype(dtype, copy=False)
+
+    def _lens(name):
+        # null lists (e.g. poly_lens on non-MultiPolygon rows) count 0,
+        # matching the pandas path where they are simply never touched
+        return pc.fill_null(
+            pc.list_value_length(tbl.column(name)), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+
+    if sort and n:
+        ord_lens = _lens("ord_path")
+        ord_vals = _flat("ord_path", np.int64)
+        if ord_lens.min() == ord_lens.max():
+            mat = ord_vals.reshape(n, int(ord_lens[0]))
+            order = np.lexsort(mat.T[::-1])
+        else:  # mixed-depth groups (never produced by one build)
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(ord_lens, out=offs[1:])
+            ords = [tuple(ord_vals[offs[i]:offs[i + 1]])
+                    for i in range(n)]
+            order = np.asarray(
+                sorted(range(n), key=ords.__getitem__), dtype=np.int64)
+        if not np.array_equal(order, np.arange(n)):
+            tbl = tbl.take(pa.array(order)).combine_chunks()
+
+    gt = tbl.column("gtype")
+    if isinstance(gt, pa.ChunkedArray):
+        gt = (gt.chunk(0) if gt.num_chunks == 1
+              else pa.concat_arrays(
+                  [c.cast(gt.type) for c in gt.chunks])
+              if gt.num_chunks else pa.array([], gt.type))
+    enc = gt.dictionary_encode()
+    code_map = np.asarray([GT_CODE[s] for s in enc.dictionary.to_pylist()],
+                          dtype=np.int64)
+    gcodes = (code_map[enc.indices.to_numpy(zero_copy_only=False)]
+              if n else np.empty(0, dtype=np.int64))
+
+    nr = _lens("ring_lens")
+    pl_lens = _lens("poly_lens")
+    pl_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(pl_lens, out=pl_off[1:])
+    pl_flat = _flat("poly_lens", np.int64)
+
+    rags = flats_to_rags(
+        _flat("coords", np.float64), nr, _flat("ring_lens", np.int64),
+        _flat("ring_size", np.float64), _flat("ring_start", np.float64),
+        _flat("ring_end", np.float64), gcodes,
+        lambda fi: pl_flat[pl_off[fi]:pl_off[fi + 1]])
+
+    def _np(name):
+        return tbl.column(name).to_numpy(zero_copy_only=False)
+
+    return (rags, gcodes,
+            _np("minx").astype(np.float64, copy=False),
+            _np("miny").astype(np.float64, copy=False),
+            _np("maxx").astype(np.float64, copy=False),
+            _np("maxy").astype(np.float64, copy=False),
+            _np("fid_json") if strings else None,
+            _np("tags_json") if strings else None)
+
+
 def wave_stage_df(candidates: DataFrame, options: TileOptions,
                   out_dir: str | None = None) -> DataFrame:
     """Wave handoff: candidate rows from wave_children_df, grouped by
@@ -1089,20 +1200,20 @@ def wave_stage_df(candidates: DataFrame, options: TileOptions,
     handoff threshold, and a wave of B parent keys yields up to 4B
     concurrent tasks — the shape that keeps a 4N-executor fleet busy
     on the tail batches (grid-measured; see BENCH/SCALING.md round 4)."""
-    def run(key, pdf):
+    def run(key, tbl):
         import numpy as np
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         from .kernel.vec import batch_clip
-        cz, cx, cy = int(key[0]), int(key[1]), int(key[2])
+        t0 = time.monotonic()
+        cz, cx, cy = (int(key[0].as_py()), int(key[1].as_py()),
+                      int(key[2].as_py()))
         z2p = 1 << (cz - 1)  # parent zoom scale: windows match
         px, py = cx >> 1, cy >> 1
-        ords = [tuple(v) for v in pdf["ord_path"]]
-        order = sorted(range(len(ords)), key=ords.__getitem__)
-        pdf = pdf.iloc[order].reset_index(drop=True)
         (rags, gcodes, mnx, mny, mxx, mxy,
-         fids, tagss, _o) = _pdf_state(pdf)
-        fids = np.asarray(fids, dtype=object)
-        tagss = np.asarray(tagss, dtype=object)
+         fids, tagss) = _arrow_state(tbl)
         k1c = 0.5 * options.buffer / options.extent
         k2c, k3c, k4c = 0.5 - k1c, 0.5 + k1c, 1 + k1c
         lm = options.line_metrics
@@ -1128,12 +1239,20 @@ def wave_stage_df(candidates: DataFrame, options: TileOptions,
             root_forced_split=False)
         out = _subtree_out_pdf(tile_rows, sources)
         if out_dir is None:
-            return out
+            return pa.Table.from_pandas(
+                out, schema=to_arrow_schema(SUBTREE_SCHEMA),
+                preserve_index=False)
         _write_subtree_part(out, out_dir, cz, cx, cy)
-        return pd.DataFrame({"z": [cz], "x": [cx], "y": [cy],
-                             "n": [len(out)]})
+        return pa.table(
+            {"z": [cz], "x": [cx], "y": [cy], "n": [len(out)],
+             "n_cand": [tbl.num_rows],
+             "secs": [time.monotonic() - t0]},
+            schema=pa.schema([("z", pa.int32()), ("x", pa.int32()),
+                              ("y", pa.int32()), ("n", pa.int64()),
+                              ("n_cand", pa.int64()),
+                              ("secs", pa.float64())]))
 
-    return candidates.groupBy("z", "x", "y").applyInPandas(
+    return candidates.groupBy("z", "x", "y").applyInArrow(
         run, SUBTREE_ACK_SCHEMA if out_dir is not None else SUBTREE_SCHEMA)
 
 
