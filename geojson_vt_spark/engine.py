@@ -1246,6 +1246,13 @@ class SparkTileEngine:
                 (out.write.mode("overwrite")
                  .parquet(self._p("frontier", f"z={z+1}")))
                 _tm["split_sync"] = time.monotonic() - _t
+                # the zoom row itself is finalized asynchronously and
+                # usually lands before this point — record the round
+                # cadence gate as its own (resume-inert) lineage row
+                self._append_lineage({
+                    "split_for": z + 1, "n_heavy": len(heavy),
+                    "heavy_points": heavy_points,
+                    "wall_sec": round(_tm["split_sync"], 2)})
             split_obs = next_obs if not final else None
             prev_points = heavy_points
             if final:
