@@ -170,6 +170,70 @@ def _clip_out_pdf(res, fids, tagss, ords, extra=None,
     return pd.DataFrame(data, columns=cols)
 
 
+def _clip_out_geometry_arrays(res) -> dict:
+    """ClipResult → Arrow arrays for the FEATURE geometry columns
+    (gtype/coords/ring_lens/poly_lens/ring metrics/bbox), built
+    straight from the rag flats with ``pa.ListArray.from_arrays`` —
+    the Arrow egress twin of _clip_out_pdf, with zero per-feature
+    object boxing.  poly_lens regrouping is a flat bincount over
+    global (feature, poly) ids instead of the per-MultiPolygon loop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .kernel.vec import GT_MPOLY, GTYPES, rags_to_feature_arrays
+    rg = res.rags
+    n = res.n_feats
+    f_roff, xyz = rags_to_feature_arrays(rg)
+
+    def _list(offs, values):
+        return pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32, copy=False), pa.int32()),
+            values)
+
+    f_roff32 = f_roff
+    coords = _list(3 * rg.roff[f_roff], pa.array(xyz, pa.float64()))
+    lens3 = (rg.ring_lens() * 3).astype(np.int32)
+    ring_lens = _list(f_roff32, pa.array(lens3, pa.int32()))
+    ring_size = _list(f_roff32, pa.array(rg.rsize, pa.float64()))
+    ring_start = _list(f_roff32, pa.array(rg.rstart, pa.float64()))
+    ring_end = _list(f_roff32, pa.array(rg.rend, pa.float64()))
+
+    gcodes = np.asarray(res.gcodes, dtype=np.int64)
+    mp = gcodes == GT_MPOLY
+    nr_f = f_roff[1:] - f_roff[:-1]
+    npoly = np.zeros(n, dtype=np.int64)
+    hasr = mp & (nr_f > 0)
+    if hasr.any():
+        # rpoly is 0-based and monotone within a feature: the last
+        # ring's poly index + 1 is the feature's polygon count
+        npoly[hasr] = rg.rpoly[f_roff[1:][hasr] - 1] + 1
+    poff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(npoly, out=poff[1:])
+    if poff[-1]:
+        valid = mp[rg.rfeat]
+        gid = (poff[rg.rfeat] + rg.rpoly)[valid]
+        pl_flat = np.bincount(gid, minlength=int(poff[-1])).astype(
+            np.int32)
+    else:
+        pl_flat = np.empty(0, dtype=np.int32)
+    poly_lens = pa.ListArray.from_arrays(
+        pa.array(poff.astype(np.int32),
+                 mask=np.concatenate([~mp, [False]])),
+        pa.array(pl_flat, pa.int32()))
+
+    gtype = pc.take(pa.array(list(GTYPES), pa.string()),
+                    pa.array(gcodes))
+    return {
+        "gtype": gtype, "coords": coords, "ring_lens": ring_lens,
+        "poly_lens": poly_lens, "ring_size": ring_size,
+        "ring_start": ring_start, "ring_end": ring_end,
+        "minx": pa.array(res.minx, pa.float64()),
+        "miny": pa.array(res.miny, pa.float64()),
+        "maxx": pa.array(res.maxx, pa.float64()),
+        "maxy": pa.array(res.maxy, pa.float64()),
+    }
+
+
 def clip_result_records(res, srcs_by_out, ords) -> list[dict]:
     """Materialize a ClipResult into FEATURE records; fid/tags come from
     the per-output source records (aligned with output features),
@@ -309,15 +373,52 @@ def split_children_df(frontier: DataFrame, z: int,
                 .withColumn("udf_mask", udf_mask)
                 .where(F.col("udf_mask") > 0))
 
-    def run(batches):
+    def run_arrow(batches):
+        """Arrow-native crossing kernel: list columns flatten straight
+        into the rag flats (_arrow_state) and the clip results emit as
+        pa.ListArray batches (_clip_out_geometry_arrays); fid/tags
+        pass through as Arrow strings via pc.take — no pandas object
+        boxing on either side of the kernel.  Byte-identical to the
+        retired mapInPandas run — pinned against the object kernel on
+        mixed geometry by tests/test_pipeline.py::
+        test_split_arrow_loop_matches_object_kernel and against the
+        wave kernel by test_one_wave_matches_loop_layout."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         from .kernel.vec import batch_clip, take_features
-        for pdf in batches:
+        out_schema = to_arrow_schema(TILED_FEATURE_SCHEMA)
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            tbl = pa.Table.from_batches([rb])
             (rags, gcodes, mnx, mny, mxx, mxy,
-             fids, tagss, ords_in) = _pdf_state(pdf)
-            tx = pdf["x"].to_numpy(dtype=np.int64)
-            ty = pdf["y"].to_numpy(dtype=np.int64)
-            mask = pdf["udf_mask"].to_numpy(dtype=np.int64)
-            parts = []
+             _, _) = _arrow_state(tbl, sort=False, strings=False)
+            fid_col = tbl.column("fid_json").chunk(0)
+            tags_col = tbl.column("tags_json").chunk(0)
+            ord_lens = pc.fill_null(
+                pc.list_value_length(tbl.column("ord_path")),
+                0).to_numpy(zero_copy_only=False).astype(np.int64)
+            ord_flat = pc.list_flatten(tbl.column("ord_path")).to_numpy(
+                zero_copy_only=False).astype(np.int64, copy=False)
+            fixed = ord_lens.min() == ord_lens.max()
+            if fixed:
+                w = int(ord_lens[0])
+                ords_mat = ord_flat.reshape(n, w)
+            else:  # mixed-depth ord groups (never produced by one build)
+                ooffs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(ord_lens, out=ooffs[1:])
+
+            def _np(name, dtype):
+                return tbl.column(name).to_numpy(
+                    zero_copy_only=False).astype(dtype, copy=False)
+
+            tx = _np("x", np.int64)
+            ty = _np("y", np.int64)
+            mask = _np("udf_mask", np.int64)
             for dx in (0, 1):
                 selx = np.nonzero(mask & ((1 << dx) | (1 << (dx + 2))))[0]
                 if not len(selx):
@@ -342,25 +443,51 @@ def split_children_df(frontier: DataFrame, z: int,
                                       side.minx[keep], side.miny[keep],
                                       side.maxx[keep], side.maxy[keep],
                                       yk1, yk2, 1, lm)
-                    if resq.n_feats == 0:
+                    k = resq.n_feats
+                    if k == 0:
                         continue
                     orig = side_orig[keep][resq.src]
                     xi = side.sub_ord[keep][resq.src]
-                    ords = [[*ords_in[int(o)], int(i), int(j)]
-                            for o, i, j in zip(orig, xi, resq.sub_ord)]
-                    parts.append(_clip_out_pdf(
-                        resq, fids, tagss, ords,
-                        extra={"z": np.full(len(orig), z + 1,
-                                            dtype=np.int32),
-                               "x": (tx[orig] * 2 + dx).astype(np.int32),
-                               "y": (ty[orig] * 2 + dy).astype(np.int32)},
-                        src=orig))
-            if parts:
-                yield pd.concat(parts, ignore_index=True)
-            else:
-                yield records_to_pdf([], columns=TILED_COLUMNS)
+                    if fixed:
+                        out_mat = np.empty((k, w + 2), dtype=np.int64)
+                        out_mat[:, :w] = ords_mat[orig]
+                        out_mat[:, w] = xi
+                        out_mat[:, w + 1] = resq.sub_ord
+                        ord_arr = pa.ListArray.from_arrays(
+                            pa.array((np.arange(k + 1) * (w + 2)).astype(
+                                np.int32), pa.int32()),
+                            pa.array(out_mat.ravel(), pa.int64()))
+                    else:
+                        ord_arr = pa.array(
+                            [[*ord_flat[ooffs[o]:ooffs[o + 1]],
+                              int(i), int(j)]
+                             for o, i, j in zip(orig, xi, resq.sub_ord)],
+                            pa.list_(pa.int64()))
+                    geo = _clip_out_geometry_arrays(resq)
+                    idx = pa.array(orig)
+                    arrays = [
+                        pa.array(np.full(k, z + 1, dtype=np.int32),
+                                 pa.int32()),
+                        pa.array((tx[orig] * 2 + dx).astype(np.int32),
+                                 pa.int32()),
+                        pa.array((ty[orig] * 2 + dy).astype(np.int32),
+                                 pa.int32()),
+                        ord_arr,
+                        pc.take(fid_col, idx),
+                        pc.take(tags_col, idx),
+                        geo["gtype"], geo["coords"], geo["ring_lens"],
+                        geo["poly_lens"], geo["ring_size"],
+                        geo["ring_start"], geo["ring_end"],
+                        geo["minx"], geo["miny"], geo["maxx"], geo["maxy"],
+                    ]
+                    # cast is metadata-only: list child fields rename
+                    # item→element to match Spark's arrow schema
+                    yield (pa.Table.from_arrays(arrays,
+                                                names=TILED_COLUMNS)
+                           .cast(pa.schema(out_schema))
+                           .to_batches()[0])
 
-    clipped = crossing.mapInPandas(run, TILED_FEATURE_SCHEMA)
+    clipped = crossing.mapInArrow(run_arrow, TILED_FEATURE_SCHEMA)
     return passed.unionByName(clipped.select(*TILED_COLUMNS))
 
 
