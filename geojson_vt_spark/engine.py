@@ -49,6 +49,7 @@ from .kernel.index import to_id
 from .model import FEATURE_COLUMNS, TILED_COLUMNS
 from .options import TileOptions
 from .pipeline import (_subtree_out_pdf, _write_subtree_part,
+                       render_files_direct, split_files_direct,
                        batch_split_subtree, features_from_json_df,
                        geojson_to_input_rows, one_wave_children_df,
                        one_wave_stage_df, rendered_features_df,
@@ -73,6 +74,15 @@ _TILE_STATS_SCHEMA = T.StructType([
     T.StructField("has_source", T.BooleanType(), False),
     T.StructField("tile_id", T.LongType(), False),
 ])
+
+
+def _has_parquet(path: str) -> bool:
+    """True when ``path`` is a local dir holding ≥1 parquet part —
+    the eligibility gate for the direct (task-side pyarrow) stages."""
+    try:
+        return any(f.endswith(".parquet") for f in os.listdir(path))
+    except OSError:
+        return False
 
 
 def _pack_xy(x: int, y: int) -> int:
@@ -913,6 +923,7 @@ class SparkTileEngine:
         prev_points = 0
         prev_finalize = None
         split_obs = None  # (Observation, child_keys) from the last split
+        split_direct = None  # ack-aggregated stats from a direct split
         while True:
             t0 = time.monotonic()
             frontier = self._read_frontier(z)
@@ -944,6 +955,7 @@ class SparkTileEngine:
             split_group = None
             defer_split = heavy_prev is not None
             next_obs = None
+            next_direct = None
             if z < opts.index_max_zoom and not defer_split:
                 n_parts = max(par, min(
                     4096,
@@ -992,10 +1004,32 @@ class SparkTileEngine:
             # a single 100MB tile string would serialize one reduce task)
             tilefeat_path = self._p("tilefeat", f"z={z}")
 
-            def render_job(fr=frontier, p=tilefeat_path):
+            # direct per-file render when the frontier is a local
+            # parquet dir (pipeline.render_files_direct): pyarrow
+            # read/render/write task-side, nsim sums back as acks —
+            # removes the JVM decode, both Arrow pipe crossings, the
+            # JVM writer, AND the finalizer's re-scan groupBy job
+            render_in = seed0 = None
+            if os.environ.get("GVT_DIRECT_RENDER", "1") != "0":
+                fz = self._p("frontier", f"z={z}")
+                feat = self._p("features")
+                if _has_parquet(fz):
+                    render_in, seed0 = fz, False
+                elif z == 0 and _has_parquet(feat):
+                    render_in, seed0 = feat, True
+            ns_box: dict = {}
+
+            def render_job(fr=frontier, p=tilefeat_path, z=z,
+                           render_in=render_in, seed0=seed0,
+                           parents=heavy_prev, ns_box=ns_box):
                 self._set_pool("gvt-render")
-                (rendered_features_df(fr, opts).drop("z")
-                 .write.mode("overwrite").parquet(p))
+                if render_in is not None:
+                    ns_box["nsim"] = render_files_direct(
+                        self.spark, z, parents, opts, render_in, p,
+                        z0_seed=seed0)
+                else:
+                    (rendered_features_df(fr, opts).drop("z")
+                     .write.mode("overwrite").parquet(p))
 
             fut_tilefeat = pool.submit(render_job)
 
@@ -1008,6 +1042,10 @@ class SparkTileEngine:
             # arrive precomputed (observed during the features write)
             if z == 0 and z0_stats is not None:
                 stats = z0_stats
+            elif split_direct is not None:
+                # this zoom's stats came back as direct-split acks —
+                # heavy-only by construction, no re-scan, no filter
+                stats = split_direct
             elif split_obs is not None:
                 # this zoom's stats were observed during the split job
                 # that produced its frontier; restrict to children of
@@ -1132,16 +1170,20 @@ class SparkTileEngine:
                          n_empty=n_empty, fut_tilefeat=fut_tilefeat,
                          fut_sources=fut_sources, final=final,
                          tilefeat_path=tilefeat_path, _tm=_tm, t0=t0,
-                         prev_fin=prev_finalize):
+                         ns_box=ns_box, prev_fin=prev_finalize):
                 import pandas as pd
                 self._set_pool("gvt-finalize")
                 _t = time.monotonic()
                 fut_tilefeat.result()
                 _tm["assemble_wait"] = time.monotonic() - _t
-                nsim = {(r["x"], r["y"]): r["ns"] for r in
-                        (spark.read.parquet(tilefeat_path)
-                         .groupBy("x", "y")
-                         .agg(F.sum("n_simplified").alias("ns")).collect())}
+                if "nsim" in ns_box:  # direct render returned the sums
+                    nsim = ns_box["nsim"]
+                else:
+                    nsim = {(r["x"], r["y"]): r["ns"] for r in
+                            (spark.read.parquet(tilefeat_path)
+                             .groupBy("x", "y")
+                             .agg(F.sum("n_simplified").alias("ns"))
+                             .collect())}
                 _t = time.monotonic()
                 split_lookup = {(x, y) for x, y, _ in splits}
                 tiles_pdf = pd.DataFrame({
@@ -1224,36 +1266,74 @@ class SparkTileEngine:
                 # the heavy parents' rows — light/leaf children come
                 # from the subtree batches and are never read
                 self._set_pool("gvt-split")
-                hp = [_pack_xy(x, y) for x, y in heavy]
-                fr_heavy = frontier.where(
-                    F.col("x").isin([int(x) for x, _ in heavy]) &
-                    F.col("y").isin([int(y) for _, y in heavy]) &
-                    _pack_col().isin(hp))
-                n_parts = max(par, min(
-                    4096, heavy_points // self.target_points_per_partition + 1))
-                out = split_children_df(fr_heavy, z, opts).select(
-                    "*", n_verts)
-                if 4 * len(heavy) <= _OBS_MAX_CHILDREN:
-                    from pyspark.sql import Observation
-                    children = [(2 * hx + dx, 2 * hy + dy)
-                                for hx, hy in heavy
-                                for dx in (0, 1) for dy in (0, 1)]
-                    dobs = Observation()
-                    out = out.observe(dobs, *_child_obs_metrics(children))
-                    next_obs = (dobs, children)
-                if os.environ.get("GVT_NO_REPART", "0") != "1":
-                    out = out.repartition(n_parts)
-                (out.write.mode("overwrite")
-                 .parquet(self._p("frontier", f"z={z+1}")))
-                _tm["split_sync"] = time.monotonic() - _t
-                # the zoom row itself is finalized asynchronously and
-                # usually lands before this point — record the round
-                # cadence gate as its own (resume-inert) lineage row
-                self._append_lineage({
-                    "split_for": z + 1, "n_heavy": len(heavy),
-                    "heavy_points": heavy_points,
-                    "wall_sec": round(_tm["split_sync"], 2)})
+                in_dir = self._p("frontier", f"z={z}")
+                if (os.environ.get("GVT_DIRECT_SPLIT", "1") != "0"
+                        and os.path.isdir(in_dir)):
+                    # direct path: one task per frontier file, pyarrow
+                    # read/clip/write task-side, slim acks back — the
+                    # geometry never crosses the JVM and the acks ARE
+                    # the next round's classification stats (see
+                    # pipeline.split_files_direct; grid-measured in
+                    # BENCH/SCALING.md round 4)
+                    # size output shards so file count (= next
+                    # round's task parallelism) tracks data volume:
+                    # ~2 files per core, never ballooning as rows
+                    # shrink (clip adds ~10% boundary duplicates)
+                    hset = set(map(tuple, heavy))
+                    heavy_nf = sum(r["num_features"] for r in stats
+                                   if (r["x"], r["y"]) in hset)
+                    sr = max(4096, int(heavy_nf * 1.1) // (2 * par) + 1)
+                    direct_stats, acks = split_files_direct(
+                        spark, z, heavy, opts, in_dir,
+                        self._p("frontier", f"z={z+1}"), shard_rows=sr)
+                    next_direct = direct_stats
+                    _tm["split_sync"] = time.monotonic() - _t
+                    tasks = sorted(
+                        ((round(float(a["secs"]), 2), int(a["rows_in"]),
+                          int(a["rows_out"])) for a in acks),
+                        reverse=True)
+                    self._append_lineage({
+                        "split_for": z + 1, "n_heavy": len(heavy),
+                        "heavy_points": heavy_points, "mode": "direct",
+                        "n_files": len(acks),
+                        "top_tasks": [list(t) for t in tasks[:5]],
+                        "wall_sec": round(_tm["split_sync"], 2)})
+                else:
+                    hp = [_pack_xy(x, y) for x, y in heavy]
+                    fr_heavy = frontier.where(
+                        F.col("x").isin([int(x) for x, _ in heavy]) &
+                        F.col("y").isin([int(y) for _, y in heavy]) &
+                        _pack_col().isin(hp))
+                    n_parts = max(par, min(
+                        4096,
+                        heavy_points // self.target_points_per_partition
+                        + 1))
+                    out = split_children_df(fr_heavy, z, opts).select(
+                        "*", n_verts)
+                    if 4 * len(heavy) <= _OBS_MAX_CHILDREN:
+                        from pyspark.sql import Observation
+                        children = [(2 * hx + dx, 2 * hy + dy)
+                                    for hx, hy in heavy
+                                    for dx in (0, 1) for dy in (0, 1)]
+                        dobs = Observation()
+                        out = out.observe(dobs,
+                                          *_child_obs_metrics(children))
+                        next_obs = (dobs, children)
+                    if os.environ.get("GVT_NO_REPART", "0") != "1":
+                        out = out.repartition(n_parts)
+                    (out.write.mode("overwrite")
+                     .parquet(self._p("frontier", f"z={z+1}")))
+                    _tm["split_sync"] = time.monotonic() - _t
+                    # the zoom row itself is finalized asynchronously
+                    # and usually lands before this point — record the
+                    # round cadence gate as its own (resume-inert)
+                    # lineage row
+                    self._append_lineage({
+                        "split_for": z + 1, "n_heavy": len(heavy),
+                        "heavy_points": heavy_points,
+                        "wall_sec": round(_tm["split_sync"], 2)})
             split_obs = next_obs if not final else None
+            split_direct = next_direct if not final else None
             prev_points = heavy_points
             if final:
                 break

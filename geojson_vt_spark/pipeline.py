@@ -17,6 +17,7 @@ partial aggregation.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 from .kernel.fastjson import dumps as _jdumps, loads as _jloads
@@ -384,111 +385,390 @@ def split_children_df(frontier: DataFrame, z: int,
         test_split_arrow_loop_matches_object_kernel and against the
         wave kernel by test_one_wave_matches_loop_layout."""
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        from .kernel.vec import batch_clip, take_features
         out_schema = to_arrow_schema(TILED_FEATURE_SCHEMA)
         for rb in batches:
-            n = rb.num_rows
-            if not n:
+            if not rb.num_rows:
                 continue
             tbl = pa.Table.from_batches([rb])
-            (rags, gcodes, mnx, mny, mxx, mxy,
-             _, _) = _arrow_state(tbl, sort=False, strings=False)
-            fid_col = tbl.column("fid_json").chunk(0)
-            tags_col = tbl.column("tags_json").chunk(0)
-            ord_lens = pc.fill_null(
-                pc.list_value_length(tbl.column("ord_path")),
-                0).to_numpy(zero_copy_only=False).astype(np.int64)
-            ord_flat = pc.list_flatten(tbl.column("ord_path")).to_numpy(
+            mask = tbl.column("udf_mask").to_numpy(
                 zero_copy_only=False).astype(np.int64, copy=False)
-            fixed = ord_lens.min() == ord_lens.max()
-            if fixed:
-                w = int(ord_lens[0])
-                ords_mat = ord_flat.reshape(n, w)
-            else:  # mixed-depth ord groups (never produced by one build)
-                ooffs = np.zeros(n + 1, dtype=np.int64)
-                np.cumsum(ord_lens, out=ooffs[1:])
-
-            def _np(name, dtype):
-                return tbl.column(name).to_numpy(
-                    zero_copy_only=False).astype(dtype, copy=False)
-
-            tx = _np("x", np.int64)
-            ty = _np("y", np.int64)
-            mask = _np("udf_mask", np.int64)
-            for dx in (0, 1):
-                selx = np.nonzero(mask & ((1 << dx) | (1 << (dx + 2))))[0]
-                if not len(selx):
-                    continue
-                xk1 = (tx[selx] + (k2c if dx else -k1c)) / z2
-                xk2 = (tx[selx] + (k4c if dx else k3c)) / z2
-                side = batch_clip(take_features(rags, selx), gcodes[selx],
-                                  mnx[selx], mny[selx], mxx[selx], mxy[selx],
-                                  xk1, xk2, 0, lm)
-                if side.n_feats == 0:
-                    continue
-                side_orig = selx[side.src]  # original record index
-                for dy in (0, 1):
-                    q = dy * 2 + dx
-                    keep = np.nonzero(mask[side_orig] & (1 << q))[0]
-                    if not len(keep):
-                        continue
-                    sub = take_features(side.rags, keep)
-                    yk1 = (ty[side_orig[keep]] + (k2c if dy else -k1c)) / z2
-                    yk2 = (ty[side_orig[keep]] + (k4c if dy else k3c)) / z2
-                    resq = batch_clip(sub, side.gcodes[keep],
-                                      side.minx[keep], side.miny[keep],
-                                      side.maxx[keep], side.maxy[keep],
-                                      yk1, yk2, 1, lm)
-                    k = resq.n_feats
-                    if k == 0:
-                        continue
-                    orig = side_orig[keep][resq.src]
-                    xi = side.sub_ord[keep][resq.src]
-                    if fixed:
-                        out_mat = np.empty((k, w + 2), dtype=np.int64)
-                        out_mat[:, :w] = ords_mat[orig]
-                        out_mat[:, w] = xi
-                        out_mat[:, w + 1] = resq.sub_ord
-                        ord_arr = pa.ListArray.from_arrays(
-                            pa.array((np.arange(k + 1) * (w + 2)).astype(
-                                np.int32), pa.int32()),
-                            pa.array(out_mat.ravel(), pa.int64()))
-                    else:
-                        ord_arr = pa.array(
-                            [[*ord_flat[ooffs[o]:ooffs[o + 1]],
-                              int(i), int(j)]
-                             for o, i, j in zip(orig, xi, resq.sub_ord)],
-                            pa.list_(pa.int64()))
-                    geo = _clip_out_geometry_arrays(resq)
-                    idx = pa.array(orig)
-                    arrays = [
-                        pa.array(np.full(k, z + 1, dtype=np.int32),
-                                 pa.int32()),
-                        pa.array((tx[orig] * 2 + dx).astype(np.int32),
-                                 pa.int32()),
-                        pa.array((ty[orig] * 2 + dy).astype(np.int32),
-                                 pa.int32()),
-                        ord_arr,
-                        pc.take(fid_col, idx),
-                        pc.take(tags_col, idx),
-                        geo["gtype"], geo["coords"], geo["ring_lens"],
-                        geo["poly_lens"], geo["ring_size"],
-                        geo["ring_start"], geo["ring_end"],
-                        geo["minx"], geo["miny"], geo["maxx"], geo["maxy"],
-                    ]
-                    # cast is metadata-only: list child fields rename
-                    # item→element to match Spark's arrow schema
-                    yield (pa.Table.from_arrays(arrays,
-                                                names=TILED_COLUMNS)
-                           .cast(pa.schema(out_schema))
-                           .to_batches()[0])
+            for t in _split_crossing_tables(tbl, z, options, mask):
+                yield t.cast(pa.schema(out_schema)).to_batches()[0]
 
     clipped = crossing.mapInArrow(run_arrow, TILED_FEATURE_SCHEMA)
     return passed.unionByName(clipped.select(*TILED_COLUMNS))
+
+
+def _split_crossing_tables(tbl, z: int, options: TileOptions, mask):
+    """The loop-split crossing kernel over one Arrow table: for each
+    child quadrant flagged in ``mask`` (bit q = dy*2+dx), clip the
+    row's geometry against the buffered child window and yield one
+    pa.Table of TILED_COLUMNS per non-empty (dx, dy) pass.  Shared by
+    split_children_df's mapInArrow task and the direct per-file split
+    (split_files_direct) — both paths emit byte-identical rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .kernel.vec import batch_clip, take_features
+
+    z2 = 1 << z
+    k1c = 0.5 * options.buffer / options.extent
+    k2c = 0.5 - k1c
+    k3c = 0.5 + k1c
+    k4c = 1 + k1c
+    lm = options.line_metrics
+    n = tbl.num_rows
+    if not n:
+        return
+    (rags, gcodes, mnx, mny, mxx, mxy,
+     _, _) = _arrow_state(tbl, sort=False, strings=False)
+    tbl = tbl.combine_chunks()
+    fid_col = tbl.column("fid_json").chunk(0)
+    tags_col = tbl.column("tags_json").chunk(0)
+    ord_lens = pc.fill_null(
+        pc.list_value_length(tbl.column("ord_path")),
+        0).to_numpy(zero_copy_only=False).astype(np.int64)
+    ord_flat = pc.list_flatten(tbl.column("ord_path")).to_numpy(
+        zero_copy_only=False).astype(np.int64, copy=False)
+    fixed = ord_lens.min() == ord_lens.max()
+    if fixed:
+        w = int(ord_lens[0])
+        ords_mat = ord_flat.reshape(n, w)
+    else:  # mixed-depth ord groups (never produced by one build)
+        ooffs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ord_lens, out=ooffs[1:])
+
+    def _np(name, dtype):
+        return tbl.column(name).to_numpy(
+            zero_copy_only=False).astype(dtype, copy=False)
+
+    tx = _np("x", np.int64)
+    ty = _np("y", np.int64)
+    for dx in (0, 1):
+        selx = np.nonzero(mask & ((1 << dx) | (1 << (dx + 2))))[0]
+        if not len(selx):
+            continue
+        xk1 = (tx[selx] + (k2c if dx else -k1c)) / z2
+        xk2 = (tx[selx] + (k4c if dx else k3c)) / z2
+        side = batch_clip(take_features(rags, selx), gcodes[selx],
+                          mnx[selx], mny[selx], mxx[selx], mxy[selx],
+                          xk1, xk2, 0, lm)
+        if side.n_feats == 0:
+            continue
+        side_orig = selx[side.src]  # original record index
+        for dy in (0, 1):
+            q = dy * 2 + dx
+            keep = np.nonzero(mask[side_orig] & (1 << q))[0]
+            if not len(keep):
+                continue
+            sub = take_features(side.rags, keep)
+            yk1 = (ty[side_orig[keep]] + (k2c if dy else -k1c)) / z2
+            yk2 = (ty[side_orig[keep]] + (k4c if dy else k3c)) / z2
+            resq = batch_clip(sub, side.gcodes[keep],
+                              side.minx[keep], side.miny[keep],
+                              side.maxx[keep], side.maxy[keep],
+                              yk1, yk2, 1, lm)
+            k = resq.n_feats
+            if k == 0:
+                continue
+            orig = side_orig[keep][resq.src]
+            xi = side.sub_ord[keep][resq.src]
+            if fixed:
+                out_mat = np.empty((k, w + 2), dtype=np.int64)
+                out_mat[:, :w] = ords_mat[orig]
+                out_mat[:, w] = xi
+                out_mat[:, w + 1] = resq.sub_ord
+                ord_arr = pa.ListArray.from_arrays(
+                    pa.array((np.arange(k + 1) * (w + 2)).astype(
+                        np.int32), pa.int32()),
+                    pa.array(out_mat.ravel(), pa.int64()))
+            else:
+                ord_arr = pa.array(
+                    [[*ord_flat[ooffs[o]:ooffs[o + 1]],
+                      int(i), int(j)]
+                     for o, i, j in zip(orig, xi, resq.sub_ord)],
+                    pa.list_(pa.int64()))
+            geo = _clip_out_geometry_arrays(resq)
+            idx = pa.array(orig)
+            arrays = [
+                pa.array(np.full(k, z + 1, dtype=np.int32),
+                         pa.int32()),
+                pa.array((tx[orig] * 2 + dx).astype(np.int32),
+                         pa.int32()),
+                pa.array((ty[orig] * 2 + dy).astype(np.int32),
+                         pa.int32()),
+                ord_arr,
+                pc.take(fid_col, idx),
+                pc.take(tags_col, idx),
+                geo["gtype"], geo["coords"], geo["ring_lens"],
+                geo["poly_lens"], geo["ring_size"],
+                geo["ring_start"], geo["ring_end"],
+                geo["minx"], geo["miny"], geo["maxx"], geo["maxy"],
+            ]
+            yield pa.Table.from_arrays(arrays, names=TILED_COLUMNS)
+
+
+# ----------------------------------------------------- direct split
+
+def _tiled_arrow_schema():
+    """Spark's Arrow schema for TILED_FEATURE_SCHEMA + n_verts — the
+    on-disk frontier layout both split paths produce."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    base = to_arrow_schema(TILED_FEATURE_SCHEMA)
+    return base.append(pa.field("n_verts", pa.int64()))
+
+
+def _quadrant_route(tbl, z: int, options: TileOptions):
+    """numpy twin of split_children_df's Column router: per row, the
+    per-quadrant trivial-accept booleans (a row may be accepted by
+    several overlapping buffered windows, matching the Column array
+    explode) and the crossing bit-mask (bit q = dy*2+dx)."""
+    z2 = 1 << z
+    k1c = 0.5 * options.buffer / options.extent
+    k2c = 0.5 - k1c
+    k3c = 0.5 + k1c
+    k4c = 1 + k1c
+
+    def _np(name, dtype):
+        return tbl.column(name).to_numpy(
+            zero_copy_only=False).astype(dtype, copy=False)
+
+    tx = _np("x", np.int64)
+    ty = _np("y", np.int64)
+    mnx = _np("minx", np.float64)
+    mny = _np("miny", np.float64)
+    mxx = _np("maxx", np.float64)
+    mxy = _np("maxy", np.float64)
+    n = tbl.num_rows
+    acc = np.zeros((4, n), dtype=bool)
+    mask = np.zeros(n, dtype=np.int64)
+    for q in range(4):
+        dx, dy = q & 1, q >> 1
+        xlo = (tx + (k2c if dx else -k1c)) / z2
+        xhi = (tx + (k4c if dx else k3c)) / z2
+        ylo = (ty + (k2c if dy else -k1c)) / z2
+        yhi = (ty + (k4c if dy else k3c)) / z2
+        acc_q = (mnx >= xlo) & (mxx < xhi) & (mny >= ylo) & (mxy < yhi)
+        rej_q = (mxx < xlo) | (mnx >= xhi) | (mxy < ylo) | (mny >= yhi)
+        acc[q] = acc_q
+        mask |= np.where(~acc_q & ~rej_q, np.int64(1 << q), np.int64(0))
+    return acc, mask
+
+
+def _pass_table(tbl, z: int, acc):
+    """Trivially-accepted (feature, quadrant) child rows as one Arrow
+    table: geometry columns pass through untouched (pc.take), the ord
+    path appends the same [0, 0] marker the Column branch appends."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    idx_parts, dx_parts, dy_parts = [], [], []
+    for q in range(4):
+        iq = np.nonzero(acc[q])[0]
+        if len(iq):
+            idx_parts.append(iq)
+            dx_parts.append(np.full(len(iq), q & 1, dtype=np.int64))
+            dy_parts.append(np.full(len(iq), q >> 1, dtype=np.int64))
+    if not idx_parts:
+        return None
+    idx = np.concatenate(idx_parts)
+    dxs = np.concatenate(dx_parts)
+    dys = np.concatenate(dy_parts)
+    k = len(idx)
+    tbl = tbl.combine_chunks()
+    ord_lens = pc.fill_null(
+        pc.list_value_length(tbl.column("ord_path")),
+        0).to_numpy(zero_copy_only=False).astype(np.int64)
+    ord_flat = pc.list_flatten(tbl.column("ord_path")).to_numpy(
+        zero_copy_only=False).astype(np.int64, copy=False)
+    if ord_lens.min() == ord_lens.max():
+        w = int(ord_lens[0]) if len(ord_lens) else 0
+        out_mat = np.zeros((k, w + 2), dtype=np.int64)
+        out_mat[:, :w] = ord_flat.reshape(-1, w)[idx]
+        ord_arr = pa.ListArray.from_arrays(
+            pa.array((np.arange(k + 1) * (w + 2)).astype(np.int32),
+                     pa.int32()),
+            pa.array(out_mat.ravel(), pa.int64()))
+    else:  # mixed-depth ord groups (never produced by one build)
+        offs = np.zeros(len(ord_lens) + 1, dtype=np.int64)
+        np.cumsum(ord_lens, out=offs[1:])
+        ord_arr = pa.array(
+            [[*ord_flat[offs[i]:offs[i + 1]], 0, 0] for i in idx],
+            pa.list_(pa.int64()))
+    take = pa.array(idx)
+    tx = tbl.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+    ty = tbl.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+    arrays = [
+        pa.array(np.full(k, z + 1, dtype=np.int32), pa.int32()),
+        pa.array((tx[idx] * 2 + dxs).astype(np.int32), pa.int32()),
+        pa.array((ty[idx] * 2 + dys).astype(np.int32), pa.int32()),
+        ord_arr,
+    ]
+    for name in TILED_COLUMNS[4:]:
+        arrays.append(pc.take(tbl.column(name).chunk(0), take))
+    return pa.Table.from_arrays(arrays, names=TILED_COLUMNS)
+
+
+def _direct_split_file(fi: int, path: str, z: int, heavy: list,
+                       options: TileOptions, out_dir: str,
+                       codec: str, shard_rows: int | None = None) -> dict:
+    """One direct-split task: read ONE frontier parquet file with
+    pyarrow, keep rows of heavy parents, route + clip to z+1 children
+    with the shared crossing kernel, and write the output parquet
+    shards straight from the task (tmp + rename under deterministic
+    names, so a retry overwrites rather than duplicates — the same
+    committer-free pattern as _write_subtree_part).  Returns a slim
+    ack dict whose per-child aggregates ARE the next round's
+    classification stats, so the driver never re-scans the store.
+
+    Scale rationale (measured, BENCH/SCALING.md round 4): the
+    mapInArrow form of this stage spent most of its wall moving
+    geometry JVM→Python→JVM around a fast numpy kernel — JVM parquet
+    decode, two Arrow pipe crossings, a full-geometry repartition
+    exchange, and the JVM writer.  Task-side Arrow-native I/O removes
+    every crossing: the only bytes that touch the JVM are the file
+    path in and the ack out.  Balance is preserved without the
+    exchange by sharding each task's output to ≤ its input row count
+    (next-round tasks = files, so parallelism tracks data volume),
+    and the heavy-parent filter prunes at the row level exactly like
+    the pushed-down isin."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t0 = time.monotonic()
+    tbl = pq.read_table(path)
+    rows_in = tbl.num_rows
+    ack = {"file": fi, "rows_in": rows_in, "rows_kept": 0,
+           "rows_out": 0, "stats": [], "secs": 0.0}
+    if rows_in:
+        tx = tbl.column("x").to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
+        ty = tbl.column("y").to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
+        want = np.fromiter(((int(x) << 32) + int(y) for x, y in heavy),
+                           dtype=np.int64, count=len(heavy))
+        m = np.isin((tx << 32) + ty, want)
+        if not m.all():
+            tbl = tbl.take(pa.array(np.nonzero(m)[0])).combine_chunks()
+    if not tbl.num_rows:
+        ack["secs"] = time.monotonic() - t0
+        return ack
+    ack["rows_kept"] = tbl.num_rows
+    acc, mask = _quadrant_route(tbl, z, options)
+    parts = []
+    pt = _pass_table(tbl, z, acc)
+    if pt is not None:
+        parts.append(pt)
+    cross = np.nonzero(mask > 0)[0]
+    if len(cross):
+        ct = tbl.take(pa.array(cross)).combine_chunks()
+        parts.extend(_split_crossing_tables(ct, z, options, mask[cross]))
+    if not parts:
+        ack["secs"] = time.monotonic() - t0
+        return ack
+    out = pa.concat_tables(parts).combine_chunks()
+    nv = pc.cast(pc.divide(pc.list_value_length(out.column("coords")),
+                           3), pa.int64())
+    out = (out.append_column("n_verts", nv)
+           .cast(_tiled_arrow_schema()))
+    n_out = out.num_rows
+    ack["rows_out"] = n_out
+
+    agg = out.select(["x", "y", "n_verts", "minx", "miny",
+                      "maxx", "maxy"]).group_by(["x", "y"]).aggregate([
+        ("n_verts", "count"), ("n_verts", "sum"),
+        ("minx", "min"), ("miny", "min"),
+        ("maxx", "max"), ("maxy", "max")])
+    cols = {name: agg[name].to_pylist() for name in agg.column_names}
+    ack["stats"] = [
+        {"x": int(cols["x"][i]), "y": int(cols["y"][i]),
+         "num_features": int(cols["n_verts_count"][i]),
+         "num_points": int(cols["n_verts_sum"][i] or 0),
+         "minx": float(cols["minx_min"][i]),
+         "miny": float(cols["miny_min"][i]),
+         "maxx": float(cols["maxx_max"][i]),
+         "maxy": float(cols["maxy_max"][i])}
+        for i in range(agg.num_rows)]
+
+    if shard_rows is None:
+        shard_rows = max(4096, rows_in)
+    n_shards = max(1, -(-n_out // shard_rows))
+    per = -(-n_out // n_shards)
+    for si in range(n_shards):
+        part = out.slice(si * per, per)
+        if not part.num_rows:
+            continue
+        final = os.path.join(out_dir, f"part-f{fi:05d}-s{si:03d}.parquet")
+        tmp = final + ".inprogress"
+        pq.write_table(part, tmp, compression=codec)
+        os.replace(tmp, final)
+    ack["secs"] = time.monotonic() - t0
+    return ack
+
+
+def split_files_direct(spark, z: int, heavy: list, options: TileOptions,
+                       in_dir: str, out_dir: str,
+                       shard_rows: int | None = None) -> tuple[list, list]:
+    """Direct per-file split job: one Spark task per frontier parquet
+    file, each reading/clipping/writing via pyarrow in the task (see
+    _direct_split_file).  Returns (stats, acks): stats rows are the
+    z+1 classification aggregates merged across files — identical to
+    the groupBy the blocking stats agg would compute — and acks carry
+    per-task (rows, secs) for the lineage record.
+
+    Spark here provides scheduling, retries and locality only; the
+    geometry never crosses the JVM.  The fallback mapInArrow path
+    (split_children_df) remains for frontiers that are not local
+    parquet directories."""
+    import shutil
+
+    files = sorted(
+        os.path.join(in_dir, f) for f in os.listdir(in_dir)
+        if f.endswith(".parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet parts under {in_dir}")
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    codec = os.environ.get("GVT_CODEC", "zstd")
+    heavy_keys = [(int(x), int(y)) for x, y in heavy]
+    opts = options
+    zz, od = z, out_dir
+    sr = shard_rows
+    acks = (spark.sparkContext
+            .parallelize(list(enumerate(files)), len(files))
+            .map(lambda t: _direct_split_file(
+                t[0], t[1], zz, heavy_keys, opts, od, codec, sr))
+            .collect())
+    if not any(a["rows_out"] for a in acks):
+        # keep the store readable: one empty file with the full schema
+        import pyarrow.parquet as pq
+        schema = _tiled_arrow_schema()
+        pq.write_table(schema.empty_table(),
+                       os.path.join(out_dir, "part-empty.parquet"),
+                       compression=codec)
+    open(os.path.join(out_dir, "_SUCCESS"), "w").close()
+    merged: dict = {}
+    for a in acks:
+        for s in a["stats"]:
+            key = (s["x"], s["y"])
+            cur = merged.get(key)
+            if cur is None:
+                merged[key] = dict(s)
+            else:
+                cur["num_features"] += s["num_features"]
+                cur["num_points"] += s["num_points"]
+                cur["minx"] = min(cur["minx"], s["minx"])
+                cur["miny"] = min(cur["miny"], s["miny"])
+                cur["maxx"] = max(cur["maxx"], s["maxx"])
+                cur["maxy"] = max(cur["maxy"], s["maxy"])
+    return list(merged.values()), acks
 
 
 # ---------------------------------------------------------------- stats / assembly
@@ -531,71 +811,216 @@ def rendered_features_df(frontier: DataFrame,
     guarantees insertion order, SURVEY.md §2.6 A1)."""
     def per_feature(batches):
         import pyarrow as pa
-        import pyarrow.compute as pc
-
-        from .kernel.vec import GT_LINE, batch_assemble
-        lm = options.line_metrics
         for rb in batches:
-            tbl = pa.Table.from_batches([rb])
-            (rags, gcodes, mnx, mny, mxx, mxy,
-             _f, tagss) = _arrow_state(tbl, sort=False, strings=lm)
-            col = {nm: rb.column(rb.schema.get_field_index(nm))
-                   for nm in ("z", "x", "y", "ord_path",
-                              "tags_json", "fid_json")}
-            tz = col["z"].to_numpy(zero_copy_only=False).astype(np.int64)
-            tx = col["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ty = col["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-            geom, n_pts, n_sim = batch_assemble(rags, gcodes, tz, tx, ty,
-                                                options)
-            fb, pb = geom.feature_offsets()
-            flat = geom.pairs.reshape(-1).astype(np.int32)
-            rl32 = geom.r_len.astype(np.int32)
-            # rendered geometry leaves the task as flat Arrow list
-            # buffers — no per-row numpy slicing, no object columns
-            coords_arr = pa.ListArray.from_arrays(
-                pa.array((2 * pb).astype(np.int32), pa.int32()),
-                pa.array(flat, pa.int32()))
-            rlens_arr = pa.ListArray.from_arrays(
-                pa.array(fb.astype(np.int32), pa.int32()),
-                pa.array(rl32, pa.int32()))
-            tags_arr = col["tags_json"]
-            if lm:
-                hit = np.nonzero((geom.ftype > 0) &
-                                 (gcodes == GT_LINE))[0]
-                if len(hit):
-                    sizes = pc.list_flatten(tbl.column("ring_size")) \
-                        .to_numpy(zero_copy_only=False)
-                    starts = pc.list_flatten(tbl.column("ring_start")) \
-                        .to_numpy(zero_copy_only=False)
-                    ends = pc.list_flatten(tbl.column("ring_end")) \
-                        .to_numpy(zero_copy_only=False)
-                    roffs = np.zeros(len(gcodes) + 1, dtype=np.int64)
-                    np.cumsum(pc.fill_null(pc.list_value_length(
-                        tbl.column("ring_size")), 0).to_numpy(
-                        zero_copy_only=False), out=roffs[1:])
-                    tags_col = list(tagss)
-                    for fi in hit:
-                        tags = (_jloads(tags_col[fi])
-                                if tags_col[fi] else {})
-                        at = int(roffs[fi])
-                        size = float(sizes[at])
-                        tags["mapbox_clip_start"] = float(starts[at]) / size
-                        tags["mapbox_clip_end"] = float(ends[at]) / size
-                        tags_col[fi] = _jdumps(tags)
-                    tags_arr = pa.array(tags_col, type=pa.string())
-            yield pa.RecordBatch.from_arrays([
-                col["z"], col["x"], col["y"], col["ord_path"],
-                pa.array(geom.ftype.astype(np.int32), pa.int32()),
-                coords_arr, rlens_arr, tags_arr, col["fid_json"],
-                pa.array(n_pts.astype(np.int64), pa.int64()),
-                pa.array(n_sim.astype(np.int64), pa.int64()),
-                pa.array(mnx, pa.float64()), pa.array(mny, pa.float64()),
-                pa.array(mxx, pa.float64()), pa.array(mxy, pa.float64()),
-            ], names=["z", "x", "y", "ord_path", "gtype", "coords",
-                      "rlens", "tags_json", "fid_json", "n_points",
-                      "n_simplified", "minx", "miny", "maxx", "maxy"])
+            yield _render_batch(pa.Table.from_batches([rb]), options)
 
     return frontier.mapInArrow(per_feature, _MAPPED_SCHEMA)
+
+
+def _mapped_arrow_schema():
+    """Arrow twin of _MAPPED_SCHEMA, built without a SparkContext so
+    direct-render worker tasks can cast to it."""
+    import pyarrow as pa
+    return pa.schema([
+        ("z", pa.int32()), ("x", pa.int32()), ("y", pa.int32()),
+        ("ord_path", pa.list_(pa.int64())),
+        ("gtype", pa.int32()),
+        ("coords", pa.list_(pa.int32())),
+        ("rlens", pa.list_(pa.int32())),
+        ("tags_json", pa.string()), ("fid_json", pa.string()),
+        ("n_points", pa.int64()), ("n_simplified", pa.int64()),
+        ("minx", pa.float64()), ("miny", pa.float64()),
+        ("maxx", pa.float64()), ("maxy", pa.float64()),
+    ])
+
+
+def _render_batch(tbl, options: TileOptions):
+    """Render one Arrow table of TILED rows (z/x/y + FEATURE columns)
+    to a _MAPPED_SCHEMA RecordBatch — the kernel body shared by
+    rendered_features_df's mapInArrow task and the direct per-file
+    render (render_files_direct)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .kernel.vec import GT_LINE, batch_assemble
+    lm = options.line_metrics
+    (rags, gcodes, mnx, mny, mxx, mxy,
+     _f, tagss) = _arrow_state(tbl, sort=False, strings=lm)
+    tbl = tbl.combine_chunks()
+    col = {nm: tbl.column(nm).chunk(0) if tbl.num_rows else
+           pa.array([], tbl.schema.field(nm).type)
+           for nm in ("z", "x", "y", "ord_path",
+                      "tags_json", "fid_json")}
+    tz = col["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tx = col["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ty = col["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+    geom, n_pts, n_sim = batch_assemble(rags, gcodes, tz, tx, ty,
+                                        options)
+    fb, pb = geom.feature_offsets()
+    flat = geom.pairs.reshape(-1).astype(np.int32)
+    rl32 = geom.r_len.astype(np.int32)
+    # rendered geometry leaves the task as flat Arrow list
+    # buffers — no per-row numpy slicing, no object columns
+    coords_arr = pa.ListArray.from_arrays(
+        pa.array((2 * pb).astype(np.int32), pa.int32()),
+        pa.array(flat, pa.int32()))
+    rlens_arr = pa.ListArray.from_arrays(
+        pa.array(fb.astype(np.int32), pa.int32()),
+        pa.array(rl32, pa.int32()))
+    tags_arr = col["tags_json"]
+    if lm:
+        hit = np.nonzero((geom.ftype > 0) &
+                         (gcodes == GT_LINE))[0]
+        if len(hit):
+            sizes = pc.list_flatten(tbl.column("ring_size")) \
+                .to_numpy(zero_copy_only=False)
+            starts = pc.list_flatten(tbl.column("ring_start")) \
+                .to_numpy(zero_copy_only=False)
+            ends = pc.list_flatten(tbl.column("ring_end")) \
+                .to_numpy(zero_copy_only=False)
+            roffs = np.zeros(len(gcodes) + 1, dtype=np.int64)
+            np.cumsum(pc.fill_null(pc.list_value_length(
+                tbl.column("ring_size")), 0).to_numpy(
+                zero_copy_only=False), out=roffs[1:])
+            tags_col = list(tagss)
+            for fi in hit:
+                tags = (_jloads(tags_col[fi])
+                        if tags_col[fi] else {})
+                at = int(roffs[fi])
+                size = float(sizes[at])
+                tags["mapbox_clip_start"] = float(starts[at]) / size
+                tags["mapbox_clip_end"] = float(ends[at]) / size
+                tags_col[fi] = _jdumps(tags)
+            tags_arr = pa.array(tags_col, type=pa.string())
+    return pa.RecordBatch.from_arrays([
+        col["z"], col["x"], col["y"], col["ord_path"],
+        pa.array(geom.ftype.astype(np.int32), pa.int32()),
+        coords_arr, rlens_arr, tags_arr, col["fid_json"],
+        pa.array(n_pts.astype(np.int64), pa.int64()),
+        pa.array(n_sim.astype(np.int64), pa.int64()),
+        pa.array(mnx, pa.float64()), pa.array(mny, pa.float64()),
+        pa.array(mxx, pa.float64()), pa.array(mxy, pa.float64()),
+    ], names=["z", "x", "y", "ord_path", "gtype", "coords",
+              "rlens", "tags_json", "fid_json", "n_points",
+              "n_simplified", "minx", "miny", "maxx", "maxy"])
+
+
+def _direct_render_file(fi: int, path: str, z: int, parents,
+                        options: TileOptions, out_dir: str,
+                        codec: str, z0_seed: bool) -> dict:
+    """One direct-render task: read ONE frontier parquet file with
+    pyarrow, render with the shared batch kernel, write the tilefeat
+    shard task-side (tmp + deterministic rename), and return per-tile
+    n_simplified sums so the zoom finalizer never re-scans the store.
+    ``z0_seed`` reads a FEATURES checkpoint file instead, synthesizing
+    the (z=0, x=0, y=0) literals and the [1, …, 0] ord wrapper that
+    engine._frontier0_view adds Column-side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    t0 = time.monotonic()
+    tbl = pq.read_table(path)
+    ack = {"file": fi, "rows": 0, "nsim": [], "secs": 0.0}
+    if z0_seed and tbl.num_rows:
+        tbl = tbl.select(FEATURE_COLUMNS).combine_chunks()
+        n = tbl.num_rows
+        ord_lens = pc.fill_null(
+            pc.list_value_length(tbl.column("ord_path")),
+            0).to_numpy(zero_copy_only=False).astype(np.int64)
+        ord_flat = pc.list_flatten(tbl.column("ord_path")).to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ord_lens, out=offs[1:])
+        new_lens = ord_lens + 2
+        noffs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=noffs[1:])
+        flat = np.zeros(int(noffs[-1]), dtype=np.int64)
+        flat[noffs[:-1]] = 1          # world prefix
+        put = (np.arange(int(offs[-1]))
+               + np.repeat(noffs[:-1] + 1 - offs[:-1], ord_lens))
+        flat[put] = ord_flat          # original path; trailing 0 stays
+        ord_arr = pa.ListArray.from_arrays(
+            pa.array(noffs.astype(np.int32), pa.int32()),
+            pa.array(flat, pa.int64()))
+        zeros = pa.array(np.zeros(n, dtype=np.int32), pa.int32())
+        tbl = (tbl.set_column(tbl.schema.get_field_index("ord_path"),
+                              "ord_path", ord_arr)
+               .add_column(0, "y", zeros)
+               .add_column(0, "x", zeros)
+               .add_column(0, "z", zeros))
+    elif parents is not None and tbl.num_rows:
+        tx = tbl.column("x").to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
+        ty = tbl.column("y").to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
+        want = np.fromiter(((int(x) << 32) + int(y) for x, y in parents),
+                           dtype=np.int64, count=len(parents))
+        m = np.isin(((tx >> 1) << 32) + (ty >> 1), want)
+        if not m.all():
+            tbl = tbl.take(pa.array(np.nonzero(m)[0])).combine_chunks()
+    if not tbl.num_rows:
+        ack["secs"] = time.monotonic() - t0
+        return ack
+    out = pa.Table.from_batches([_render_batch(tbl, options)])
+    out = out.cast(_mapped_arrow_schema()).drop_columns(["z"])
+    ack["rows"] = out.num_rows
+    agg = (out.select(["x", "y", "n_simplified"])
+           .group_by(["x", "y"]).aggregate([("n_simplified", "sum")]))
+    ack["nsim"] = [[int(a), int(b), int(c or 0)] for a, b, c in zip(
+        agg["x"].to_pylist(), agg["y"].to_pylist(),
+        agg["n_simplified_sum"].to_pylist())]
+    final = os.path.join(out_dir, f"part-f{fi:05d}.parquet")
+    tmp = final + ".inprogress"
+    pq.write_table(out, tmp, compression=codec)
+    os.replace(tmp, final)
+    ack["secs"] = time.monotonic() - t0
+    return ack
+
+
+def render_files_direct(spark, z: int, parents, options: TileOptions,
+                        in_dir: str, out_dir: str,
+                        z0_seed: bool = False) -> dict:
+    """Direct per-file render job (the tilefeat twin of
+    split_files_direct): one task per frontier file, pyarrow I/O
+    task-side, slim acks back.  Returns {(x, y): n_simplified_sum} —
+    the aggregate the zoom finalizer previously recomputed with a
+    second scan of the store it had just written."""
+    import shutil
+
+    files = sorted(
+        os.path.join(in_dir, f) for f in os.listdir(in_dir)
+        if f.endswith(".parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet parts under {in_dir}")
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    codec = os.environ.get("GVT_CODEC", "zstd")
+    par = None if parents is None else [(int(x), int(y))
+                                        for x, y in parents]
+    opts, zz, od, seed = options, z, out_dir, z0_seed
+    acks = (spark.sparkContext
+            .parallelize(list(enumerate(files)), len(files))
+            .map(lambda t: _direct_render_file(
+                t[0], t[1], zz, par, opts, od, codec, seed))
+            .collect())
+    if not any(a["rows"] for a in acks):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        schema = _mapped_arrow_schema()
+        schema = pa.schema([f for f in schema if f.name != "z"])
+        pq.write_table(schema.empty_table(),
+                       os.path.join(out_dir, "part-empty.parquet"),
+                       compression=codec)
+    open(os.path.join(out_dir, "_SUCCESS"), "w").close()
+    nsim: dict = {}
+    for a in acks:
+        for x, y, s in a["nsim"]:
+            nsim[(x, y)] = nsim.get((x, y), 0) + s
+    return nsim
 
 
 # ---------------------------------------------------------------- subtree

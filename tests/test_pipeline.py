@@ -29,6 +29,69 @@ def _mixed_collection(seed: int, n: int) -> dict:
     return {"type": "FeatureCollection", "features": feats}
 
 
+def test_split_files_direct_matches_dataframe_split(spark, tmp_path):
+    """The direct per-file split (task-side pyarrow I/O, no JVM
+    geometry crossing) must emit the exact row multiset of the
+    declarative split_children_df path, and its ack-aggregated stats
+    must equal the blocking groupBy."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geojson_vt_spark.engine import SparkTileEngine, _pack_xy
+    from geojson_vt_spark.pipeline import (split_children_df,
+                                           split_files_direct)
+
+    data = _mixed_collection(123, 60)
+    opts = TileOptions(max_zoom=5, index_max_zoom=4, index_max_points=4,
+                       tolerance=1, buffer=64, line_metrics=True)
+    eng = SparkTileEngine(spark, opts, workdir=str(tmp_path / "wd"),
+                          one_wave=False, subtree_max_points=30)
+    eng.build_from_geojson(data)
+    lineage = eng._read_lineage()
+    z = 1
+    heavy = [tuple(k) for r in lineage
+             if r.get("zoom") == z and "heavy" in r
+             for k in r["heavy"]]
+    assert heavy, "fixture produced no heavy z1 tiles"
+    in_dir = os.path.join(str(tmp_path / "wd"), "frontier", f"z={z}")
+    assert os.path.isdir(in_dir)
+
+    stats, acks = split_files_direct(
+        spark, z, heavy, opts, in_dir, str(tmp_path / "direct_out"))
+    got = spark.read.parquet(str(tmp_path / "direct_out")).drop("n_verts")
+
+    fr = spark.read.parquet(in_dir)
+    hp = [_pack_xy(x, y) for x, y in heavy]
+    pack = (F.shiftleft(F.col("x").cast("long"), 25)
+            + F.col("y").cast("long"))
+    fr_heavy = fr.where(
+        F.col("x").isin([int(x) for x, _ in heavy]) &
+        F.col("y").isin([int(y) for _, y in heavy]) & pack.isin(hp))
+    want = split_children_df(fr_heavy, z, opts)
+
+    def canon(df):
+        rows = [tuple(repr(v) for v in r) for r in
+                df.select(*sorted(df.columns)).collect()]
+        return sorted(rows)
+
+    assert canon(got) == canon(want)
+
+    agg = {(r["x"], r["y"]): r for r in
+           (want.groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("nf"),
+                 (F.sum(F.size("coords")) / 3).cast("long").alias("np"),
+                 F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+                 F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"))
+            .collect())}
+    assert {(s["x"], s["y"]) for s in stats} == set(agg)
+    for s in stats:
+        w = agg[(s["x"], s["y"])]
+        assert (s["num_features"], s["num_points"]) == (w["nf"], w["np"])
+        assert (s["minx"], s["miny"], s["maxx"], s["maxy"]) == \
+            (w["minx"], w["miny"], w["maxx"], w["maxy"]), s
+
+
 def test_split_arrow_loop_matches_object_kernel(spark, tmp_path):
     data = _mixed_collection(77, 48)
     for lm in (False, True):
