@@ -779,6 +779,45 @@ def q_session_stats(spark, sf_dir):
     return session_stats_df(ev, gap_minutes=30)
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: for every click event, the same user's most recent
+    purchase at or before it (integer-microsecond timestamps, integer
+    cents) — union-tag + carry-forward window, one shuffle, never a
+    range blowup.  Oracle: DuckDB's native ASOF LEFT JOIN, a genuinely
+    independent implementation of the same semantics."""
+    from pyspark.sql import functions as F
+    from geojson_vt_spark.operators.temporal import asof_join_df
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probe = ev.filter(F.col("event_type") == "click")
+    build = (ev.filter(F.col("event_type") == "purchase")
+             .withColumn("value_cents",
+                         F.round(F.col("value") * 100).cast("long")))
+    return asof_join_df(probe, build, on="user_id", ts_col="ts",
+                        probe_cols=("event_id",),
+                        build_values=("value_cents",))
+
+
+def q_range_join(spark, sf_dir):
+    """Interval join of event values (integer cents) against 20
+    OVERLAPPING bands [i*2500, i*2500+4000) — bucket-decomposed
+    equi-join + exact refine, each pair meets in exactly one bucket.
+    Oracle: DuckDB's native inequality (IE) join."""
+    from pyspark.sql import functions as F
+    from geojson_vt_spark.operators.temporal import range_join_df
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    points = ev.select(
+        "event_id", F.round(F.col("value") * 100).cast("long")
+        .alias("v_cents"))
+    ranges = spark.range(0, 20).select(
+        F.col("id").alias("range_id"),
+        (F.col("id") * 2500).alias("lo_cents"),
+        (F.col("id") * 2500 + 4000).alias("hi_cents"))
+    return (range_join_df(points, ranges, "v_cents",
+                          "lo_cents", "hi_cents", bucket_width=2500)
+            .select("event_id", "v_cents", "range_id",
+                    "lo_cents", "hi_cents"))
+
+
 def q_image_ahash(spark, sf_dir):
     """Perceptual average-hash + exact-hash dedup over the fake-decoded
     asset grid (keep-lowest rule)."""
@@ -883,6 +922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "domain_cap": q_domain_cap,
         "train_val_split": q_split,
         "host_pagerank": q_host_pagerank,
@@ -2271,5 +2312,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT))
                         AS BIGINT) AS value_cents
             FROM s GROUP BY user_id, session_seq
+        """,
+        "asof_join": """
+            WITH b AS (SELECT user_id, epoch_us(ts) AS bus,
+                              max(CAST(round(value * 100) AS BIGINT))
+                                  AS value_cents
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, epoch_us(ts)),
+            p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                  FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, CAST(p.us AS BIGINT) AS us,
+                   CAST(b.bus AS BIGINT) AS asof_us,
+                   b.value_cents AS asof_value_cents
+            FROM p ASOF LEFT JOIN b
+              ON p.user_id = b.user_id AND p.us >= b.bus
+        """,
+        "range_join": """
+            WITH r AS (SELECT i AS range_id,
+                              i * 2500 AS lo_cents,
+                              i * 2500 + 4000 AS hi_cents
+                       FROM range(0, 20) t(i)),
+            p AS (SELECT event_id,
+                         CAST(round(value * 100) AS BIGINT) AS v_cents
+                  FROM events)
+            SELECT p.event_id, p.v_cents, r.range_id,
+                   r.lo_cents, r.hi_cents
+            FROM p JOIN r ON p.v_cents >= r.lo_cents
+                         AND p.v_cents < r.hi_cents
         """,
     }

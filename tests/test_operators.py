@@ -1415,3 +1415,52 @@ def test_hilbert_bbox_ranges_cover_and_prune(spark, tmp_path):
     got = sorted(r["point_id"] for r in exact.collect())
     want = sorted(r["point_id"] for r in naive.collect())
     assert got == want and len(want) > 0
+
+
+def test_asof_join_semantics(spark):
+    """Tie (equal ts matches, <= semantics), no-preceding-build null,
+    equal-ts build rows collapse deterministically to max."""
+    import datetime as dt
+    from geojson_vt_spark.operators import asof_join_df
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    probe = spark.createDataFrame(
+        [(1, ts(5), 7), (2, ts(10), 7), (3, ts(0), 7), (4, ts(10), 8)],
+        "event_id long, ts timestamp_ntz, user_id long")
+    build = spark.createDataFrame(
+        [(ts(5), 7, 100), (ts(5), 7, 250),     # equal-ts pair -> max
+         (ts(8), 7, 300), (ts(20), 8, 400)],
+        "ts timestamp_ntz, user_id long, value_cents long")
+    out = {r.event_id: r for r in asof_join_df(
+        probe, build, probe_cols=("event_id",),
+        build_values=("value_cents",)).collect()}
+    assert len(out) == 4
+    assert out[1].asof_value_cents == 250          # tie at ts(5): <= holds
+    assert out[2].asof_value_cents == 300          # latest at-or-before 10
+    assert out[3].asof_us is None                  # nothing precedes ts(0)
+    assert out[3].asof_value_cents is None
+    assert out[4].asof_us is None                  # user 8 build is later
+
+
+def test_range_join_overlap_and_boundaries(spark):
+    """Half-open [lo, hi), overlapping intervals, bucket-boundary
+    values, and parity with a naive theta-join."""
+    from pyspark.sql import functions as F
+    from geojson_vt_spark.operators import range_join_df
+    points = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0, 9, 10, 15, 19, 20, 35, 99])],
+        "pid long, v long")
+    ranges = spark.createDataFrame(
+        [(0, 0, 10), (1, 5, 25), (2, 10, 20), (3, 90, 100)],
+        "range_id long, lo long, hi long")
+    got = sorted((r.pid, r.range_id) for r in range_join_df(
+        points, ranges, "v", "lo", "hi", bucket_width=7).collect())
+    want = sorted((r.pid, r.range_id) for r in points.join(
+        ranges, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")))
+        .collect())
+    assert got == want
+    assert (0, 0) in got and (2, 0) not in got     # hi exclusive
+    assert {(3, 1), (3, 2)} <= set(got)            # overlap: both match
