@@ -116,9 +116,58 @@ def main() -> None:
             ((F.col("doc_id") * 104729 % 17000) / 100.0 - 85.0)
             .alias("lat"))
 
+    from geojson_vt_spark.operators.temporal import (asof_join_df,
+                                                      range_join_df)
+
+    # temporal-join inputs are slim (id, key, ts/value) — synthesized
+    # from spark.range at TEMPORAL_ROWS scale and STAGED to parquet
+    # once (same protocol as the document corpus above), so the timed
+    # op measures the join over a durable layout, not input synthesis
+    t_rows = int(os.environ.get("TEMPORAL_ROWS", "48000000"))
+    t_stage = f"/tmp/gvt_temporal_stage_{t_rows}"
+    if any(o in ops_wanted for o in ("asof_join", "range_join")) and \
+            not os.path.exists(os.path.join(t_stage, "_SUCCESS")):
+        (spark.range(t_rows).repartition(128).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % (t_rows // 10)).alias("user_id"),
+            F.expr("cast(timestamp_micros(1700000000000000"
+                   " + id * 1337 % 86400000000) as timestamp_ntz)")
+            .alias("ts"),
+            (F.col("id") % 1_000_000).alias("v_cents"))
+         .write.mode("overwrite").parquet(t_stage))
+
+    # as-of inputs: every staged row is a probe event; every 10th row
+    # is a build event; ~10 rows per user so the window has real volume
+    def _asof_base():
+        return spark.read.parquet(t_stage).select(
+            "doc_id", "user_id", "ts")
+
+    def _asof_build():
+        return (_asof_base().where(F.col("doc_id") % 10 == 0)
+                .withColumn("value_cents",
+                            (F.col("doc_id") % 100_000).cast("long")))
+
+    # range inputs: values vs 200 overlapping bands (width 10k,
+    # step 5k -> each point matches ~2 bands), broadcast range side
+    def _range_points():
+        return spark.read.parquet(t_stage).select("doc_id", "v_cents")
+
+    def _ranges():
+        return spark.range(0, 200).select(
+            F.col("id").alias("range_id"),
+            (F.col("id") * 5_000).alias("lo_cents"),
+            (F.col("id") * 5_000 + 10_000).alias("hi_cents"))
+
     # incremental ingest: the newest 20% of replicas arrive as the batch
     cut = int(REPLICAS * 0.8)
     table = {
+        "asof_join": lambda: sink(asof_join_df(
+            _asof_base(), _asof_build(), on="user_id", ts_col="ts",
+            probe_cols=("doc_id",), build_values=("value_cents",)),
+            "asof_value_cents"),
+        "range_join": lambda: sink(range_join_df(
+            _range_points(), _ranges(), "v_cents", "lo_cents",
+            "hi_cents", bucket_width=5_000), "range_id"),
         "latest_capture": lambda: sink(latest_capture_df(
             _captures(), keys_only=False), "n_captures"),
         "latest_capture_slim": lambda: sink(latest_capture_df(

@@ -75,31 +75,39 @@ def asof_join_df(probe: DataFrame, build: DataFrame,
     """
     us = F.expr(f"timestampdiff(MICROSECOND,"
                 f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})")
+    # the side tag rides the LOW BIT of the sort key (_k = us*2 + side,
+    # build=0 sorts before probe=1 at equal timestamps -> <= semantics):
+    # one int64 key instead of (ts, side) shaves a column off the
+    # exchange and leaves the window a single-key sort.  Safe for any
+    # realistic epoch (|us|*2 << 2^63; arithmetic shiftright restores
+    # us exactly for negative pre-1970 stamps too).
     b = (build
          .select(F.col(on), us.alias("_us"),
                  *[F.col(c) for c in build_values])
          .groupBy(on, "_us")
          .agg(*[F.max(c).alias(c) for c in build_values])
-         .withColumn("_side", F.lit(0)))
+         .select(F.col(on), (F.col("_us") * 2).alias("_k"),
+                 *[F.col(c) for c in build_values]))
     p = (probe
-         .select(F.col(on), us.alias("_us"),
-                 *[F.col(c) for c in probe_cols])
-         .withColumn("_side", F.lit(1)))
+         .select(F.col(on), (us * 2 + 1).alias("_k"),
+                 *[F.col(c) for c in probe_cols]))
     for c in probe_cols:
         b = b.withColumn(c, F.lit(None).cast(p.schema[c].dataType))
     for c in build_values:
         p = p.withColumn(c, F.lit(None).cast(b.schema[c].dataType))
     u = b.unionByName(p)
-    w = (Window.partitionBy(on).orderBy("_us", "_side")
+    is_build = (F.col("_k") % 2) == 0
+    w = (Window.partitionBy(on).orderBy("_k")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = [F.last(F.when(F.col("_side") == 0, F.col("_us")),
+    carried = [F.last(F.when(is_build, F.shiftright(F.col("_k"), 1)),
                       ignorenulls=True).over(w).alias(f"{prefix}us")]
-    carried += [F.last(F.when(F.col("_side") == 0, F.col(c)),
+    carried += [F.last(F.when(is_build, F.col(c)),
                        ignorenulls=True).over(w).alias(f"{prefix}{c}")
                 for c in build_values]
-    return (u.select(on, "_us", "_side", *probe_cols, *carried)
-            .filter(F.col("_side") == 1)
-            .select(*probe_cols, on, F.col("_us").alias("us"),
+    return (u.select(on, "_k", *probe_cols, *carried)
+            .filter(~is_build)
+            .select(*probe_cols, on,
+                    F.shiftright(F.col("_k"), 1).alias("us"),
                     f"{prefix}us",
                     *[f"{prefix}{c}" for c in build_values]))
 
