@@ -1,11 +1,12 @@
-from .pipeline import (streaming_dedup_by_url, streaming_heavy_tiles,
+from .pipeline import (streaming_asof_enrich, streaming_dedup_by_url,
+                       streaming_heavy_tiles,
                        streaming_heavy_tiles_continuous,
                        streaming_incremental_dedup,
                        streaming_latest_capture, streaming_sessionize,
                        streaming_synth_pages, streaming_tile_counts)
 
-__all__ = ["streaming_dedup_by_url", "streaming_heavy_tiles",
-           "streaming_heavy_tiles_continuous",
+__all__ = ["streaming_asof_enrich", "streaming_dedup_by_url",
+           "streaming_heavy_tiles", "streaming_heavy_tiles_continuous",
            "streaming_incremental_dedup", "streaming_latest_capture",
            "streaming_sessionize", "streaming_synth_pages",
            "streaming_tile_counts"]

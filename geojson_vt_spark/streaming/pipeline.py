@@ -297,3 +297,105 @@ def streaming_latest_capture(pages: DataFrame, url_col: str = "url",
         stateStructType="best_us long, best_id long, n long",
         outputMode="append",
         timeoutConf=timeout_conf))
+
+
+def streaming_asof_enrich(events: DataFrame, on: str = "user_id",
+                          ts_col: str = "ts", id_col: str = "event_id",
+                          side_col: str = "is_build",
+                          value_col: str = "value_cents",
+                          idle_timeout_ms: int | None = None
+                          ) -> DataFrame:
+    """Streaming twin of ``operators.temporal.asof_join_df``: one
+    stream carries both event kinds (``side_col`` = 1 for build rows,
+    0 for probes) and every PROBE row is emitted enriched with the
+    most recent build row at-or-before it seen so far — the standard
+    streaming enrichment join (events against the latest feature/model
+    snapshot), expressed as one ``applyInPandasWithState`` keeping a
+    single ``(has, last_us, last_val)`` triple per key.
+
+    Ordering semantics: within a micro-batch the key's rows are
+    sorted by ``(ts, build-before-probe)`` exactly like the batch
+    operator, so per-key in-order arrival across micro-batches gives
+    row-exact batch equivalence (pinned in tests/test_streaming.py).
+    A build row arriving LATE (after a later-stamped probe was already
+    emitted) enriches only subsequent probes — processing-time as-of,
+    the semantic every streaming enrichment join has; the batch
+    operator is the backfill/repair path.
+
+    ``idle_timeout_ms``: same contract as streaming_latest_capture —
+    None (default) keeps the operator timer-free so bounded
+    availableNow replays terminate with the data; pass a timeout in
+    continuous deployments so state tracks the live key working set.
+    """
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    us = F.expr(f"timestampdiff(MICROSECOND,"
+                f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})")
+    keyed = events.select(
+        F.col(on).alias("_key"), us.alias("_us"),
+        F.col(side_col).cast("long").alias("_side"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).cast("long").alias("_val"))
+
+    def enrich(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        has, last_us, last_val = state.get if state.exists else (0, 0, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 \
+            else chunks[0]
+        t = pdf["_us"].to_numpy(dtype=np.int64)
+        side = pdf["_side"].to_numpy(dtype=np.int64)
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        vals = pdf["_val"].to_numpy(dtype=np.int64)
+        # arrival order within the batch is shuffle order — sort the
+        # key's rows once: ts ascending, builds before probes at ties
+        o = np.lexsort((1 - side, t))
+        t, side, ids, vals = t[o], side[o], ids[o], vals[o]
+        n = len(t)
+        # carry-forward: index of the latest build row at-or-before
+        # each row (-1 = none in this batch -> fall back to state)
+        carry = np.maximum.accumulate(
+            np.where(side == 1, np.arange(n), -1))
+        probes = side == 0
+        c = carry[probes]
+        in_batch = c >= 0
+        a_us = np.where(in_batch, t[np.maximum(c, 0)],
+                        last_us if has else 0)
+        a_val = np.where(in_batch, vals[np.maximum(c, 0)],
+                         last_val if has else 0)
+        # no build before this probe, in-batch or in-state -> null
+        miss = ~in_batch if not has else np.zeros(len(c), dtype=bool)
+        bpos = np.where(side == 1)[0]
+        if len(bpos):
+            state.update((1, int(t[bpos[-1]]), int(vals[bpos[-1]])))
+        if idle_timeout_ms is not None and (state.exists or len(bpos)):
+            state.setTimeoutDuration(idle_timeout_ms)
+        if probes.any():
+            if miss.any():
+                a_us = a_us.astype(object)
+                a_val = a_val.astype(object)
+                a_us[miss] = None
+                a_val[miss] = None
+            yield pd.DataFrame({
+                on: np.repeat(key[0], int(probes.sum())),
+                id_col: ids[probes],
+                "us": t[probes],
+                "asof_us": a_us,
+                "asof_val": a_val,
+            })
+
+    timeout_conf = (GroupStateTimeout.NoTimeout
+                    if idle_timeout_ms is None
+                    else GroupStateTimeout.ProcessingTimeTimeout)
+    return (keyed.groupBy("_key").applyInPandasWithState(
+        enrich,
+        outputStructType=f"{on} long, {id_col} long, us long, "
+                         "asof_us long, asof_val long",
+        stateStructType="has long, last_us long, last_val long",
+        outputMode="append",
+        timeoutConf=timeout_conf))

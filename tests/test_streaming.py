@@ -298,3 +298,62 @@ def test_streaming_latest_capture_equals_batch(spark, tmp_path):
     for k, w in want.items():
         g = final[k]
         assert (g.keep_id, g.n_captures) == (w.keep_id, w.n_captures), k
+
+
+def test_streaming_asof_enrich_equals_batch(spark, tmp_path):
+    """Oracle: streaming_asof_enrich over an in-order replay ==
+    asof_join_df on the same rows — including the null-before-first-
+    build probes, the <= tie rule, and state carried ACROSS
+    micro-batches (maxFilesPerTrigger=1 over ts-ordered files)."""
+    import datetime as dt
+    import os
+    import time as _time
+    from geojson_vt_spark.operators.temporal import asof_join_df
+    from geojson_vt_spark.streaming import streaming_asof_enrich
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(600):
+        # ts strictly increases with i; every 4th event is a build;
+        # every 30th event shares its stamp with the NEXT one so the
+        # tie rule (build-at-equal-ts wins) is exercised
+        sec = i - (1 if i % 30 == 29 else 0)
+        rows.append((i, i % 12, t0 + dt.timedelta(seconds=sec),
+                     1 if i % 4 == 0 else 0, (i * 7) % 1000))
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, "
+              "is_build long, value_cents long")
+    src = str(tmp_path / "asof_src")
+    os.makedirs(src)
+    # three ts-ordered files -> three micro-batches in order: state
+    # (the latest build per user) must survive batch boundaries
+    pdf = events.toPandas().sort_values("event_id")
+    for j, lo in enumerate((0, 200, 400)):
+        part = spark.createDataFrame(pdf.iloc[lo:lo + 200], events.schema)
+        part.coalesce(1).write.parquet(f"{src}/f{j}", mode="overwrite")
+        _time.sleep(0.05)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/f*"))
+    q = (streaming_asof_enrich(stream)
+         .writeStream.format("memory").queryName("asof_oracle")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_asof"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.event_id: r for r in spark.table("asof_oracle").collect()}
+
+    probe = events.where(F.col("is_build") == 0)
+    build = events.where(F.col("is_build") == 1)
+    want = {r.event_id: r for r in asof_join_df(
+        probe, build, on="user_id", ts_col="ts",
+        probe_cols=("event_id",),
+        build_values=("value_cents",)).collect()}
+    assert set(got) == set(want) and len(want) == 450
+    n_null = 0
+    for eid, w in want.items():
+        g = got[eid]
+        assert (g.user_id, g.us) == (w.user_id, w.us), eid
+        assert g.asof_us == w.asof_us and g.asof_val == w.asof_value_cents, eid
+        n_null += w.asof_us is None
+    assert n_null > 0  # the null-before-first-build path was exercised
