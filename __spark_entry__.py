@@ -864,6 +864,28 @@ def q_lm_score(spark, sf_dir):
     return lm_score_df(_docs(spark, sf_dir), exact_terciles=True)
 
 
+def q_extract_links(spark, sf_dir):
+    """Real <a href> extraction from the html BYTES of the
+    SQL-constructible page bridge (decode → regexp_extract_all →
+    posexplode, pure codegen).  The oracle reconstructs the expected
+    link set from the bridge's integer link rule — an independent
+    derivation path, so the gate verifies the parse end to end."""
+    from geojson_vt_spark.operators.webgraph import extract_links_df
+    from geojson_vt_spark.sources.corpus import html_pages_from_documents
+    return extract_links_df(html_pages_from_documents(_docs(spark, sf_dir)))
+
+
+def q_link_graph(spark, sf_dir):
+    """Directed host graph aggregated from the extracted links —
+    the real-crawl edge table pagerank_df consumes (one slim-key
+    exchange over (src_host, dst_host))."""
+    from geojson_vt_spark.operators.webgraph import (extract_links_df,
+                                                     host_link_graph_df)
+    from geojson_vt_spark.sources.corpus import html_pages_from_documents
+    return host_link_graph_df(extract_links_df(
+        html_pages_from_documents(_docs(spark, sf_dir))))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mercator_project": q_mercator_project,
@@ -924,6 +946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "extract_links": q_extract_links,
+        "link_graph": q_link_graph,
         "domain_cap": q_domain_cap,
         "train_val_split": q_split,
         "host_pagerank": q_host_pagerank,
@@ -2339,5 +2363,36 @@ def oracle_sql() -> dict[str, str]:
                    r.lo_cents, r.hi_cents
             FROM p JOIN r ON p.v_cents >= r.lo_cents
                          AND p.v_cents < r.hi_cents
+        """,
+        # independent derivation: the engine PARSES the html bytes;
+        # the oracle REBUILDS the expected links from the bridge's
+        # integer link rule (sources/corpus.py html_pages_from_documents)
+        "extract_links": """
+            WITH e AS (SELECT doc_id,
+                              unnest(range(0, 1 + doc_id % 4)) AS j
+                       FROM documents)
+            SELECT 'https://h' || lpad(CAST(doc_id % 997 AS VARCHAR),
+                                       3, '0')
+                   || '.example/p/' || doc_id AS url,
+                   'Doc ' || doc_id AS title,
+                   CAST(j AS BIGINT) AS link_ord,
+                   'https://h'
+                   || lpad(CAST((doc_id * 31 + (j + 1) * 7) % 997
+                                AS VARCHAR), 3, '0')
+                   || '.example/p/' || (doc_id * 13 + j) AS href,
+                   'link ' || j AS anchor
+            FROM e
+        """,
+        "link_graph": """
+            WITH e AS (SELECT doc_id,
+                              unnest(range(0, 1 + doc_id % 4)) AS j
+                       FROM documents)
+            SELECT 'h' || lpad(CAST(doc_id % 997 AS VARCHAR), 3, '0')
+                   || '.example' AS src_host,
+                   'h' || lpad(CAST((doc_id * 31 + (j + 1) * 7) % 997
+                                    AS VARCHAR), 3, '0')
+                   || '.example' AS dst_host,
+                   CAST(count(*) AS BIGINT) AS n_links
+            FROM e GROUP BY 1, 2
         """,
     }

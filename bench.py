@@ -249,6 +249,27 @@ def bench_ingest(spark) -> tuple[float, dict]:
     return dt, {"docs": n_docs, "doc_passes_per_sec": 5 * n_docs / dt}
 
 
+def bench_temporal_graph(spark) -> tuple[float, dict]:
+    """Round-4 additions: as-of join + overlapping-interval range join
+    over events, and the real <a href> extraction → host link graph
+    over the html bytes of the page bridge."""
+    from pyspark.sql import functions as F
+    import __spark_entry__ as em
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_ev = ev.count()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    agg = F.count(F.lit(1))
+    t0 = time.monotonic()
+    em.q_asof_join(spark, SF_DIR).agg(agg, F.sum("asof_value_cents")) \
+        .collect()
+    em.q_range_join(spark, SF_DIR).agg(agg, F.sum("v_cents")).collect()
+    em.q_extract_links(spark, SF_DIR).agg(agg, F.sum("link_ord")).collect()
+    em.q_link_graph(spark, SF_DIR).agg(agg, F.sum("n_links")).collect()
+    dt = time.monotonic() - t0
+    return dt, {"events": n_ev, "docs": n_docs,
+                "rows_per_sec": (2 * n_ev + 2 * n_docs) / dt}
+
+
 def bench_serve(spark) -> tuple[float, dict]:
     """Batch tile serving: build a small pyramid (outside the timed
     span), then serve EVERY built tile through warmed get_tiles batches
@@ -306,6 +327,7 @@ BENCHES = {
     "webtext_suite": bench_webtext,
     "search_events_suite": bench_search_events,
     "ingest_suite": bench_ingest,
+    "temporal_graph_suite": bench_temporal_graph,
     "tile_serve": bench_serve,
 }
 

@@ -10,6 +10,8 @@ from .similarity import (cosine_topk, ivf_assign, ivf_fit,
 from .spatial_join import (knn_join, point_in_polygon_join, points_in_ring,
                            raster_vector_overlay)
 from .temporal import asof_join_df, range_join_df
+from .webgraph import (extract_links_df, extract_title_df,
+                       host_link_graph_df, host_pagerank_df)
 from .text import (bpe_ish_token_count_col, fingerprint_df, lang_id_df,
                    quality_score_df, token_count_col, winnow_fingerprints_df)
 from .webtext import (canonicalize_url_col, decontaminate_df,
@@ -37,4 +39,6 @@ __all__ = [
     "latest_capture_df", "tfidf_topk_df", "url_dedup", "word_ngrams_col",
     "host_edges_from_docs", "pagerank_df", "semdedup_df",
     "asof_join_df", "range_join_df",
+    "extract_links_df", "extract_title_df", "host_link_graph_df",
+    "host_pagerank_df",
 ]

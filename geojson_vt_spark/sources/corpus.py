@@ -192,3 +192,45 @@ def extract_geo_features_df(pages: DataFrame) -> DataFrame:
 
     return pages.mapInPandas(
         run, "input_ord long, gen_index long, feature_json string")
+
+
+def html_pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic ``(url, html binary)`` page rows derived from the
+    documents table — the SQL-constructible twin of ``synth_pages_df``
+    for the LINK side of the crawl: each page's html embeds a
+    ``<title>`` and ``1 + doc_id % 4`` outbound ``<a href>`` anchors
+    whose target hosts are pure integer arithmetic on doc_id, so a
+    DuckDB oracle can reconstruct the exact link set the extractor
+    must parse back out of the bytes.
+
+    Link rule (mirrored by the oracles in ``__spark_entry__``):
+      src host  = h{doc_id % 997:03d}.example
+      link j    = https://h{(doc_id*31 + (j+1)*7) % 997:03d}.example
+                  /p/{doc_id*13 + j},  anchor "link {j}"
+    997 is prime, so one page never emits two links to the same host
+    (7*(j1-j2) mod 997 != 0 for |j1-j2| < 4) — the per-(src,dst)
+    counts in the graph oracle stay a plain count(*).
+
+    Pure Column ops end to end (concat / lpad / transform / encode):
+    whole-stage codegen, no Python, no shuffle."""
+    k = F.col("doc_id").cast("long")
+
+    def _host(n):
+        return F.concat(F.lit("h"),
+                        F.lpad((n % 997).cast("string"), 3, "0"),
+                        F.lit(".example"))
+
+    url = F.concat(F.lit("https://"), _host(k), F.lit("/p/"),
+                   k.cast("string"))
+    links = F.concat_ws("", F.transform(
+        F.sequence(F.lit(0).cast("long"), k % 4),
+        lambda j: F.concat(
+            F.lit('<a href="https://'), _host(k * 31 + (j + 1) * 7),
+            F.lit("/p/"), (k * 13 + j).cast("string"),
+            F.lit('">link '), j.cast("string"), F.lit("</a>"))))
+    html = F.encode(F.concat(
+        F.lit("<html><head><title>Doc "), k.cast("string"),
+        F.lit("</title></head><body><p>"),
+        F.substring(F.col("text"), 1, 80),
+        F.lit("</p>"), links, F.lit("</body></html>")), "UTF-8")
+    return docs.select(url.alias("url"), html.alias("html"))

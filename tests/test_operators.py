@@ -1464,3 +1464,69 @@ def test_range_join_overlap_and_boundaries(spark):
     assert got == want
     assert (0, 0) in got and (2, 0) not in got     # hi exclusive
     assert {(3, 1), (3, 2)} <= set(got)            # overlap: both match
+
+
+def test_extract_links_parses_handwritten_html(spark):
+    """The extractor must parse arbitrary html bytes (not just the
+    bridge's), preserve document order, and pair href with its own
+    anchor text."""
+    from geojson_vt_spark.operators.webgraph import (extract_links_df,
+                                                     extract_title_df)
+    html = (b'<html><head><title>T one</title></head><body>'
+            b'<a href="https://a.example/x">first</a> mid '
+            b'<a href="https://b.example/y">second</a>'
+            b'<a href="https://a.example/z"></a></body></html>')
+    pages = spark.createDataFrame([("https://s.example/p/0", bytearray(html))],
+                                  "url string, html binary")
+    rows = extract_links_df(pages).orderBy("link_ord").collect()
+    assert [(r.link_ord, r.href, r.anchor, r.title) for r in rows] == [
+        (0, "https://a.example/x", "first", "T one"),
+        (1, "https://b.example/y", "second", "T one"),
+        (2, "https://a.example/z", "", "T one")]
+    t = extract_title_df(pages).collect()
+    assert [(r.url, r.title) for r in t] == [("https://s.example/p/0",
+                                              "T one")]
+
+
+def test_extract_links_shuffle_free_plan(spark):
+    """Extraction is scan→project→generate in ONE stage: no Exchange,
+    no Python (BatchEvalPython/ArrowEval) anywhere in the plan."""
+    from geojson_vt_spark.operators.webgraph import extract_links_df
+    from geojson_vt_spark.sources.corpus import html_pages_from_documents
+    docs = spark.createDataFrame([(i, "w " * 10) for i in range(8)],
+                                 "doc_id long, text string")
+    plan = extract_links_df(html_pages_from_documents(docs)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_link_graph_matches_bridge_rule_and_feeds_pagerank(spark):
+    """End-to-end: html bytes → links → host graph equals the bridge's
+    integer link rule; exactly one slim-key exchange with map-side
+    partial aggregation; pagerank runs on the result."""
+    from geojson_vt_spark.operators.graph import pagerank_df
+    from geojson_vt_spark.operators.webgraph import (extract_links_df,
+                                                     host_link_graph_df)
+    from geojson_vt_spark.sources.corpus import html_pages_from_documents
+    docs = spark.createDataFrame([(i, f"text {i}") for i in range(200)],
+                                 "doc_id long, text string")
+    g = host_link_graph_df(extract_links_df(html_pages_from_documents(docs)))
+    got = {(r.src_host, r.dst_host): r.n_links for r in g.collect()}
+    want: dict = {}
+    for i in range(200):
+        for j in range(1 + i % 4):
+            k = (f"h{i % 997:03d}.example",
+                 f"h{(i * 31 + (j + 1) * 7) % 997:03d}.example")
+            want[k] = want.get(k, 0) + 1
+    assert got == want
+    plan = g._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    key_spec = plan.split("Exchange hashpartitioning")[1].split("\n", 1)[0]
+    assert "html" not in key_spec and "text" not in key_spec
+    assert "partial_count" in plan, plan  # map-side combine
+    from geojson_vt_spark.operators.webgraph import host_pagerank_df
+    ranks = {r.host: r.rank_micros for r in host_pagerank_df(g).collect()}
+    assert len(ranks) == len({h for k in want for h in k})
+    assert all(v > 0 for v in ranks.values())
