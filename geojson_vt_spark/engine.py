@@ -522,15 +522,75 @@ class SparkTileEngine:
                 else:
                     self._submit_subtree(pool, futures, row["zoom"], keys)
 
+    # deep-wave gate: a z1 child whose candidate vertex mass x the
+    # levels below z1 exceeds this is subdivided into its four z2
+    # subtree tasks (plus a root-only z1 task) INSIDE the same fused
+    # wave — the one-wave's only skew lever, since a single wave has
+    # at most 4 z1 groups and the hottest metro quadrant is the
+    # critical path (measured: 3.6k-10.7k candidates across the four
+    # z1 groups of the 30k-page bench corpus, wave latency = hottest
+    # task).  Half the kernel task budget: only children carrying at
+    # least half a task of work are worth the extra group overhead.
+    _DEEP_WAVE_PTS = 300_000
+
+    def _deep_wave_children(self, fr0: DataFrame) -> list[tuple[int, int]]:
+        """z1 children to subdivide: candidate mass over the task
+        budget AND guaranteed-split (the vertex mass of features whose
+        bbox lies FULLY INSIDE the child's buffered window is an exact
+        lower bound on the child's post-clip num_points — such
+        features survive the clip intact — so > index_max_points
+        proves the stop rule will split it; the z2 sibling tasks and
+        empty-child back-fill are then exactly what the in-task
+        recursion would have emitted)."""
+        opts = self.options
+        if opts.index_max_zoom < 2:
+            return []
+        k1c = 0.5 * opts.buffer / opts.extent
+        k2c, k3c, k4c = 0.5 - k1c, 0.5 + k1c, 1 + k1c
+        aggs = []
+        for q in range(4):
+            dx, dy = q & 1, q >> 1
+            xlo, xhi = (k2c, k4c) if dx else (-k1c, k3c)
+            ylo, yhi = (k2c, k4c) if dy else (-k1c, k3c)
+            rej = ((F.col("maxx") < xlo) | (F.col("minx") >= xhi) |
+                   (F.col("maxy") < ylo) | (F.col("miny") >= yhi))
+            inside = ((F.col("minx") >= xlo) & (F.col("maxx") <= xhi) &
+                      (F.col("miny") >= ylo) & (F.col("maxy") <= yhi))
+            nv = F.col("n_verts")
+            z = F.lit(0).cast("long")
+            aggs.append(F.sum(F.when(~rej, nv).otherwise(z)).alias(f"m{q}"))
+            aggs.append(F.sum(F.when(inside, nv).otherwise(z))
+                        .alias(f"i{q}"))
+        row = fr0.agg(*aggs).first()
+        levels = opts.index_max_zoom - 1
+        out = []
+        for q in range(4):
+            m = int(row[f"m{q}"] or 0)
+            i = int(row[f"i{q}"] or 0)
+            if (m * levels > self._DEEP_WAVE_PTS
+                    and i > opts.index_max_points):
+                out.append((q & 1, q >> 1))
+        return out
+
     def _one_wave_subtree_job(
-            self, fr0: DataFrame | None = None) -> list[tuple[int, int]]:
+            self, fr0: DataFrame | None = None,
+            n_points: int | None = None) -> list[tuple[int, int]]:
         """The fused one-wave handoff: Column router (no map-side
         Python) → group by z1 child → in-task clip-from-parent + whole
         descendant pyramid (see pipeline.one_wave_stage_df).  Reads the
         z0 frontier view (features checkpoint, or the caller-supplied
         cached frontier); returns the z1 children that received
         candidate rows (their tiles live in the subtree store — the
-        rest are the split root's empty children)."""
+        rest are the split root's empty children).
+
+        Heavy z1 children (see _deep_wave_children) are subdivided in
+        the SAME wave job: a root-only z1 task emits the child's own
+        tile row from the full clipped state, and four z2 tasks build
+        the grandchild subtrees (clipping z0→z1→z2 in-task, level by
+        level — bit-identical to the recursion, pipeline.wave_stage_df).
+        z2 grandchildren that received no candidates are back-filled
+        driver-side as empty stats rows, exactly like the z1 case
+        (index.js:151-154 pushes ``tl || []``)."""
         restore: dict[str, str] = {}
         if fr0 is None:
             # resume / checkpoint mode: the kernel-session clone keeps
@@ -551,18 +611,51 @@ class SparkTileEngine:
         try:
             import shutil
             self._set_pool("gvt-subtree")
+            # the gate agg is one tiny job over the (cached) frontier;
+            # skip it when the caller's exact z0 point count proves no
+            # child can exceed the budget even holding ALL the mass
+            deep: list[tuple[int, int]] = []
+            if (n_points is None or n_points
+                    * (self.options.index_max_zoom - 1)
+                    > self._DEEP_WAVE_PTS):
+                deep = self._deep_wave_children(fr0)
+            cands = one_wave_children_df(fr0, self.options)
+            if deep:
+                # one pass tags light (full-subtree) vs deep (root-only)
+                # z1 groups; a second routes the deep children's rows
+                # one level further to their z2 grandchild groups — the
+                # frontier is cached, so each pass is a memory scan
+                key = F.col("x") * 2 + F.col("y")
+                dk = [x * 2 + y for x, y in deep]
+                cands = (cands.withColumn(
+                    "role", F.when(key.isin(dk), F.lit(1))
+                    .otherwise(F.lit(0)))
+                    .unionByName(
+                        wave_children_df(cands.where(key.isin(dk)), 1,
+                                         self.options)
+                        .withColumn("role", F.lit(0))))
             out = self._p("subtree", "b=1")
             if os.path.isdir(out):
                 shutil.rmtree(out)  # overwrite semantics incl. partials
             acks = one_wave_stage_df(
-                one_wave_children_df(fr0, self.options), self.options,
-                out_dir=out).collect()
+                cands, self.options, out_dir=out,
+                from_zoom=0 if deep else None).collect()
             os.makedirs(out, exist_ok=True)
             open(os.path.join(out, "_SUCCESS"), "w").close()
+            if deep:
+                got2 = {(r["x"], r["y"]) for r in acks if r["z"] == 2}
+                missing2 = [(2 * px + dx, 2 * py + dy)
+                            for px, py in deep
+                            for dx in (0, 1) for dy in (0, 1)
+                            if (2 * px + dx, 2 * py + dy) not in got2]
+                if missing2:
+                    self._write_empty_tiles(2, missing2)
         finally:
             for k, v in restore.items():
                 self.spark.conf.set(k, v)
-        return sorted((r["x"], r["y"]) for r in acks)
+        return sorted({(r["x"], r["y"]) for r in acks if r["z"] == 1}
+                      | {(r["x"] >> 1, r["y"] >> 1)
+                         for r in acks if r["z"] == 2})
 
     def _frontier0_view(self, src: DataFrame) -> DataFrame:
         """z0 frontier view over an already-converted features frame
@@ -575,6 +668,29 @@ class SparkTileEngine:
                 .withColumn("x", F.lit(0))
                 .withColumn("y", F.lit(0))
                 .select(*TILED_COLUMNS, n_verts))
+
+    def _write_empty_tiles(self, z: int, coords: list) -> None:
+        """Stats-only empty tile rows (a split tile's children all
+        exist, index.js:151-154) for wave children that received no
+        candidates — sentinel bbox, leaf, no source pack."""
+        import pandas as pd
+        n_e = len(coords)
+        self._write_local_parquet(pd.DataFrame({
+            "x": pd.Series([c[0] for c in coords], dtype="int32"),
+            "y": pd.Series([c[1] for c in coords], dtype="int32"),
+            "num_features": pd.Series([0] * n_e, dtype="int64"),
+            "num_points": pd.Series([0] * n_e, dtype="int64"),
+            "num_simplified": pd.Series([0] * n_e, dtype="int64"),
+            "minx": pd.Series([2.0] * n_e, dtype="float64"),
+            "miny": pd.Series([1.0] * n_e, dtype="float64"),
+            "maxx": pd.Series([-1.0] * n_e, dtype="float64"),
+            "maxy": pd.Series([0.0] * n_e, dtype="float64"),
+            "is_split": pd.Series([False] * n_e, dtype="bool"),
+            "has_source": pd.Series([True] * n_e, dtype="bool"),
+            "tile_id": pd.Series([to_id(z, cx, cy)
+                                  for cx, cy in coords],
+                                 dtype="int64"),
+        }), self._p("tiles", f"z={z}"))
 
     def _build_one_wave(self, r0: dict, pool, futures,
                         cached: DataFrame | None = None) -> None:
@@ -627,7 +743,8 @@ class SparkTileEngine:
         fut_render = pool.submit(render_job)
         t1 = time.monotonic()
         present = self._one_wave_subtree_job(
-            fr0 if cached is not None else None)
+            fr0 if cached is not None else None,
+            n_points=int(r0["num_points"]))
         wave_sec = time.monotonic() - t1
         missing = [(x, y) for x in (0, 1) for y in (0, 1)
                    if (x, y) not in set(present)]
@@ -653,23 +770,7 @@ class SparkTileEngine:
             "tile_id": pd.Series([to_id(0, 0, 0)], dtype="int64"),
         }), self._p("tiles", "z=0"))
         if missing:
-            n_e = len(missing)
-            self._write_local_parquet(pd.DataFrame({
-                "x": pd.Series([c[0] for c in missing], dtype="int32"),
-                "y": pd.Series([c[1] for c in missing], dtype="int32"),
-                "num_features": pd.Series([0] * n_e, dtype="int64"),
-                "num_points": pd.Series([0] * n_e, dtype="int64"),
-                "num_simplified": pd.Series([0] * n_e, dtype="int64"),
-                "minx": pd.Series([2.0] * n_e, dtype="float64"),
-                "miny": pd.Series([1.0] * n_e, dtype="float64"),
-                "maxx": pd.Series([-1.0] * n_e, dtype="float64"),
-                "maxy": pd.Series([0.0] * n_e, dtype="float64"),
-                "is_split": pd.Series([False] * n_e, dtype="bool"),
-                "has_source": pd.Series([True] * n_e, dtype="bool"),
-                "tile_id": pd.Series([to_id(1, cx, cy)
-                                      for cx, cy in missing],
-                                     dtype="int64"),
-            }), self._p("tiles", "z=1"))
+            self._write_empty_tiles(1, missing)
 
         # lineage lands LAST, in zoom order — "complete" implies every
         # store is durable (the resume contract); a kill before this

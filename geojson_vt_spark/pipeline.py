@@ -1172,7 +1172,8 @@ def split_subtree(features, z0: int, x0: int, y0: int, options: TileOptions):
 
 def batch_split_subtree(records, z0: int, x0: int, y0: int,
                         options: TileOptions, state=None,
-                        root_forced_split: bool = True):
+                        root_forced_split: bool = True,
+                        stop_after_root: bool = False):
     """Vectorized subtree build: one batch_clip / batch_assemble pass per
     LEVEL covering every tile at that level at once — the per-feature
     clip windows come from each feature's tile assignment, so the whole
@@ -1188,6 +1189,13 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
     fast path) the root is a freshly-clipped child whose stop rule has
     NOT been evaluated: it is classified by the normal rule and its
     tile row (and leaf source, when it stops) IS emitted.
+
+    ``stop_after_root=True`` (the deep-wave root-only task): emit the
+    root's tile row exactly as above, then stop instead of recursing —
+    the root's descendant subtrees are built by sibling tasks one
+    level deeper (SparkTileEngine deep one-wave).  If the root turns
+    out to be a leaf this degenerates to the full build (no recursion
+    would have happened anyway).
 
     Returns (tile_rows, sources) where tile_rows are dicts of the
     subtree 'tile' kind and sources maps leaf (z,x,y) → a packed-array
@@ -1420,7 +1428,7 @@ def batch_split_subtree(records, z0: int, x0: int, y0: int,
             if leaf_list:
                 pack_leaves(leaf_list, perm, gstart, gend)
 
-        if not split_keys:
+        if not split_keys or (stop_after_root and z == z0):
             break
 
         skeys = np.sort(np.asarray([(gx << 32) | gy
@@ -1734,7 +1742,8 @@ def _arrow_state(tbl, sort=True, strings=True):
 
 
 def wave_stage_df(candidates: DataFrame, options: TileOptions,
-                  out_dir: str | None = None) -> DataFrame:
+                  out_dir: str | None = None,
+                  from_zoom: int | None = None) -> DataFrame:
     """Wave handoff: candidate rows from wave_children_df, grouped by
     CHILD tile; each group task clips its candidates against the
     child's buffered window (the exact x-then-y clip sequence
@@ -1762,33 +1771,47 @@ def wave_stage_df(candidates: DataFrame, options: TileOptions,
         t0 = time.monotonic()
         cz, cx, cy = (int(key[0].as_py()), int(key[1].as_py()),
                       int(key[2].as_py()))
-        z2p = 1 << (cz - 1)  # parent zoom scale: windows match
-        px, py = cx >> 1, cy >> 1
+        root_only = len(key) > 3 and int(key[3].as_py()) == 1
+        fz = cz - 1 if from_zoom is None else from_zoom
         (rags, gcodes, mnx, mny, mxx, mxy,
          fids, tagss) = _arrow_state(tbl)
         k1c = 0.5 * options.buffer / options.extent
         k2c, k3c, k4c = 0.5 - k1c, 0.5 + k1c, 1 + k1c
         lm = options.line_metrics
-        n = rags.n_feats
-        xk1 = np.full(n, (px + (k2c if cx & 1 else -k1c)) / z2p)
-        xk2 = np.full(n, (px + (k4c if cx & 1 else k3c)) / z2p)
-        side = batch_clip(rags, gcodes, mnx, mny, mxx, mxy,
-                          xk1, xk2, 0, lm)
-        fid_s = fids[side.src]
-        tag_s = tagss[side.src]
-        m = side.n_feats
-        yk1 = np.full(m, (py + (k2c if cy & 1 else -k1c)) / z2p)
-        yk2 = np.full(m, (py + (k4c if cy & 1 else k3c)) / z2p)
-        q = batch_clip(side.rags, side.gcodes, side.minx, side.miny,
-                       side.maxx, side.maxy, yk1, yk2, 1, lm)
-        state = (q.rags, q.gcodes, q.minx, q.miny, q.maxx, q.maxy,
-                 fid_s[q.src].tolist(), tag_s[q.src].tolist(), None)
+        # clip the candidates down from their origin zoom to the group
+        # key, one x-then-y level at a time — for level l the windows
+        # use the key's zoom-l ancestor coordinates with EXACTLY the
+        # (parent + const) / z2 float sequence of the single-level
+        # case, so a two-level deep-wave clip is bit-identical to the
+        # in-task recursion's clip-of-clip (routing is a superset by
+        # original bbox; trivially-rejected features emit nothing)
+        for lvl in range(fz + 1, cz + 1):
+            z2l = 1 << (lvl - 1)
+            axl, ayl = cx >> (cz - lvl), cy >> (cz - lvl)
+            pxl, pyl = axl >> 1, ayl >> 1
+            n = rags.n_feats
+            xk1 = np.full(n, (pxl + (k2c if axl & 1 else -k1c)) / z2l)
+            xk2 = np.full(n, (pxl + (k4c if axl & 1 else k3c)) / z2l)
+            side = batch_clip(rags, gcodes, mnx, mny, mxx, mxy,
+                              xk1, xk2, 0, lm)
+            fid_s = fids[side.src]
+            tag_s = tagss[side.src]
+            m = side.n_feats
+            yk1 = np.full(m, (pyl + (k2c if ayl & 1 else -k1c)) / z2l)
+            yk2 = np.full(m, (pyl + (k4c if ayl & 1 else k3c)) / z2l)
+            q = batch_clip(side.rags, side.gcodes, side.minx, side.miny,
+                           side.maxx, side.maxy, yk1, yk2, 1, lm)
+            rags, gcodes = q.rags, q.gcodes
+            mnx, mny, mxx, mxy = q.minx, q.miny, q.maxx, q.maxy
+            fids, tagss = fid_s[q.src], tag_s[q.src]
+        state = (rags, gcodes, mnx, mny, mxx, mxy,
+                 fids.tolist(), tagss.tolist(), None)
         # post-clip-empty children still flow through: the kernel emits
         # the empty leaf tile row (a split tile's children all exist,
         # index.js:151-154), with sentinel bbox and no source pack
         tile_rows, sources = batch_split_subtree(
             None, cz, cx, cy, options, state=state,
-            root_forced_split=False)
+            root_forced_split=False, stop_after_root=root_only)
         out = _subtree_out_pdf(tile_rows, sources)
         if out_dir is None:
             return pa.Table.from_pandas(
@@ -1804,15 +1827,19 @@ def wave_stage_df(candidates: DataFrame, options: TileOptions,
                               ("n_cand", pa.int64()),
                               ("secs", pa.float64())]))
 
-    return candidates.groupBy("z", "x", "y").applyInArrow(
+    grp = (["z", "x", "y", "role"] if "role" in candidates.columns
+           else ["z", "x", "y"])
+    return candidates.groupBy(*grp).applyInArrow(
         run, SUBTREE_ACK_SCHEMA if out_dir is not None else SUBTREE_SCHEMA)
 
 
 def one_wave_stage_df(candidates: DataFrame, options: TileOptions,
-                      out_dir: str | None = None) -> DataFrame:
+                      out_dir: str | None = None,
+                      from_zoom: int | None = None) -> DataFrame:
     """One-wave handoff (the z0→z1 case of wave_stage_df): runs when
     the driver's observed z0 stats prove the whole remaining pyramid
     fits one wave of budget-sized tasks (SparkTileEngine
     ._build_one_wave) — above that bound the per-zoom distributed
     loop takes over, handing off via the same wave shape per batch."""
-    return wave_stage_df(candidates, options, out_dir=out_dir)
+    return wave_stage_df(candidates, options, out_dir=out_dir,
+                         from_zoom=from_zoom)

@@ -322,3 +322,57 @@ def test_one_wave_resume_rebuilds_missing_wave(spark, tmp_path):
     resumed = SparkTileEngine(spark, opts, workdir=str(tmp_path / "e"))
     resumed.build_from_converted(feats, resume=True)
     assert resumed.enumerate_tiles() == want
+
+
+def test_deep_wave_matches_loop_layout(spark, tmp_path):
+    """Deep one-wave (heavy z1 children subdivided into a root-only z1
+    task + four z2 grandchild subtree tasks + driver-side empty
+    back-fill) must be indistinguishable from the distributed loop:
+    same tiles, stats, insertion order, drill-downs, snapshot
+    integrity.  _DEEP_WAVE_PTS is forced to 1 so every
+    guaranteed-split child takes the deep path."""
+    import os as _os
+
+    from geojson_vt_spark.pipeline import features_from_json_df
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+
+    opts = TileOptions(index_max_zoom=6, index_max_points=100)
+    pages = synth_pages_df(spark, 2500, seed=11)
+    feats = features_from_json_df(extract_geo_features_df(pages), opts)
+
+    deep = SparkTileEngine(spark, opts, workdir=str(tmp_path / "d"),
+                           one_wave=True)
+    deep._DEEP_WAVE_PTS = 1
+    deep.build_from_converted(feats, approx_rows=2500)
+    loop = SparkTileEngine(spark, opts, workdir=str(tmp_path / "l"),
+                           one_wave=False)
+    loop.build_from_converted(feats)
+
+    # the wave really subdivided: z2 subtree parts + root-only z1 parts
+    parts = _os.listdir(tmp_path / "d" / "subtree" / "b=1")
+    assert any(p.startswith("part-z2-") for p in parts), parts
+    assert any(p.startswith("part-z1-") for p in parts), parts
+
+    a, b = deep.enumerate_tiles(), loop.enumerate_tiles()
+    assert set(a) == set(b)
+    assert not [k for k in a if a[k] != b[k]]
+    assert deep.tile_coords() == loop.tile_coords()
+    ra = {(r["z"], r["x"], r["y"]): r for r in deep.tiles().collect()}
+    rb = {(r["z"], r["x"], r["y"]): r for r in loop.tiles().collect()}
+    assert ra == rb
+    for zxy in [(0, 0, 0), (1, 0, 0), (2, 1, 2), (4, 3, 7),
+                (9, 137, 190), (12, 1100, 1500)]:
+        ta, tb = deep.get_tile(*zxy), loop.get_tile(*zxy)
+        assert (ta is None) == (tb is None), zxy
+        if ta is not None:
+            assert ta["features"] == tb["features"], zxy
+    assert deep.verify_snapshot() == []
+
+    # kill-and-resume: the deep wave re-runs deterministically
+    import shutil as _sh
+    _sh.rmtree(tmp_path / "d" / "subtree")
+    resumed = SparkTileEngine(spark, opts, workdir=str(tmp_path / "d"))
+    resumed._DEEP_WAVE_PTS = 1
+    resumed.build_from_converted(feats, resume=True)
+    assert resumed.enumerate_tiles() == a
