@@ -75,6 +75,39 @@ def streaming_tile_counts(pages: DataFrame, res: int = 6,
                     "cell", "n_pages"))
 
 
+def streaming_link_graph(pages: DataFrame, window: str = "10 seconds",
+                         watermark: str = "30 seconds",
+                         ts_col: str = "warc_ts") -> DataFrame:
+    """Incremental host link graph over the crawl stream: stateless
+    ``<a href>`` extraction from the html bytes (pure codegen — the
+    same expressions as operators/webgraph.extract_links_df run
+    unchanged on a streaming plan) feeding a watermarked tumbling
+    window count per (src_host, dst_host).  Append mode emits each
+    window's edge counts once the watermark passes — the incremental
+    feed a periodic PageRank job consumes.  State is bounded by
+    watermark × live host pairs (slim string keys); at crawl scale the
+    aggregation is the same map-side-partial + slim-key exchange as
+    the batch operator."""
+    from ..operators.webgraph import _HOST_RE, _HREF_RE
+    h = F.decode(F.col("html"), "UTF-8")
+    hrefs = F.regexp_extract_all(h, F.lit(_HREF_RE), F.lit(1))
+    edges = (pages
+             .withWatermark(ts_col, watermark)
+             .select(F.col(ts_col),
+                     F.regexp_extract("url", _HOST_RE, 1)
+                     .alias("src_host"),
+                     F.explode(hrefs).alias("href"))
+             .select(ts_col, "src_host",
+                     F.regexp_extract("href", _HOST_RE, 1)
+                     .alias("dst_host")))
+    return (edges
+            .groupBy(F.window(F.col(ts_col), window).alias("win"),
+                     "src_host", "dst_host")
+            .agg(F.count(F.lit(1)).alias("n_links"))
+            .select(F.col("win.start").alias("win_start"),
+                    "src_host", "dst_host", "n_links"))
+
+
 def streaming_dedup_by_url(pages: DataFrame, watermark: str = "30 seconds",
                            ts_col: str = "event_ts") -> DataFrame:
     """Streaming exact dedup: first sighting of each url wins inside the

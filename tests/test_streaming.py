@@ -357,3 +357,56 @@ def test_streaming_asof_enrich_equals_batch(spark, tmp_path):
         assert g.asof_us == w.asof_us and g.asof_val == w.asof_value_cents, eid
         n_null += w.asof_us is None
     assert n_null > 0  # the null-before-first-build path was exercised
+
+
+def test_streaming_link_graph_equals_batch(spark, tmp_path):
+    """Oracle: streaming_link_graph over a file-source replay of pages
+    WITH <a href> links (the html bridge + synthetic warc_ts) ==
+    the batch windowed host-graph rollup, restricted to windows the
+    final watermark released."""
+    from geojson_vt_spark.operators.webgraph import _HOST_RE, _HREF_RE
+    from geojson_vt_spark.sources.corpus import html_pages_from_documents
+    from geojson_vt_spark.streaming import streaming_link_graph
+
+    docs = spark.range(0, 1200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text for doc "), F.col("id")).alias("text"))
+    pages = html_pages_from_documents(docs).withColumn(
+        "warc_ts", F.timestamp_seconds(
+            F.lit(1577836800) + F.xxhash64("url") % 126230400))
+    src = str(tmp_path / "linked_pages")
+    pages.write.parquet(src)
+    static = spark.read.parquet(src)
+
+    stream = _replay_stream(spark, src, static.schema)
+    g = streaming_link_graph(stream, window="30 days",
+                             watermark="1 hour", ts_col="warc_ts")
+    q = (g.writeStream.format("memory").queryName("lg_oracle")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_lg"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.win_start, r.src_host, r.dst_host, r.n_links)
+           for r in spark.table("lg_oracle").collect()}
+
+    h = F.decode(F.col("html"), "UTF-8")
+    max_ts = static.agg(F.max("warc_ts")).collect()[0][0]
+    batch = (static
+             .select("warc_ts",
+                     F.regexp_extract("url", _HOST_RE, 1).alias("src_host"),
+                     F.explode(F.regexp_extract_all(
+                         h, F.lit(_HREF_RE), F.lit(1))).alias("href"))
+             .select("warc_ts", "src_host",
+                     F.regexp_extract("href", _HOST_RE, 1)
+                     .alias("dst_host"))
+             .groupBy(F.window("warc_ts", "30 days").alias("win"),
+                      "src_host", "dst_host")
+             .agg(F.count(F.lit(1)).alias("n_links"))
+             .where(F.col("win.end") <= F.lit(max_ts) - F.expr(
+                 "INTERVAL 1 HOUR"))
+             .select(F.col("win.start").alias("win_start"),
+                     "src_host", "dst_host", "n_links"))
+    want = {(r.win_start, r.src_host, r.dst_host, r.n_links)
+            for r in batch.collect()}
+    assert len(want) > 100
+    assert got == want
