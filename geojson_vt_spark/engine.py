@@ -50,7 +50,8 @@ from .model import FEATURE_COLUMNS, TILED_COLUMNS
 from .options import TileOptions
 from .pipeline import (_subtree_out_pdf, _write_subtree_part,
                        render_files_direct, split_files_direct,
-                       batch_split_subtree, features_from_json_df,
+                       batch_split_subtree, deep_wave_route_df,
+                       features_from_json_df,
                        geojson_to_input_rows, one_wave_children_df,
                        one_wave_stage_df, rendered_features_df,
                        split_children_df, wave_children_df,
@@ -522,55 +523,90 @@ class SparkTileEngine:
                 else:
                     self._submit_subtree(pool, futures, row["zoom"], keys)
 
-    # deep-wave gate: a z1 child whose candidate vertex mass x the
-    # levels below z1 exceeds this is subdivided into its four z2
-    # subtree tasks (plus a root-only z1 task) INSIDE the same fused
-    # wave — the one-wave's only skew lever, since a single wave has
-    # at most 4 z1 groups and the hottest metro quadrant is the
-    # critical path (measured: 3.6k-10.7k candidates across the four
-    # z1 groups of the 30k-page bench corpus, wave latency = hottest
-    # task).  Half the kernel task budget: only children carrying at
-    # least half a task of work are worth the extra group overhead.
+    # deep-wave gate: a cell whose candidate vertex mass x the levels
+    # below it exceeds this is subdivided into its four child subtree
+    # tasks (plus a root-only task for the cell itself) INSIDE the
+    # same fused wave — the one-wave's skew lever.  Half the kernel
+    # task budget: only cells carrying at least half a task of work
+    # are worth the extra group overhead (measured: subdividing past
+    # this point trades a solved straggler for pure per-group pipe +
+    # scheduling cost — a 44-task wave ran 2x the 12-task wall on the
+    # same corpus once the hottest task was already under 0.5 s).
     _DEEP_WAVE_PTS = 300_000
 
-    def _deep_wave_children(self, fr0: DataFrame) -> list[tuple[int, int]]:
-        """z1 children to subdivide: candidate mass over the task
-        budget AND guaranteed-split (the vertex mass of features whose
-        bbox lies FULLY INSIDE the child's buffered window is an exact
-        lower bound on the child's post-clip num_points — such
-        features survive the clip intact — so > index_max_points
-        proves the stop rule will split it; the z2 sibling tasks and
-        empty-child back-fill are then exactly what the in-task
-        recursion would have emitted)."""
+    def _deep_plan_aggs(self, nv) -> list:
+        """Agg expressions for the deep-wave plan: candidate vertex
+        mass (bbox not trivially rejected) and guaranteed-inside
+        vertex mass for the 4 z1 cells and 16 z2 cells, window floats
+        identical to wave_stage_df's (parent + const) / z2l clips.
+        ``nv`` is the per-feature vertex-count Column.  These ride an
+        existing stats job (cache-first path) or a one-off gate agg
+        (resume path) — see _deep_plan_decide."""
         opts = self.options
-        if opts.index_max_zoom < 2:
-            return []
         k1c = 0.5 * opts.buffer / opts.extent
         k2c, k3c, k4c = 0.5 - k1c, 0.5 + k1c, 1 + k1c
         aggs = []
-        for q in range(4):
-            dx, dy = q & 1, q >> 1
-            xlo, xhi = (k2c, k4c) if dx else (-k1c, k3c)
-            ylo, yhi = (k2c, k4c) if dy else (-k1c, k3c)
-            rej = ((F.col("maxx") < xlo) | (F.col("minx") >= xhi) |
-                   (F.col("maxy") < ylo) | (F.col("miny") >= yhi))
-            inside = ((F.col("minx") >= xlo) & (F.col("maxx") <= xhi) &
-                      (F.col("miny") >= ylo) & (F.col("maxy") <= yhi))
-            nv = F.col("n_verts")
-            z = F.lit(0).cast("long")
-            aggs.append(F.sum(F.when(~rej, nv).otherwise(z)).alias(f"m{q}"))
-            aggs.append(F.sum(F.when(inside, nv).otherwise(z))
-                        .alias(f"i{q}"))
-        row = fr0.agg(*aggs).first()
-        levels = opts.index_max_zoom - 1
-        out = []
-        for q in range(4):
-            m = int(row[f"m{q}"] or 0)
-            i = int(row[f"i{q}"] or 0)
-            if (m * levels > self._DEEP_WAVE_PTS
-                    and i > opts.index_max_points):
-                out.append((q & 1, q >> 1))
-        return out
+        z = F.lit(0).cast("long")
+        for tag, z2l, n in (("a", 1, 2), ("b", 2, 4)):
+            for cy in range(n):
+                for cx in range(n):
+                    xlo = ((cx >> 1) + (k2c if cx & 1 else -k1c)) / z2l
+                    xhi = ((cx >> 1) + (k4c if cx & 1 else k3c)) / z2l
+                    ylo = ((cy >> 1) + (k2c if cy & 1 else -k1c)) / z2l
+                    yhi = ((cy >> 1) + (k4c if cy & 1 else k3c)) / z2l
+                    rej = ((F.col("maxx") < xlo) |
+                           (F.col("minx") >= xhi) |
+                           (F.col("maxy") < ylo) |
+                           (F.col("miny") >= yhi))
+                    inside = ((F.col("minx") >= xlo) &
+                              (F.col("maxx") <= xhi) &
+                              (F.col("miny") >= ylo) &
+                              (F.col("maxy") <= yhi))
+                    aggs.append(F.sum(F.when(~rej, nv).otherwise(z))
+                                .alias(f"m{tag}{cx}_{cy}"))
+                    aggs.append(F.sum(F.when(inside, nv).otherwise(z))
+                                .alias(f"i{tag}{cx}_{cy}"))
+        return aggs
+
+    def _deep_plan_decide(self, row) -> tuple[list[tuple[int, int]],
+                                              list[tuple[int, int]]]:
+        """(z1 cells, z2 cells) to subdivide from a _deep_plan_aggs
+        row: candidate mass × levels below over the task budget AND
+        guaranteed-split (the fully-inside vertex mass is an exact
+        lower bound on post-clip num_points — such features survive
+        the clip intact — so > index_max_points proves the stop rule
+        will split the cell; the child subtree tasks, root-only tasks
+        and empty-child back-fill are then exactly what the in-task
+        recursion would have emitted).  A z2 cell is only considered
+        under a subdivided z1 parent."""
+        opts = self.options
+        imz = opts.index_max_zoom
+        budget = self._DEEP_WAVE_PTS
+        deep1 = [(x, y) for y in (0, 1) for x in (0, 1)
+                 if (int(row[f"ma{x}_{y}"] or 0) * (imz - 1) > budget
+                     and int(row[f"ia{x}_{y}"] or 0)
+                     > opts.index_max_points)]
+        deep2 = []
+        if imz >= 3 and deep1:
+            d1 = set(deep1)
+            deep2 = [(x, y) for y in range(4) for x in range(4)
+                     if ((x >> 1, y >> 1) in d1
+                         and int(row[f"mb{x}_{y}"] or 0) * (imz - 2)
+                         > budget
+                         and int(row[f"ib{x}_{y}"] or 0)
+                         > opts.index_max_points)]
+        return deep1, deep2
+
+    def _deep_wave_plan(
+            self, fr0: DataFrame) -> tuple[list[tuple[int, int]],
+                                           list[tuple[int, int]]]:
+        """One-off gate agg over the z0 frontier (resume path; the
+        cache-first path rides these aggs on the stats job instead and
+        hands the decided plan down as _deep_plan_hint)."""
+        if self.options.index_max_zoom < 2:
+            return [], []
+        row = fr0.agg(*self._deep_plan_aggs(F.col("n_verts"))).first()
+        return self._deep_plan_decide(row)
 
     def _one_wave_subtree_job(
             self, fr0: DataFrame | None = None,
@@ -583,14 +619,16 @@ class SparkTileEngine:
         candidate rows (their tiles live in the subtree store — the
         rest are the split root's empty children).
 
-        Heavy z1 children (see _deep_wave_children) are subdivided in
+        Heavy z1 children (see _deep_wave_plan) are subdivided in
         the SAME wave job: a root-only z1 task emits the child's own
         tile row from the full clipped state, and four z2 tasks build
         the grandchild subtrees (clipping z0→z1→z2 in-task, level by
-        level — bit-identical to the recursion, pipeline.wave_stage_df).
-        z2 grandchildren that received no candidates are back-filled
-        driver-side as empty stats rows, exactly like the z1 case
-        (index.js:151-154 pushes ``tl || []``)."""
+        level — bit-identical to the recursion, pipeline.wave_stage_df);
+        z2 cells still over the budget recurse once more into a
+        root-only z2 task + four z3 subtree tasks.  Children that
+        received no candidates are back-filled driver-side as empty
+        stats rows, exactly like the z1 case (index.js:151-154 pushes
+        ``tl || []``)."""
         restore: dict[str, str] = {}
         if fr0 is None:
             # resume / checkpoint mode: the kernel-session clone keeps
@@ -611,51 +649,66 @@ class SparkTileEngine:
         try:
             import shutil
             self._set_pool("gvt-subtree")
-            # the gate agg is one tiny job over the (cached) frontier;
-            # skip it when the caller's exact z0 point count proves no
-            # child can exceed the budget even holding ALL the mass
-            deep: list[tuple[int, int]] = []
-            if (n_points is None or n_points
+            _t0 = time.monotonic()
+            # the deep plan normally arrives precomputed (its aggs rode
+            # the cache-first stats job, _deep_plan_hint); the resume
+            # path pays one tiny gate agg over the checkpoint — and
+            # both are skipped when the caller's exact z0 point count
+            # proves no child can exceed the budget holding ALL the mass
+            hint = self.__dict__.pop("_deep_plan_hint", None)
+            deep1: list[tuple[int, int]] = []
+            deep2: list[tuple[int, int]] = []
+            if hint is not None:
+                deep1, deep2 = hint
+            elif (n_points is None or n_points
                     * (self.options.index_max_zoom - 1)
                     > self._DEEP_WAVE_PTS):
-                deep = self._deep_wave_children(fr0)
-            cands = one_wave_children_df(fr0, self.options)
-            if deep:
-                # one pass tags light (full-subtree) vs deep (root-only)
-                # z1 groups; a second routes the deep children's rows
-                # one level further to their z2 grandchild groups — the
-                # frontier is cached, so each pass is a memory scan
-                key = F.col("x") * 2 + F.col("y")
-                dk = [x * 2 + y for x, y in deep]
-                cands = (cands.withColumn(
-                    "role", F.when(key.isin(dk), F.lit(1))
-                    .otherwise(F.lit(0)))
-                    .unionByName(
-                        wave_children_df(cands.where(key.isin(dk)), 1,
-                                         self.options)
-                        .withColumn("role", F.lit(0))))
+                deep1, deep2 = self._deep_wave_plan(fr0)
+            _t1 = time.monotonic()
+            if deep1:
+                # single-pass router: every wave group's candidate rows
+                # (z1 cells + subdivided children down to z3, roles
+                # tagged) from ONE projection + explode over the cached
+                # frontier — no per-level rescan
+                cands = deep_wave_route_df(fr0, self.options,
+                                           deep1, deep2)
+            else:
+                cands = one_wave_children_df(fr0, self.options)
             out = self._p("subtree", "b=1")
             if os.path.isdir(out):
                 shutil.rmtree(out)  # overwrite semantics incl. partials
             acks = one_wave_stage_df(
                 cands, self.options, out_dir=out,
-                from_zoom=0 if deep else None).collect()
+                from_zoom=0 if deep1 else None).collect()
+            _t2 = time.monotonic()
+            self._last_wave_steps = {
+                "gate": round(_t1 - _t0, 2),
+                "stage": round(_t2 - _t1, 2),
+                "n_tasks": len(acks),
+                "n_deep1": len(deep1), "n_deep2": len(deep2),
+                "task_secs_sum": round(sum(r["secs"] for r in acks), 2),
+                "task_secs_max": round(max(
+                    (r["secs"] for r in acks), default=0.0), 2)}
             os.makedirs(out, exist_ok=True)
             open(os.path.join(out, "_SUCCESS"), "w").close()
-            if deep:
-                got2 = {(r["x"], r["y"]) for r in acks if r["z"] == 2}
-                missing2 = [(2 * px + dx, 2 * py + dy)
-                            for px, py in deep
-                            for dx in (0, 1) for dy in (0, 1)
-                            if (2 * px + dx, 2 * py + dy) not in got2]
-                if missing2:
-                    self._write_empty_tiles(2, missing2)
+            for z, parents in ((2, deep1), (3, deep2)):
+                if not parents:
+                    continue
+                got = {(r["x"], r["y"]) for r in acks if r["z"] == z}
+                missing = [(2 * px + dx, 2 * py + dy)
+                           for px, py in parents
+                           for dx in (0, 1) for dy in (0, 1)
+                           if (2 * px + dx, 2 * py + dy) not in got]
+                if missing:
+                    self._write_empty_tiles(z, missing)
         finally:
             for k, v in restore.items():
                 self.spark.conf.set(k, v)
         return sorted({(r["x"], r["y"]) for r in acks if r["z"] == 1}
                       | {(r["x"] >> 1, r["y"] >> 1)
-                         for r in acks if r["z"] == 2})
+                         for r in acks if r["z"] == 2}
+                      | {(r["x"] >> 2, r["y"] >> 2)
+                         for r in acks if r["z"] == 3})
 
     def _frontier0_view(self, src: DataFrame) -> DataFrame:
         """z0 frontier view over an already-converted features frame
@@ -784,7 +837,9 @@ class SparkTileEngine:
             "complete": True, "final": False})
         self._append_lineage({"subtree_batch": 1, "n_keys": len(present),
                               "one_wave": True,
-                              "wall_sec": round(wave_sec, 2)})
+                              "wall_sec": round(wave_sec, 2),
+                              "steps": getattr(self, "_last_wave_steps",
+                                               None)})
         self._append_lineage({
             "zoom": 1, "n_tiles": 4, "heavy": [],
             "handoff": [list(k) for k in present], "one_wave": True,
@@ -829,6 +884,12 @@ class SparkTileEngine:
                 and self.one_wave and self.subtree_max_points is None
                 and opts.index_max_zoom >= 1):
             cached = features_df.persist()
+            # the deep-wave plan aggs ride this same stats job (they
+            # would otherwise cost a separate gate-agg job inside the
+            # wave, measured ~1-1.5 s of pure pool-contended latency)
+            deep_aggs = (self._deep_plan_aggs(
+                (F.size("coords") / 3).cast("long"))
+                if opts.index_max_zoom >= 2 else [])
             row = cached.agg(
                 F.sum((F.col("minx") <= b).cast("long")).alias("l"),
                 F.sum((F.col("maxx") >= 1 - b).cast("long")).alias("r"),
@@ -836,7 +897,8 @@ class SparkTileEngine:
                 F.sum((F.size("coords") / 3).cast("long"))
                 .alias("num_points"),
                 F.min("minx").alias("minx"), F.min("miny").alias("miny"),
-                F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy")
+                F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"),
+                *deep_aggs
             ).first()
             counts = (int(row["l"] or 0), int(row["r"] or 0))
             if row["num_features"]:
@@ -850,10 +912,13 @@ class SparkTileEngine:
             if (not (counts[0] or counts[1]) and z0_stats
                     and self._one_wave_eligible(
                         z0_stats[0]["num_points"])):
+                self._deep_plan_hint = (self._deep_plan_decide(row)
+                                        if deep_aggs else ([], []))
                 try:
                     self.build(None, z0_stats=z0_stats,
                                cached_features=cached)
                 finally:
+                    self.__dict__.pop("_deep_plan_hint", None)
                     cached.unpersist()
                 return
             # mis-hinted (wraps, or too big for one wave): durable

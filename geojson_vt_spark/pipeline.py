@@ -1659,6 +1659,68 @@ def one_wave_children_df(frontier0: DataFrame,
     return wave_children_df(frontier0, 0, options)
 
 
+def deep_wave_route_df(frontier0: DataFrame, options: TileOptions,
+                       deep1: list[tuple[int, int]],
+                       deep2: list[tuple[int, int]]) -> DataFrame:
+    """One-pass deep-wave router: z0 frontier → candidate rows for
+    every wave group — the 4 z1 cells, the z2 children of subdivided
+    z1 cells, and the z3 children of subdivided z2 cells — in a single
+    projection + explode (the chained wave_children_df form rescanned
+    the frontier once per extra level; measured ~0.5 s/wave of pure
+    re-route at 30k pages).
+
+    Emits exactly the same rows: a cell's buffered window is contained
+    in its parent's for any buffer (child bounds (p + const)/2z2l lie
+    inside [parent - k1c, parent + k3c]/z2l), so testing each cell's
+    own window against the feature's original bbox reproduces the
+    route-then-reroute set, and the window floats are the identical
+    (parent + const) / z2l sequence wave_stage_df clips against.
+    role=1 marks root-only groups (subdivided cells), role=0 subtree
+    groups, matching SparkTileEngine._one_wave_subtree_job."""
+    k1c = 0.5 * options.buffer / options.extent
+    k2c, k3c, k4c = 0.5 - k1c, 0.5 + k1c, 1 + k1c
+    d1, d2 = set(deep1), set(deep2)
+
+    def _accept(z: int, cx: int, cy: int):
+        z2l = 1 << (z - 1)
+        px, py = cx >> 1, cy >> 1
+        xlo = (px + (k2c if cx & 1 else -k1c)) / z2l
+        xhi = (px + (k4c if cx & 1 else k3c)) / z2l
+        ylo = (py + (k2c if cy & 1 else -k1c)) / z2l
+        yhi = (py + (k4c if cy & 1 else k3c)) / z2l
+        rej = ((F.col("maxx") < xlo) | (F.col("minx") >= xhi) |
+               (F.col("maxy") < ylo) | (F.col("miny") >= yhi))
+        return ~rej
+
+    targets = []
+    for cx, cy in ((x, y) for y in (0, 1) for x in (0, 1)):
+        role = 1 if (cx, cy) in d1 else 0
+        targets.append((1, cx, cy, role))
+    for px, py in deep1:
+        for dy in (0, 1):
+            for dx in (0, 1):
+                cx, cy = 2 * px + dx, 2 * py + dy
+                targets.append((2, cx, cy, 1 if (cx, cy) in d2 else 0))
+    for px, py in deep2:
+        for dy in (0, 1):
+            for dx in (0, 1):
+                targets.append((3, 2 * px + dx, 2 * py + dy, 0))
+    cells = [F.when(_accept(z, cx, cy), F.struct(
+        F.lit(z).cast("int").alias("z"),
+        F.lit(cx).cast("int").alias("x"),
+        F.lit(cy).cast("int").alias("y"),
+        F.lit(role).cast("int").alias("role")))
+        for z, cx, cy, role in targets]
+    return (frontier0
+            .withColumn("t", F.explode(
+                F.filter(F.array(*cells), lambda s: s.isNotNull())))
+            .withColumn("z", F.col("t.z"))
+            .withColumn("x", F.col("t.x"))
+            .withColumn("y", F.col("t.y"))
+            .withColumn("role", F.col("t.role"))
+            .select(*TILED_COLUMNS, "role"))
+
+
 def _arrow_state(tbl, sort=True, strings=True):
     """One Arrow table → kernel state (ord-sorted when ``sort``), zero
     pandas boxing: list columns flatten to their backing buffers
