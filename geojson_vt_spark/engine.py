@@ -51,9 +51,11 @@ from .options import TileOptions
 from .pipeline import (_subtree_out_pdf, _write_subtree_part,
                        render_files_direct, split_files_direct,
                        batch_split_subtree, deep_wave_route_df,
-                       features_from_json_df,
+                       features_from_json_df, forest_gate_df,
+                       forest_route_df,
                        geojson_to_input_rows, one_wave_children_df,
-                       one_wave_stage_df, rendered_features_df,
+                       one_wave_stage_df, render_cells_direct,
+                       rendered_features_df,
                        split_children_df, wave_children_df,
                        wave_stage_df, wrap_df)
 
@@ -977,6 +979,268 @@ class SparkTileEngine:
                 <= self.spark.sparkContext.defaultParallelism
                 * self._KERNEL_PTS_PER_TASK)
 
+    # forest-wave cut: deepest subdivision level (gate cells grow 4^L;
+    # past z6 the cut bookkeeping stops paying), leaf task budget in
+    # vertex-levels, and the straggler factor past which the cut is
+    # declared infeasible and the per-zoom loop keeps the job.
+    _FOREST_MAX_LEVEL = 6
+    _FOREST_STRAGGLER = 16
+
+    def _forest_eligible(self, n_points: int) -> bool:
+        """True when the corpus is too big for ONE wave but a bounded
+        quadtree cut of subtree tasks plausibly exists: the gate job
+        then decides for real (see _forest_cut)."""
+        opts = self.options
+        return (self.one_wave and self.subtree_max_points is None
+                and opts.index_max_zoom >= 2
+                and n_points > opts.index_max_points
+                and n_points * opts.index_max_zoom
+                <= (4 ** self._FOREST_MAX_LEVEL)
+                * self._KERNEL_PTS_PER_TASK)
+
+    def _forest_cut(self, gate_rows) -> tuple | None:
+        """Quadtree cut from the gate masses: walk from the 4 z1 cells;
+        a cell subdivides (INTERNAL — distributed narrow render of its
+        own tile) while it is guaranteed-split (inside mass
+        > index_max_points — an exact lower bound on post-clip
+        num_points, so the stop rule provably splits it), still above
+        the leaf budget, and above neither the index_max_zoom ceiling
+        nor _FOREST_MAX_LEVEL; otherwise it becomes a LEAF (one
+        wave_stage_df subtree task, its root classified by the normal
+        stop rule in-kernel).  Zero-mass children of internal cells
+        are recorded for the driver-side empty back-fill
+        (index.js:151-154 pushes ``tl || []``).  Returns None when any
+        leaf still carries more than _FOREST_STRAGGLER task budgets —
+        the per-zoom loop handles that regime."""
+        opts = self.options
+        imz = opts.index_max_zoom
+        budget = self._KERNEL_PTS_PER_TASK
+        cells = {(int(r["lvl"]), int(r["x"]), int(r["y"])):
+                 (int(r["m"] or 0), int(r["i"] or 0))
+                 for r in gate_rows}
+        leaves: list = []
+        internals: list = []
+        empties: list = []
+        stack = [(1, x, y) for y in (0, 1) for x in (0, 1)]
+        feasible = True
+        while stack:
+            l, x, y = stack.pop(0)
+            m, i = cells.get((l, x, y), (0, 0))
+            if m == 0:
+                empties.append((l, x, y))
+                continue
+            work = m * max(imz - l, 1)
+            if (l < imz and l < self._FOREST_MAX_LEVEL
+                    and i > opts.index_max_points and work > budget):
+                internals.append((l, x, y))
+                stack.extend((l + 1, 2 * x + dx, 2 * y + dy)
+                             for dy in (0, 1) for dx in (0, 1))
+            else:
+                leaves.append((l, x, y))
+                if work > self._FOREST_STRAGGLER * budget:
+                    feasible = False
+        return (leaves, internals, empties) if feasible else None
+
+    def _build_forest(self, r0: dict, pool, futures, plan) -> None:
+        """Forest wave: the whole pyramid in ONE shuffle + two narrow
+        maps, replacing the per-zoom distributed loop for corpora too
+        big for the one-wave but coverable by a bounded quadtree cut.
+
+        - LEAF cut cells → wave_stage_df subtree tasks (clip z0→cell
+          in-task, whole descendant pyramid; the one-wave machinery at
+          arbitrary depth).
+        - INTERNAL cut cells → render_cells_direct: a narrow
+          mapInArrow clips each candidate row to its cell and renders
+          it through the shared kernel — an internal tile's features
+          stay spread across scan partitions exactly like the z0
+          render (no per-tile funnel), written straight to the
+          per-zoom tilefeat stores; the cells' stats rows come back as
+          slim acks.
+        - z0 renders concurrently as in the one-wave.
+
+        The per-zoom spine (split → frontier write → classify → split,
+        ~8 s/round of pure cadence measured on the 2M-page grid) is
+        gone: wall = route + max(leaf task) + narrow renders.  Output
+        layout is the loop's for internal zooms (tilefeat/z=N +
+        tiles/z=N) and the wave's for leaves (subtree b=1), both
+        native to every reader; lineage lands only after all stores
+        are durable, so a kill anywhere restarts the build cleanly."""
+        import pandas as pd
+        import shutil
+        from pyspark.sql import Observation
+        opts = self.options
+        t0 = time.monotonic()
+        leaves, internals, empties = plan
+        fr0 = self._read_frontier(0)
+        cells = {**{c: 0 for c in leaves}, **{c: 1 for c in internals}}
+        routed = forest_route_df(fr0, opts, cells)
+        obs_r = Observation()
+
+        _steps: dict = {}
+
+        def render_job():
+            self._set_pool("gvt-render")
+            _t = time.monotonic()
+            (rendered_features_df(fr0, opts).drop("z")
+             .observe(obs_r, F.sum("n_simplified").alias("ns"))
+             .write.mode("overwrite")
+             .parquet(self._p("tilefeat", "z=0")))
+            _steps["render0"] = round(time.monotonic() - _t, 2)
+
+        fut_render = pool.submit(render_job)
+
+        int_box: dict = {}
+        for z in sorted({l for l, _, _ in internals}):
+            # stale parts from a killed attempt with a different task
+            # count must not survive (deterministic per-task names
+            # only guard same-plan retries)
+            p = self._p("tilefeat", f"z={z}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+
+        def internal_job():
+            self._set_pool("gvt-internal")
+            _t = time.monotonic()
+            int_box["acks"] = render_cells_direct(
+                routed.where(F.col("role") == 1), opts,
+                self._p("tilefeat")).collect()
+            _steps["internal"] = round(time.monotonic() - _t, 2)
+
+        fut_int = pool.submit(internal_job) if internals else None
+
+        restore: dict = {}
+        conf = self.spark.conf
+        for k, v in (
+                ("spark.sql.adaptive.coalescePartitions.enabled",
+                 "false"),
+                ("spark.sql.shuffle.partitions",
+                 str(max(64, 2 * len(leaves))))):
+            restore[k] = conf.get(k)
+            conf.set(k, v)
+        try:
+            self._set_pool("gvt-subtree")
+            _t1 = time.monotonic()
+            out = self._p("subtree", "b=1")
+            if os.path.isdir(out):
+                shutil.rmtree(out)
+            leaf_acks = one_wave_stage_df(
+                routed.where(F.col("role") == 0), opts, out_dir=out,
+                from_zoom=0).collect()
+            os.makedirs(out, exist_ok=True)
+            open(os.path.join(out, "_SUCCESS"), "w").close()
+            wave_sec = time.monotonic() - _t1
+        finally:
+            for k, v in restore.items():
+                self.spark.conf.set(k, v)
+        if fut_int is not None:
+            fut_int.result()
+        _t2 = time.monotonic()
+        fut_render.result()
+        render_wait = time.monotonic() - _t2
+        ns0 = int(obs_r.get["ns"] or 0)
+
+        # driver-side rows: z0, internal-cell stats, empty children
+        self._write_local_parquet(pd.DataFrame({
+            "x": pd.Series([0], dtype="int32"),
+            "y": pd.Series([0], dtype="int32"),
+            "num_features": pd.Series([r0["num_features"]],
+                                      dtype="int64"),
+            "num_points": pd.Series([r0["num_points"]], dtype="int64"),
+            "num_simplified": pd.Series([ns0], dtype="int64"),
+            "minx": pd.Series([r0["minx"]], dtype="float64"),
+            "miny": pd.Series([r0["miny"]], dtype="float64"),
+            "maxx": pd.Series([r0["maxx"]], dtype="float64"),
+            "maxy": pd.Series([r0["maxy"]], dtype="float64"),
+            "is_split": pd.Series([True], dtype="bool"),
+            "has_source": pd.Series([False], dtype="bool"),
+            "tile_id": pd.Series([to_id(0, 0, 0)], dtype="int64"),
+        }), self._p("tiles", "z=0"))
+        merged: dict = {}
+        for r in int_box.get("acks", []):
+            key = (int(r["z"]), int(r["x"]), int(r["y"]))
+            cur = merged.get(key)
+            if cur is None:
+                merged[key] = [int(r["n_feats"]), int(r["n_points"]),
+                               int(r["n_sim"]), float(r["minx"]),
+                               float(r["miny"]), float(r["maxx"]),
+                               float(r["maxy"])]
+            else:
+                cur[0] += int(r["n_feats"])
+                cur[1] += int(r["n_points"])
+                cur[2] += int(r["n_sim"])
+                cur[3] = min(cur[3], float(r["minx"]))
+                cur[4] = min(cur[4], float(r["miny"]))
+                cur[5] = max(cur[5], float(r["maxx"]))
+                cur[6] = max(cur[6], float(r["maxy"]))
+        # one tiles/z=N write per level: internal-cell stats rows plus
+        # empty-children sentinels (a second _write_local_parquet to
+        # the same level would overwrite the first)
+        by_level: dict = {}
+        for (z, x, y), st in merged.items():
+            by_level.setdefault(z, []).append(
+                (x, y, st + [True, False]))
+        for z, x, y in empties:
+            by_level.setdefault(z, []).append(
+                (x, y, [0, 0, 0, 2.0, 1.0, -1.0, 0.0, False, True]))
+        for z, rows in sorted(by_level.items()):
+            rows.sort(key=lambda t: (t[0], t[1]))
+            self._write_local_parquet(pd.DataFrame({
+                "x": pd.Series([t[0] for t in rows], dtype="int32"),
+                "y": pd.Series([t[1] for t in rows], dtype="int32"),
+                "num_features": pd.Series([t[2][0] for t in rows],
+                                          dtype="int64"),
+                "num_points": pd.Series([t[2][1] for t in rows],
+                                        dtype="int64"),
+                "num_simplified": pd.Series([t[2][2] for t in rows],
+                                            dtype="int64"),
+                "minx": pd.Series([t[2][3] for t in rows],
+                                  dtype="float64"),
+                "miny": pd.Series([t[2][4] for t in rows],
+                                  dtype="float64"),
+                "maxx": pd.Series([t[2][5] for t in rows],
+                                  dtype="float64"),
+                "maxy": pd.Series([t[2][6] for t in rows],
+                                  dtype="float64"),
+                "is_split": pd.Series([t[2][7] for t in rows],
+                                      dtype="bool"),
+                "has_source": pd.Series([t[2][8] for t in rows],
+                                        dtype="bool"),
+                "tile_id": pd.Series([to_id(z, t[0], t[1])
+                                      for t in rows], dtype="int64"),
+            }), self._p("tiles", f"z={z}"))
+        for z in sorted({l for l, _, _ in internals}):
+            os.makedirs(self._p("tilefeat", f"z={z}"), exist_ok=True)
+            open(os.path.join(self._p("tilefeat", f"z={z}"),
+                              "_SUCCESS"), "w").close()
+
+        # lineage lands LAST (resume contract: no lineage → clean
+        # rebuild from the features checkpoint)
+        max_z = max([l for l, _, _ in leaves] or [1])
+        self._append_lineage({
+            "zoom": 0, "n_tiles": 1, "n_split": 1,
+            "n_points": int(r0["num_points"]), "heavy": [],
+            "handoff": [], "forest": True,
+            "wall_sec": time.monotonic() - t0,
+            "steps": {"render_wait": round(render_wait, 2)},
+            "complete": True, "final": False})
+        self._append_lineage({
+            "subtree_batch": 1, "n_keys": len(leaves), "forest": True,
+            "wall_sec": round(wave_sec, 2),
+            "steps": {
+                "n_leaves": len(leaves), "n_internal": len(internals),
+                "n_empty": len(empties),
+                "gate": getattr(self, "_forest_gate_sec", None),
+                **_steps,
+                "task_secs_sum": round(sum(
+                    r["secs"] for r in leaf_acks), 2),
+                "task_secs_max": round(max(
+                    (r["secs"] for r in leaf_acks), default=0.0), 2)}})
+        self._append_lineage({
+            "zoom": max_z, "n_tiles": len(leaves) + len(internals),
+            "heavy": [], "handoff": [], "forest": True,
+            "wall_sec": time.monotonic() - t0,
+            "complete": True, "final": True})
+
     def build(self, features_df: DataFrame | None, resume: bool = False,
               z0_stats: list[dict] | None = None,
               cached_features: DataFrame | None = None) -> None:
@@ -1044,6 +1308,30 @@ class SparkTileEngine:
                 self._source_rows_cache.clear()
                 self._df_cache.clear()
             return
+
+        if (start_z == 0 and features_df is None
+                and cached_features is None and z0_stats
+                and self._forest_eligible(z0_stats[0]["num_points"])):
+            # gate job decides for real: bounded-cut or fall through
+            # to the per-zoom loop
+            _tg = time.monotonic()
+            plan = self._forest_cut(forest_gate_df(
+                self._read_frontier(0), opts,
+                self._FOREST_MAX_LEVEL).collect())
+            self._forest_gate_sec = round(time.monotonic() - _tg, 2)
+            if plan is not None:
+                try:
+                    self._build_forest(z0_stats[0], pool, futures,
+                                       plan)
+                finally:
+                    for f in futures:
+                        f.result()
+                    pool.shutdown()
+                    self._stats_cache = None
+                    self._sub_meta_cache.clear()
+                    self._source_rows_cache.clear()
+                    self._df_cache.clear()
+                return
 
         n_verts = (F.size("coords") / 3).cast("long").alias("n_verts")
         if start_z == 0:

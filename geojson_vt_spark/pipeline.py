@@ -1905,3 +1905,269 @@ def one_wave_stage_df(candidates: DataFrame, options: TileOptions,
     loop takes over, handing off via the same wave shape per batch."""
     return wave_stage_df(candidates, options, out_dir=out_dir,
                          from_zoom=from_zoom)
+
+
+# ---------------------------------------------------------------- forest wave
+
+def _cell_window_cols(lvl_col, c_col, k1c: float, k2c: float,
+                      k3c: float, k4c: float):
+    """Exact buffered-window bounds for cell coordinate ``c_col`` at
+    zoom ``lvl_col``, as Columns — the SAME float sequence the kernel
+    clips against: (parent + const) / z2l with z2l = 2^(lvl-1) (an
+    exact power of two, so the division is exact in IEEE double and
+    the add is the only rounding step, identical to the scalar
+    Python/numpy computation)."""
+    z2l = F.pow(F.lit(2.0), (lvl_col - 1).cast("double"))
+    par = F.floor(c_col / 2).cast("double")
+    odd = (c_col % 2) == 1
+    lo = (par + F.when(odd, F.lit(k2c)).otherwise(F.lit(-k1c))) / z2l
+    hi = (par + F.when(odd, F.lit(k4c)).otherwise(F.lit(k3c))) / z2l
+    return lo, hi
+
+
+def forest_gate_df(frontier0: DataFrame, options: TileOptions,
+                   max_level: int) -> DataFrame:
+    """Per-cell candidate + guaranteed-inside vertex masses for EVERY
+    quadtree cell at zooms 1..max_level, in one slim job: arithmetic
+    candidate rectangles (a ±1-cell superset from bbox × 2^lvl) are
+    explode()d, then filtered with the cell's EXACT window floats, and
+    a partial-agg groupBy collapses to ≤4^lvl rows per level before
+    the exchange.  Output: (lvl, x, y, m, i) — m is the mass the cell's
+    wave task would receive (bbox-overlap superset, the same row set
+    forest_route_df emits), i is the mass of features whose bbox lies
+    FULLY INSIDE the window (an exact lower bound on post-clip
+    num_points: such features survive the clip intact, so
+    i > index_max_points proves the stop rule splits the cell)."""
+    k1c = 0.5 * options.buffer / options.extent
+    k2c, k3c, k4c = 0.5 - k1c, 0.5 + k1c, 1 + k1c
+    b = 2 * k1c
+    nv = (F.size("coords") / 3).cast("long")
+    lvl = F.col("_lvl")
+    u = F.pow(F.lit(2.0), lvl.cast("double"))
+    cmax = F.pow(F.lit(2.0), lvl.cast("double")).cast("long") - 1
+
+    def _rng(lo_col, hi_col):
+        lo = F.greatest(F.lit(0).cast("long"),
+                        F.floor(lo_col * u - F.lit(1 + b)).cast("long"))
+        hi = F.least(cmax,
+                     F.floor(hi_col * u + F.lit(b)).cast("long") + 1)
+        return F.sequence(lo, hi)
+
+    df = (frontier0
+          .select(F.col("minx"), F.col("miny"), F.col("maxx"),
+                  F.col("maxy"), nv.alias("_nv"))
+          .withColumn("_lvl", F.explode(F.array(
+              *[F.lit(z) for z in range(1, max_level + 1)])))
+          .withColumn("_cx", F.explode(_rng(F.col("minx"),
+                                            F.col("maxx"))))
+          .withColumn("_cy", F.explode(_rng(F.col("miny"),
+                                            F.col("maxy")))))
+    xlo, xhi = _cell_window_cols(lvl, F.col("_cx"), k1c, k2c, k3c, k4c)
+    ylo, yhi = _cell_window_cols(lvl, F.col("_cy"), k1c, k2c, k3c, k4c)
+    rej = ((F.col("maxx") < xlo) | (F.col("minx") >= xhi) |
+           (F.col("maxy") < ylo) | (F.col("miny") >= yhi))
+    inside = ((F.col("minx") >= xlo) & (F.col("maxx") <= xhi) &
+              (F.col("miny") >= ylo) & (F.col("maxy") <= yhi))
+    return (df.where(~rej)
+            .groupBy(F.col("_lvl").alias("lvl"),
+                     F.col("_cx").alias("x"), F.col("_cy").alias("y"))
+            .agg(F.sum("_nv").alias("m"),
+                 F.sum(F.when(inside, F.col("_nv"))
+                       .otherwise(F.lit(0).cast("long"))).alias("i")))
+
+
+def forest_route_df(frontier0: DataFrame, options: TileOptions,
+                    cells: dict) -> DataFrame:
+    """Route z0 frontier rows to every cut cell they overlap, in one
+    pass: explode the levels present in the cut, explode the
+    arithmetic candidate rectangle per level, filter with the exact
+    window floats, then keep only (lvl, x, y) ∈ cut (InSet over packed
+    int keys — scales to thousands of cells where the per-cell struct
+    router of deep_wave_route_df would blow up codegen).  ``cells``
+    maps (z, x, y) → role (1 = internal/root-render, 0 = leaf
+    subtree).  Feature columns ride unchanged; emitted row sets match
+    the level-by-level reroute exactly (child windows are contained in
+    their parents')."""
+    k1c = 0.5 * options.buffer / options.extent
+    k2c, k3c, k4c = 0.5 - k1c, 0.5 + k1c, 1 + k1c
+    b = 2 * k1c
+    levels = sorted({z for z, _, _ in cells})
+    keys = {(z << 50) | (x << 25) | y: r
+            for (z, x, y), r in cells.items()}
+    internal = [k for k, r in keys.items() if r == 1]
+    lvl = F.col("_lvl")
+    u = F.pow(F.lit(2.0), lvl.cast("double"))
+    cmax = F.pow(F.lit(2.0), lvl.cast("double")).cast("long") - 1
+
+    def _rng(lo_col, hi_col):
+        lo = F.greatest(F.lit(0).cast("long"),
+                        F.floor(lo_col * u - F.lit(1 + b)).cast("long"))
+        hi = F.least(cmax,
+                     F.floor(hi_col * u + F.lit(b)).cast("long") + 1)
+        return F.sequence(lo, hi)
+
+    df = (frontier0
+          .withColumn("_lvl", F.explode(F.array(
+              *[F.lit(z) for z in levels])))
+          .withColumn("_cx", F.explode(_rng(F.col("minx"),
+                                            F.col("maxx"))))
+          .withColumn("_cy", F.explode(_rng(F.col("miny"),
+                                            F.col("maxy")))))
+    xlo, xhi = _cell_window_cols(lvl, F.col("_cx"), k1c, k2c, k3c, k4c)
+    ylo, yhi = _cell_window_cols(lvl, F.col("_cy"), k1c, k2c, k3c, k4c)
+    rej = ((F.col("maxx") < xlo) | (F.col("minx") >= xhi) |
+           (F.col("maxy") < ylo) | (F.col("miny") >= yhi))
+    key = ((lvl.cast("long") * F.lit(1 << 50).cast("long"))
+           + (F.col("_cx") * F.lit(1 << 25).cast("long"))
+           + F.col("_cy"))
+    return (df.where(~rej)
+            .where(key.isin(*[int(k) for k in keys]))
+            .withColumn("role", F.when(
+                key.isin(*[int(k) for k in internal]) if internal
+                else F.lit(False), F.lit(1)).otherwise(F.lit(0)))
+            .withColumn("z", F.col("_lvl"))
+            .withColumn("x", F.col("_cx").cast("int"))
+            .withColumn("y", F.col("_cy").cast("int"))
+            .select(*TILED_COLUMNS, "role"))
+
+
+def _empty_tiled_table():
+    import pyarrow as pa
+    sch = _tiled_arrow_schema()
+    return pa.Table.from_arrays(
+        [pa.array([], f.type) for f in sch if f.name != "n_verts"],
+        names=[f.name for f in sch if f.name != "n_verts"]
+    ).select(TILED_COLUMNS)
+
+
+def clip_table_to_cell(tbl, cz: int, cx: int, cy: int,
+                       options: TileOptions, from_zoom: int = 0):
+    """Clip TILED rows (z/x/y = the from_zoom ancestor of the target
+    cell) down to (cz, cx, cy) one level at a time, reproducing the
+    loop split's accept/clip dispatch EXACTLY — trivially-accepted
+    rows pass through _pass_table (ord appends [0, 0]), crossing rows
+    go through _split_crossing_tables (ord appends the clip sub_ords)
+    — so the surviving rows are byte-identical to the rows
+    frontier/z=cz would hold for this tile after cz split rounds."""
+    import pyarrow as pa
+    for lvl in range(from_zoom, cz):
+        if not tbl.num_rows:
+            return _empty_tiled_table()
+        ax, ay = cx >> (cz - lvl - 1), cy >> (cz - lvl - 1)
+        q = (ay & 1) * 2 + (ax & 1)
+        acc, mask = _quadrant_route(tbl, lvl, options)
+        acc_t = np.zeros_like(acc)
+        acc_t[q] = acc[q]
+        mask_t = mask & (1 << q)
+        parts = []
+        pt = _pass_table(tbl, lvl, acc_t)
+        if pt is not None:
+            parts.append(pt)
+        cross = np.nonzero(mask_t > 0)[0]
+        if len(cross):
+            ct = tbl.take(pa.array(cross)).combine_chunks()
+            parts.extend(_split_crossing_tables(ct, lvl, options,
+                                                mask_t[cross]))
+        if not parts:
+            return _empty_tiled_table()
+        tbl = pa.concat_tables(parts).combine_chunks()
+    return tbl
+
+
+FOREST_ACK_SCHEMA = ("z int, x int, y int, n_feats long, n_points long, "
+                     "n_sim long, minx double, miny double, "
+                     "maxx double, maxy double")
+
+
+def render_cells_direct(routed: DataFrame, options: TileOptions,
+                        out_root: str) -> DataFrame:
+    """Narrow distributed render of the cut's INTERNAL cells: each
+    mapInArrow task clips its candidate rows from z0 to their target
+    cell (clip_table_to_cell — no shuffle, rows stay in their scan
+    partitions; an internal tile's features remain spread over every
+    task exactly like the z0 render) and renders them through the
+    shared _render_batch kernel, writing per-(task, zoom) tilefeat
+    parquet parts directly (tmp + rename, deterministic names — a
+    task retry overwrites).  Returns per-(task, cell) stat partials:
+    n_feats / n_points / bbox are computed from the CLIPPED rows
+    (identical to the frontier stats the loop's tiles rows use) and
+    n_sim from the rendered rows' n_simplified."""
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        acc: dict = {}
+        rendered: dict = {}
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb]).combine_chunks()
+            if not tbl.num_rows:
+                continue
+            tz = tbl.column("z").to_numpy(zero_copy_only=False)
+            tx = tbl.column("x").to_numpy(zero_copy_only=False)
+            ty = tbl.column("y").to_numpy(zero_copy_only=False)
+            key = (tz.astype(np.int64) << 50) \
+                + (tx.astype(np.int64) << 25) + ty.astype(np.int64)
+            for k in np.unique(key):
+                idx = np.nonzero(key == k)[0]
+                cz = int(k >> 50)
+                cxv = int((k >> 25) & ((1 << 25) - 1))
+                cyv = int(k & ((1 << 25) - 1))
+                sub = tbl.take(pa.array(idx)).combine_chunks()
+                # rebuild the descent from z0 (the route tagged rows
+                # with the TARGET cell; the chain re-derives child
+                # coords level by level)
+                sub = (sub.drop_columns(["z", "x", "y"])
+                       .add_column(0, "z", pa.array(
+                           np.zeros(len(idx), dtype=np.int32),
+                           pa.int32()))
+                       .add_column(1, "x", pa.array(
+                           np.zeros(len(idx), dtype=np.int32),
+                           pa.int32()))
+                       .add_column(2, "y", pa.array(
+                           np.zeros(len(idx), dtype=np.int32),
+                           pa.int32())))
+                clipped = clip_table_to_cell(sub, cz, cxv, cyv, options)
+                st = acc.setdefault((cz, cxv, cyv),
+                                    [0, 0, 0, 2.0, 1.0, -1.0, 0.0])
+                if clipped.num_rows:
+                    nvs = pc.cast(pc.divide(pc.list_value_length(
+                        clipped.column("coords")), 3), pa.int64())
+                    st[0] += clipped.num_rows
+                    st[1] += int(pc.sum(nvs).as_py() or 0)
+                    st[3] = min(st[3], pc.min(
+                        clipped.column("minx")).as_py())
+                    st[4] = min(st[4], pc.min(
+                        clipped.column("miny")).as_py())
+                    st[5] = max(st[5], pc.max(
+                        clipped.column("maxx")).as_py())
+                    st[6] = max(st[6], pc.max(
+                        clipped.column("maxy")).as_py())
+                    rend = _render_batch(clipped, options)
+                    st[2] += int(pc.sum(pa.Table.from_batches(
+                        [rend]).column("n_simplified")).as_py() or 0)
+                    rendered.setdefault(cz, []).append(
+                        pa.Table.from_batches([rend]).drop_columns(
+                            ["z"]))
+        pid = TaskContext.get().partitionId()
+        codec = os.environ.get("GVT_CODEC", "zstd")
+        for cz, tables in rendered.items():
+            out_dir = os.path.join(out_root, f"z={cz}")
+            os.makedirs(out_dir, exist_ok=True)
+            final = os.path.join(out_dir, f"part-i{pid:05d}.parquet")
+            tmp = final + ".inprogress"
+            pq.write_table(pa.concat_tables(tables).combine_chunks(),
+                           tmp, compression=codec)
+            os.replace(tmp, final)
+        rows = [(z, x, y, *st) for (z, x, y), st in acc.items()]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([r[i] for r in rows],
+                      [pa.int32(), pa.int32(), pa.int32(), pa.int64(),
+                       pa.int64(), pa.int64(), pa.float64(),
+                       pa.float64(), pa.float64(), pa.float64()][i])
+             for i in range(10)],
+            names=["z", "x", "y", "n_feats", "n_points", "n_sim",
+                   "minx", "miny", "maxx", "maxy"])
+
+    return routed.mapInArrow(run, FOREST_ACK_SCHEMA)

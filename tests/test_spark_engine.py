@@ -376,3 +376,87 @@ def test_deep_wave_matches_loop_layout(spark, tmp_path):
     resumed._DEEP_WAVE_PTS = 1
     resumed.build_from_converted(feats, resume=True)
     assert resumed.enumerate_tiles() == a
+
+
+def test_forest_wave_matches_loop_layout(spark, tmp_path):
+    """Forest wave (bounded quadtree cut: leaf subtree tasks + narrow
+    distributed renders of internal cells + driver empty back-fill)
+    must be indistinguishable from the per-zoom loop: same tiles,
+    stats, insertion order, drill-downs.  _KERNEL_PTS_PER_TASK is
+    shrunk so the one-wave is ineligible and the cut recurses deep."""
+    import json as _json
+    import shutil as _sh
+
+    from geojson_vt_spark.pipeline import features_from_json_df
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+
+    opts = TileOptions(index_max_zoom=6, index_max_points=100)
+    pages = synth_pages_df(spark, 2500, seed=11)
+    feats = features_from_json_df(extract_geo_features_df(pages), opts)
+
+    forest = SparkTileEngine(spark, opts, workdir=str(tmp_path / "f"),
+                             one_wave=True)
+    forest._KERNEL_PTS_PER_TASK = 2000
+    forest.build_from_converted(feats, approx_rows=2500)
+    lin = [_json.loads(ln)
+           for ln in open(tmp_path / "f" / "lineage.json")]
+    assert any(r.get("forest") for r in lin), lin
+    st = [r for r in lin if r.get("subtree_batch")][0]["steps"]
+    assert st["n_leaves"] and st["n_internal"], st
+
+    loop = SparkTileEngine(spark, opts, workdir=str(tmp_path / "l"),
+                           one_wave=False)
+    loop.build_from_converted(feats)
+
+    a, b = forest.enumerate_tiles(), loop.enumerate_tiles()
+    assert set(a) == set(b)
+    assert not [k for k in a if a[k] != b[k]]
+    assert forest.tile_coords() == loop.tile_coords()
+    ra = {(r["z"], r["x"], r["y"]): r for r in forest.tiles().collect()}
+    rb = {(r["z"], r["x"], r["y"]): r for r in loop.tiles().collect()}
+    assert ra == rb
+    for zxy in [(0, 0, 0), (1, 0, 0), (2, 1, 2), (4, 3, 7),
+                (9, 137, 190), (12, 1100, 1500)]:
+        ta, tb = forest.get_tile(*zxy), loop.get_tile(*zxy)
+        assert (ta is None) == (tb is None), zxy
+        if ta is not None:
+            assert ta["features"] == tb["features"], zxy
+    assert forest.verify_snapshot() == []
+
+    # kill-and-resume: no lineage → clean rebuild from the checkpoint
+    _sh.rmtree(tmp_path / "f" / "subtree")
+    (tmp_path / "f" / "lineage.json").unlink()
+    resumed = SparkTileEngine(spark, opts, workdir=str(tmp_path / "f"),
+                              one_wave=True)
+    resumed._KERNEL_PTS_PER_TASK = 2000
+    resumed.build_from_converted(feats, resume=True)
+    assert resumed.enumerate_tiles() == a
+
+
+def test_forest_wave_line_metrics_parity(spark, tmp_path):
+    """Forest parity on the lineMetrics + nondefault tolerance/buffer
+    surface (the clip-start/end tag injection rides the shared render
+    kernel inside the narrow internal-cell render)."""
+    from geojson_vt_spark.pipeline import features_from_json_df
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+
+    opts = TileOptions(index_max_zoom=5, index_max_points=60,
+                       line_metrics=True, tolerance=2, buffer=96)
+    pages = synth_pages_df(spark, 1500, seed=23)
+    feats = features_from_json_df(extract_geo_features_df(pages), opts)
+    forest = SparkTileEngine(spark, opts, workdir=str(tmp_path / "f"),
+                             one_wave=True)
+    forest._KERNEL_PTS_PER_TASK = 1500
+    forest.build_from_converted(feats, approx_rows=1500)
+    loop = SparkTileEngine(spark, opts, workdir=str(tmp_path / "l"),
+                           one_wave=False)
+    loop.build_from_converted(feats)
+    a, b = forest.enumerate_tiles(), loop.enumerate_tiles()
+    assert set(a) == set(b)
+    assert not [k for k in a if a[k] != b[k]]
+    ra = {(r["z"], r["x"], r["y"]): r for r in forest.tiles().collect()}
+    rb = {(r["z"], r["x"], r["y"]): r for r in loop.tiles().collect()}
+    assert ra == rb
+    assert forest.tile_coords() == loop.tile_coords()
