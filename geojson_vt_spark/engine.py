@@ -53,8 +53,9 @@ from .pipeline import (_subtree_out_pdf, _write_subtree_part,
                        batch_split_subtree, deep_wave_route_df,
                        features_from_json_df, forest_gate_df,
                        forest_route_df,
-                       geojson_to_input_rows, one_wave_children_df,
-                       one_wave_stage_df, render_cells_direct,
+                       geojson_to_input_rows, internal_tree_direct,
+                       one_wave_children_df,
+                       one_wave_stage_df,
                        rendered_features_df,
                        split_children_df, wave_children_df,
                        wave_stage_df, wrap_df)
@@ -1049,13 +1050,14 @@ class SparkTileEngine:
         - LEAF cut cells → wave_stage_df subtree tasks (clip z0→cell
           in-task, whole descendant pyramid; the one-wave machinery at
           arbitrary depth).
-        - INTERNAL cut cells → render_cells_direct: a narrow
-          mapInArrow clips each candidate row to its cell and renders
-          it through the shared kernel — an internal tile's features
-          stay spread across scan partitions exactly like the z0
-          render (no per-tile funnel), written straight to the
-          per-zoom tilefeat stores; the cells' stats rows come back as
-          slim acks.
+        - INTERNAL cut cells → internal_tree_direct: ONE narrow
+          mapInArrow job whose tasks walk their partition of the z0
+          frontier down the internal tree in-task — clip one level
+          per node on the shrinking parent state, render through the
+          shared kernel; an internal tile's features stay spread
+          across scan partitions exactly like the z0 render (no
+          per-tile funnel), tilefeat parts written task-side, stats
+          rows back as slim acks.
         - z0 renders concurrently as in the one-wave.
 
         The per-zoom spine (split → frontier write → classify → split,
@@ -1072,8 +1074,9 @@ class SparkTileEngine:
         t0 = time.monotonic()
         leaves, internals, empties = plan
         fr0 = self._read_frontier(0)
-        cells = {**{c: 0 for c in leaves}, **{c: 1 for c in internals}}
-        routed = forest_route_df(fr0, opts, cells)
+        # only LEAF cells go through the grouped wave; internal cells
+        # are rendered by the level-incremental chain below
+        routed = forest_route_df(fr0, opts, {c: 0 for c in leaves})
         obs_r = Observation()
 
         _steps: dict = {}
@@ -1101,9 +1104,8 @@ class SparkTileEngine:
         def internal_job():
             self._set_pool("gvt-internal")
             _t = time.monotonic()
-            int_box["acks"] = render_cells_direct(
-                routed.where(F.col("role") == 1), opts,
-                self._p("tilefeat")).collect()
+            int_box["acks"] = internal_tree_direct(
+                fr0, internals, opts, self._p("tilefeat"))
             _steps["internal"] = round(time.monotonic() - _t, 2)
 
         fut_int = pool.submit(internal_job) if internals else None

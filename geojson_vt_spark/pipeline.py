@@ -2079,61 +2079,57 @@ FOREST_ACK_SCHEMA = ("z int, x int, y int, n_feats long, n_points long, "
                      "maxx double, maxy double")
 
 
-def render_cells_direct(routed: DataFrame, options: TileOptions,
-                        out_root: str) -> DataFrame:
-    """Narrow distributed render of the cut's INTERNAL cells: each
-    mapInArrow task clips its candidate rows from z0 to their target
-    cell (clip_table_to_cell — no shuffle, rows stay in their scan
-    partitions; an internal tile's features remain spread over every
-    task exactly like the z0 render) and renders them through the
-    shared _render_batch kernel, writing per-(task, zoom) tilefeat
-    parquet parts directly (tmp + rename, deterministic names — a
-    task retry overwrites).  Returns per-(task, cell) stat partials:
-    n_feats / n_points / bbox are computed from the CLIPPED rows
-    (identical to the frontier stats the loop's tiles rows use) and
-    n_sim from the rendered rows' n_simplified."""
+def internal_tree_direct(fr0: DataFrame, internals: list,
+                         options: TileOptions,
+                         tilefeat_root: str) -> list:
+    """Single-job render of the forest cut's INTERNAL cells: each
+    mapInArrow task materializes its partition of the z0 frontier and
+    walks it down the internal-cell tree IN-TASK — clip ONE level from
+    the parent state per node (clip_table_to_cell, the loop split's
+    exact accept/clip dispatch and ord extension), render the node
+    through the shared kernel, recurse into its internal children on
+    the shrinking clipped state.  No shuffle, no inter-level job
+    barrier: the level-chained form re-introduced a 5-round spine
+    (~8-10 s of fixed job latency per level on the 4x8 grid, 53 s of
+    a 67 s wall at 2M pages), and the clip-from-z0 form before it
+    re-clipped every cell from the root (68 s).  An internal tile's
+    features stay spread across scan partitions exactly like the z0
+    render; tilefeat parts are written task-side (tmp + rename,
+    deterministic per-task names) and per-(task, cell) stat partials
+    come back as the job's only output."""
+    import pyarrow as pa
+
+    kids: dict = {}
+    for z, x, y in internals:
+        kids.setdefault((z - 1, x >> 1, y >> 1), []).append((z, x, y))
+    opts = options
+
     def run(batches):
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
+        parts = [pa.Table.from_batches([rb]) for rb in batches]
         acc: dict = {}
         rendered: dict = {}
-        for rb in batches:
-            tbl = pa.Table.from_batches([rb]).combine_chunks()
-            if not tbl.num_rows:
-                continue
-            tz = tbl.column("z").to_numpy(zero_copy_only=False)
-            tx = tbl.column("x").to_numpy(zero_copy_only=False)
-            ty = tbl.column("y").to_numpy(zero_copy_only=False)
-            key = (tz.astype(np.int64) << 50) \
-                + (tx.astype(np.int64) << 25) + ty.astype(np.int64)
-            for k in np.unique(key):
-                idx = np.nonzero(key == k)[0]
-                cz = int(k >> 50)
-                cxv = int((k >> 25) & ((1 << 25) - 1))
-                cyv = int(k & ((1 << 25) - 1))
-                sub = tbl.take(pa.array(idx)).combine_chunks()
-                # rebuild the descent from z0 (the route tagged rows
-                # with the TARGET cell; the chain re-derives child
-                # coords level by level)
-                sub = (sub.drop_columns(["z", "x", "y"])
-                       .add_column(0, "z", pa.array(
-                           np.zeros(len(idx), dtype=np.int32),
-                           pa.int32()))
-                       .add_column(1, "x", pa.array(
-                           np.zeros(len(idx), dtype=np.int32),
-                           pa.int32()))
-                       .add_column(2, "y", pa.array(
-                           np.zeros(len(idx), dtype=np.int32),
-                           pa.int32())))
-                clipped = clip_table_to_cell(sub, cz, cxv, cyv, options)
-                st = acc.setdefault((cz, cxv, cyv),
-                                    [0, 0, 0, 2.0, 1.0, -1.0, 0.0])
-                if clipped.num_rows:
+        if parts:
+            tbl0 = pa.concat_tables(parts).combine_chunks()
+            stack = [(0, 0, 0, tbl0)]
+            while stack:
+                z, x, y, tbl = stack.pop()
+                for (cz, cx, cy) in kids.get((z, x, y), []):
+                    if not tbl.num_rows:
+                        continue
+                    clipped = clip_table_to_cell(tbl, cz, cx, cy,
+                                                 opts, from_zoom=z)
+                    if not clipped.num_rows:
+                        continue
                     nvs = pc.cast(pc.divide(pc.list_value_length(
                         clipped.column("coords")), 3), pa.int64())
+                    st = acc.setdefault(
+                        (cz, cx, cy),
+                        [0, 0, 0, 2.0, 1.0, -1.0, 0.0])
                     st[0] += clipped.num_rows
                     st[1] += int(pc.sum(nvs).as_py() or 0)
                     st[3] = min(st[3], pc.min(
@@ -2144,30 +2140,32 @@ def render_cells_direct(routed: DataFrame, options: TileOptions,
                         clipped.column("maxx")).as_py())
                     st[6] = max(st[6], pc.max(
                         clipped.column("maxy")).as_py())
-                    rend = _render_batch(clipped, options)
-                    st[2] += int(pc.sum(pa.Table.from_batches(
-                        [rend]).column("n_simplified")).as_py() or 0)
+                    rend = pa.Table.from_batches(
+                        [_render_batch(clipped, opts)])
+                    st[2] += int(pc.sum(
+                        rend.column("n_simplified")).as_py() or 0)
                     rendered.setdefault(cz, []).append(
-                        pa.Table.from_batches([rend]).drop_columns(
-                            ["z"]))
+                        rend.drop_columns(["z"]))
+                    stack.append((cz, cx, cy, clipped))
         pid = TaskContext.get().partitionId()
         codec = os.environ.get("GVT_CODEC", "zstd")
         for cz, tables in rendered.items():
-            out_dir = os.path.join(out_root, f"z={cz}")
+            out_dir = os.path.join(tilefeat_root, f"z={cz}")
             os.makedirs(out_dir, exist_ok=True)
             final = os.path.join(out_dir, f"part-i{pid:05d}.parquet")
-            tmp = final + ".inprogress"
-            pq.write_table(pa.concat_tables(tables).combine_chunks(),
-                           tmp, compression=codec)
-            os.replace(tmp, final)
+            pq.write_table(
+                pa.concat_tables(tables).combine_chunks(),
+                final + ".inprogress", compression=codec)
+            os.replace(final + ".inprogress", final)
         rows = [(z, x, y, *st) for (z, x, y), st in acc.items()]
         yield pa.RecordBatch.from_arrays(
             [pa.array([r[i] for r in rows],
-                      [pa.int32(), pa.int32(), pa.int32(), pa.int64(),
-                       pa.int64(), pa.int64(), pa.float64(),
-                       pa.float64(), pa.float64(), pa.float64()][i])
+                      [pa.int32(), pa.int32(), pa.int32(),
+                       pa.int64(), pa.int64(), pa.int64(),
+                       pa.float64(), pa.float64(), pa.float64(),
+                       pa.float64()][i])
              for i in range(10)],
             names=["z", "x", "y", "n_feats", "n_points", "n_sim",
                    "minx", "miny", "maxx", "maxy"])
 
-    return routed.mapInArrow(run, FOREST_ACK_SCHEMA)
+    return fr0.mapInArrow(run, FOREST_ACK_SCHEMA).collect()
