@@ -971,12 +971,20 @@ class SparkTileEngine:
     def _one_wave_eligible(self, n_points: int) -> bool:
         """True when the whole pyramid below z0 fits ONE wave of
         budget-sized kernel tasks — the regime where every distributed
-        round is pure sync latency (see _build_one_wave)."""
+        round is pure sync latency (see _build_one_wave).
+
+        The bound is a QUARTER of the fleet's kernel budget: the
+        one-wave's skew lever subdivides at most two levels (z1
+        root-only + z2/z3 subtrees), so past ~par×budget/4 of total
+        work its hottest task stops shrinking while the forest cut
+        keeps subdividing — measured on the 120k-page imz-10 build:
+        one-wave 17.7-21.8 s (hottest task 13.0 s) vs forest
+        12.9-15.3 s (hottest 7.0 s) on the same warm session."""
         opts = self.options
         return (self.one_wave and self.subtree_max_points is None
                 and opts.index_max_zoom >= 1
                 and n_points > opts.index_max_points
-                and n_points * opts.index_max_zoom
+                and n_points * opts.index_max_zoom * 4
                 <= self.spark.sparkContext.defaultParallelism
                 * self._KERNEL_PTS_PER_TASK)
 
