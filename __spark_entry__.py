@@ -887,7 +887,39 @@ def q_link_graph(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note (round 5): the driver's CORRECTNESS snapshot checks the
+    # FIRST 50 entries only.  The 19 entries that have never had a
+    # driver-green row (they were appended after the window filled in r03)
+    # are therefore listed first this round; the 31 slots that remain go to
+    # previously-green rows, and the 19 oldest driver-green entries
+    # (two consecutive green rounds in CORRECTNESS_r03/r04) rotate out of
+    # the window — they stay fully covered by tests/test_entry_contract.py,
+    # which runs every entry against its DuckDB oracle with driver-style
+    # typed value hashing.
     return {
+        # --- never-driver-verified (round-4 verdict task #1) ---
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "extract_links": q_extract_links,
+        "link_graph": q_link_graph,
+        "host_pagerank": q_host_pagerank,
+        "semdedup": q_semdedup,
+        "bm25_topk": q_bm25_topk,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "domain_cap": q_domain_cap,
+        "train_val_split": q_split,
+        "mixture_sample": q_mixture_sample,
+        "substring_dedup": q_substring_dedup,
+        "quality_classifier": q_quality_classifier,
+        "lm_score": q_lm_score,
+        "bbox_join": q_bbox_join,
+        "image_ahash": q_image_ahash,
+        "ahash_near_dup": q_ahash_near_dup,
+        # rows-only (full geometry-kernel pyramid; pinned byte-identical
+        # to the reference by the golden-fixture pytest suite):
+        "pyramid_tiles": q_pyramid_tiles,
+        # --- driver-green in r03+r04, kept inside the window ---
         "mercator_project": q_mercator_project,
         "tile_assign": q_tile_assign,
         "tile_id_pack": q_tile_id_pack,
@@ -919,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_extract": q_corpus_extract,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
+        # --- driver-green in r03+r04, rotated past the 50-row window;
+        #     still oracle-verified every run by test_entry_contract.py ---
         "frame_sample": q_frame_sample,
         "url_dedup": q_url_dedup,
         "latest_capture": q_latest_capture,
@@ -938,27 +972,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "c4_line_filter": q_c4_line_filter,
         "pack_sequences": q_pack_sequences,
-        "mixture_sample": q_mixture_sample,
-        "substring_dedup": q_substring_dedup,
-        "quality_classifier": q_quality_classifier,
-        "bm25_topk": q_bm25_topk,
-        "sessionize": q_sessionize,
-        "session_stats": q_session_stats,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "extract_links": q_extract_links,
-        "link_graph": q_link_graph,
-        "domain_cap": q_domain_cap,
-        "train_val_split": q_split,
-        "host_pagerank": q_host_pagerank,
-        "semdedup": q_semdedup,
-        "lm_score": q_lm_score,
-        "bbox_join": q_bbox_join,
-        "image_ahash": q_image_ahash,
-        "ahash_near_dup": q_ahash_near_dup,
-        # rows-only (full geometry-kernel pyramid; pinned byte-identical
-        # to the reference by the golden-fixture pytest suite):
-        "pyramid_tiles": q_pyramid_tiles,
     }
 
 
