@@ -519,6 +519,16 @@ class SparkTileEngine:
             keys = row.get("handoff") or []
             if not keys:
                 continue
+            if row.get("forest"):
+                # forest leaf waves always write subtree b=1; the keys
+                # are the leaf cut cells, re-routable from the features
+                # checkpoint at any time
+                marker = self._p("subtree", "b=1", "_SUCCESS")
+                if not os.path.exists(marker):
+                    futures.append(pool.submit(
+                        self._forest_leaf_wave,
+                        [tuple(k) for k in keys]))
+                continue
             marker = self._p("subtree", f"b={row['zoom']}", "_SUCCESS")
             if not os.path.exists(marker):
                 if row.get("one_wave"):
@@ -959,10 +969,28 @@ class SparkTileEngine:
                              "maxy": float(got["maxy"])}]
         feats = self.spark.read.parquet(path)
         if counts is None:
+            # resume path: re-aggregate the z0 classification stats in
+            # the SAME pass as the wrap counts, so a crash-resume of a
+            # forest-/one-wave-eligible corpus re-enters the same build
+            # path instead of silently falling back to the per-zoom loop
             row = feats.agg(
                 F.sum((F.col("minx") <= b).cast("long")).alias("l"),
-                F.sum((F.col("maxx") >= 1 - b).cast("long")).alias("r")).first()
+                F.sum((F.col("maxx") >= 1 - b).cast("long")).alias("r"),
+                F.count(F.lit(1)).alias("num_features"),
+                F.sum((F.size("coords") / 3).cast("long"))
+                .alias("num_points"),
+                F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+                F.max("maxx").alias("maxx"),
+                F.max("maxy").alias("maxy")).first()
             counts = (row["l"] or 0, row["r"] or 0)
+            if row["num_features"]:
+                z0_stats = [{"x": 0, "y": 0,
+                             "num_features": int(row["num_features"]),
+                             "num_points": int(row["num_points"]),
+                             "minx": float(row["minx"]),
+                             "miny": float(row["miny"]),
+                             "maxx": float(row["maxx"]),
+                             "maxy": float(row["maxy"])}]
         if counts[0] or counts[1]:
             self.build(wrap_df(feats, opts, counts=counts), resume=resume)
         else:
@@ -1050,6 +1078,44 @@ class SparkTileEngine:
                     feasible = False
         return (leaves, internals, empties) if feasible else None
 
+    def _forest_leaf_wave(self, leaves, routed: DataFrame | None = None
+                          ) -> list:
+        """The forest wave's LEAF-subtree job: route the z0 frontier to
+        the leaf cut cells and clip each whole descendant subtree
+        in-task into subtree b=1.  Factored out of _build_forest so the
+        resume path (_ensure_subtrees) can re-create a lost subtree
+        store from the cut keys recorded in the forest lineage row —
+        the z0 frontier it reads is the features-checkpoint view,
+        still on disk for any resumable workdir."""
+        import shutil
+        opts = self.options
+        if routed is None:
+            routed = forest_route_df(self._read_frontier(0), opts,
+                                     {tuple(c): 0 for c in leaves})
+        restore: dict = {}
+        conf = self.spark.conf
+        for k, v in (
+                ("spark.sql.adaptive.coalescePartitions.enabled",
+                 "false"),
+                ("spark.sql.shuffle.partitions",
+                 str(max(64, 2 * len(leaves))))):
+            restore[k] = conf.get(k)
+            conf.set(k, v)
+        try:
+            self._set_pool("gvt-subtree")
+            out = self._p("subtree", "b=1")
+            if os.path.isdir(out):
+                shutil.rmtree(out)
+            acks = one_wave_stage_df(
+                routed.where(F.col("role") == 0), opts, out_dir=out,
+                from_zoom=0).collect()
+            os.makedirs(out, exist_ok=True)
+            open(os.path.join(out, "_SUCCESS"), "w").close()
+            return acks
+        finally:
+            for k, v in restore.items():
+                self.spark.conf.set(k, v)
+
     def _build_forest(self, r0: dict, pool, futures, plan) -> None:
         """Forest wave: the whole pyramid in ONE shuffle + two narrow
         maps, replacing the per-zoom distributed loop for corpora too
@@ -1118,30 +1184,9 @@ class SparkTileEngine:
 
         fut_int = pool.submit(internal_job) if internals else None
 
-        restore: dict = {}
-        conf = self.spark.conf
-        for k, v in (
-                ("spark.sql.adaptive.coalescePartitions.enabled",
-                 "false"),
-                ("spark.sql.shuffle.partitions",
-                 str(max(64, 2 * len(leaves))))):
-            restore[k] = conf.get(k)
-            conf.set(k, v)
-        try:
-            self._set_pool("gvt-subtree")
-            _t1 = time.monotonic()
-            out = self._p("subtree", "b=1")
-            if os.path.isdir(out):
-                shutil.rmtree(out)
-            leaf_acks = one_wave_stage_df(
-                routed.where(F.col("role") == 0), opts, out_dir=out,
-                from_zoom=0).collect()
-            os.makedirs(out, exist_ok=True)
-            open(os.path.join(out, "_SUCCESS"), "w").close()
-            wave_sec = time.monotonic() - _t1
-        finally:
-            for k, v in restore.items():
-                self.spark.conf.set(k, v)
+        _t1 = time.monotonic()
+        leaf_acks = self._forest_leaf_wave(leaves, routed=routed)
+        wave_sec = time.monotonic() - _t1
         if fut_int is not None:
             fut_int.result()
         _t2 = time.monotonic()
@@ -1245,9 +1290,13 @@ class SparkTileEngine:
                     r["secs"] for r in leaf_acks), 2),
                 "task_secs_max": round(max(
                     (r["secs"] for r in leaf_acks), default=0.0), 2)}})
+        # the final row records the leaf cut keys so _ensure_subtrees
+        # can re-create a lost subtree store for a completed forest
+        # build (one-wave rows already do the analogous re-run)
         self._append_lineage({
             "zoom": max_z, "n_tiles": len(leaves) + len(internals),
-            "heavy": [], "handoff": [], "forest": True,
+            "heavy": [], "handoff": [list(c) for c in leaves],
+            "forest": True,
             "wall_sec": time.monotonic() - t0,
             "complete": True, "final": True})
 
@@ -1283,6 +1332,29 @@ class SparkTileEngine:
                     return  # build already finished
                 start_z = last + 1
                 heavy_prev = [tuple(k) for k in last_row.get("heavy", [])]
+            else:
+                # Nothing durable is recorded yet (a kill landed before
+                # the first complete lineage row), so the restart is a
+                # fresh build in every way that matters — but a killed
+                # forest/one-wave attempt may have left task-side store
+                # parts (subtree b=1, tilefeat z=N are written by TASKS,
+                # not a committed job) that the root-level readers would
+                # union as phantom tiles if the rebuild's handoff/render
+                # levels don't coincide.  Run the fresh-build cleanup,
+                # including any non-complete lineage rows (subtree_batch
+                # acks) and the snapshot manifests that rode them.
+                import shutil
+                for store in ("tiles", "tilefeat", "frontier", "sources",
+                              "subtree"):
+                    p = self._p(store)
+                    if os.path.isdir(p):
+                        shutil.rmtree(p)
+                if os.path.exists(self._lineage_path()):
+                    os.remove(self._lineage_path())
+                if os.path.isdir(self._snap_dir()):
+                    shutil.rmtree(self._snap_dir())
+                if os.path.exists(self._version_path()):
+                    os.remove(self._version_path())
         if not resume and os.path.exists(self._lineage_path()):
             os.remove(self._lineage_path())
         if not resume:

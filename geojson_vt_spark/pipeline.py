@@ -2127,9 +2127,17 @@ def internal_tree_direct(fr0: DataFrame, internals: list,
                         continue
                     nvs = pc.cast(pc.divide(pc.list_value_length(
                         clipped.column("coords")), 3), pa.int64())
+                    # ±inf init, NOT the empty-tile sentinel
+                    # [2,1,-1,0]: an entry only exists once a non-empty
+                    # clip merges real values, and the sentinel would
+                    # clamp bboxes that legitimately leave [0,1]
+                    # (multi-world x shifts project past the unit
+                    # square); zero-row cells never reach acc and keep
+                    # sentinel bboxes via the driver-side empty rows
                     st = acc.setdefault(
                         (cz, cx, cy),
-                        [0, 0, 0, 2.0, 1.0, -1.0, 0.0])
+                        [0, 0, 0, float("inf"), float("inf"),
+                         float("-inf"), float("-inf")])
                     st[0] += clipped.num_rows
                     st[1] += int(pc.sum(nvs).as_py() or 0)
                     st[3] = min(st[3], pc.min(

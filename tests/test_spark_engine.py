@@ -460,3 +460,119 @@ def test_forest_wave_line_metrics_parity(spark, tmp_path):
     rb = {(r["z"], r["x"], r["y"]): r for r in loop.tiles().collect()}
     assert ra == rb
     assert forest.tile_coords() == loop.tile_coords()
+
+
+def test_forest_kill_resume_into_loop_leaves_no_phantoms(spark, tmp_path):
+    """A kill mid-forest-wave leaves partial TASK-side store parts
+    (subtree b=1, tilefeat z=N) with no lineage.  If the resume then
+    runs the per-zoom LOOP (different handoff/render levels), the
+    stale parts must not surface as phantom/duplicate tiles — resume
+    with zero complete lineage rows performs the fresh-build store
+    cleanup."""
+    from geojson_vt_spark.pipeline import features_from_json_df
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+
+    opts = TileOptions(index_max_zoom=6, index_max_points=100)
+    pages = synth_pages_df(spark, 2500, seed=11)
+    feats = features_from_json_df(extract_geo_features_df(pages), opts)
+
+    # loop-only oracle in a separate workdir
+    loop = SparkTileEngine(spark, opts, workdir=str(tmp_path / "l"),
+                           one_wave=False)
+    loop.build_from_converted(feats)
+    want = loop.enumerate_tiles()
+
+    # forest build, then simulate the kill: all stores on disk but the
+    # lineage (which the forest writes LAST) never landed
+    forest = SparkTileEngine(spark, opts, workdir=str(tmp_path / "f"),
+                             one_wave=True)
+    forest._KERNEL_PTS_PER_TASK = 2000
+    forest.build_from_converted(feats, approx_rows=2500)
+    (tmp_path / "f" / "lineage.json").unlink()
+    assert (tmp_path / "f" / "subtree" / "b=1").exists()
+
+    # resume through the LOOP path on the same workdir
+    resumed = SparkTileEngine(spark, opts, workdir=str(tmp_path / "f"),
+                              one_wave=False)
+    resumed.build_from_converted(feats, resume=True)
+    got = resumed.enumerate_tiles()
+    assert set(got) == set(want)
+    assert not [k for k in got if got[k] != want[k]]
+    assert resumed.tile_coords() == loop.tile_coords()
+
+
+def test_forest_resume_recreates_lost_subtree_store(spark, tmp_path):
+    """A completed forest build whose subtree store is lost (deleted /
+    disk swap) must re-create it on resume from the leaf cut keys
+    recorded in the forest lineage row — not silently return 'build
+    already finished' with most tiles missing."""
+    import json as _json
+    import shutil as _sh
+
+    from geojson_vt_spark.pipeline import features_from_json_df
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+
+    opts = TileOptions(index_max_zoom=6, index_max_points=100)
+    pages = synth_pages_df(spark, 2500, seed=11)
+    feats = features_from_json_df(extract_geo_features_df(pages), opts)
+
+    forest = SparkTileEngine(spark, opts, workdir=str(tmp_path / "f"),
+                             one_wave=True)
+    forest._KERNEL_PTS_PER_TASK = 2000
+    forest.build_from_converted(feats, approx_rows=2500)
+    want = forest.enumerate_tiles()
+    lin = [_json.loads(ln) for ln in open(tmp_path / "f" / "lineage.json")]
+    final = [r for r in lin if r.get("final")][0]
+    assert final.get("forest") and final.get("handoff"), final
+
+    _sh.rmtree(tmp_path / "f" / "subtree")
+    resumed = SparkTileEngine(spark, opts, workdir=str(tmp_path / "f"),
+                              one_wave=True)
+    resumed._KERNEL_PTS_PER_TASK = 2000
+    resumed.build_from_converted(feats, resume=True)
+    got = resumed.enumerate_tiles()
+    assert set(got) == set(want)
+    assert not [k for k in got if got[k] != want[k]]
+
+
+def test_full_kill_resume_reenters_forest_path(spark, tmp_path):
+    """A crash-resume with nothing durable except the features
+    checkpoint must re-enter the same build path the original attempt
+    took: the resume agg re-derives the z0 classification stats in the
+    same pass as the wrap counts, so a forest-eligible corpus rebuilds
+    through the forest wave, not the per-zoom loop."""
+    import json as _json
+    import shutil as _sh
+
+    from geojson_vt_spark.pipeline import features_from_json_df
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+
+    opts = TileOptions(index_max_zoom=6, index_max_points=100)
+    pages = synth_pages_df(spark, 2500, seed=11)
+    feats = features_from_json_df(extract_geo_features_df(pages), opts)
+
+    forest = SparkTileEngine(spark, opts, workdir=str(tmp_path / "f"),
+                             one_wave=True)
+    forest._KERNEL_PTS_PER_TASK = 2000
+    forest.build_from_converted(feats, approx_rows=2500)
+    want = forest.enumerate_tiles()
+
+    # kill everything but the features checkpoint
+    for store in ("tiles", "tilefeat", "subtree", "sources", "frontier"):
+        p = tmp_path / "f" / store
+        if p.exists():
+            _sh.rmtree(p)
+    (tmp_path / "f" / "lineage.json").unlink()
+
+    resumed = SparkTileEngine(spark, opts, workdir=str(tmp_path / "f"),
+                              one_wave=True)
+    resumed._KERNEL_PTS_PER_TASK = 2000
+    resumed.build_from_converted(feats, resume=True)
+    lin = [_json.loads(ln) for ln in open(tmp_path / "f" / "lineage.json")]
+    assert any(r.get("forest") for r in lin), lin  # same path, not loop
+    got = resumed.enumerate_tiles()
+    assert set(got) == set(want)
+    assert not [k for k in got if got[k] != want[k]]
