@@ -57,7 +57,8 @@ from .pipeline import (_subtree_out_pdf, _write_subtree_part,
                        one_wave_children_df,
                        one_wave_stage_df,
                        rendered_features_df,
-                       split_children_df, wave_children_df,
+                       split_children_df, straggler_probe_stats,
+                       wave_children_df,
                        wave_stage_df, wrap_df)
 
 TILE_COLUMNS = ["z", "x", "y", "tile_id", "num_features", "num_points",
@@ -1021,7 +1022,11 @@ class SparkTileEngine:
     # vertex-levels, and the straggler factor past which the cut is
     # declared infeasible and the per-zoom loop keeps the job.
     _FOREST_MAX_LEVEL = 6
-    _FOREST_STRAGGLER = 16
+    # leaves above this many task budgets of estimated work are probed
+    # and rendered partition-spread instead of becoming one wave task;
+    # 2x keeps every wave task within ~2x the median budget-sized task
+    # (round-4 residual: 19/119 over-budget leaves, one 13 s straggler)
+    _FOREST_STRAGGLER = 2
 
     def _forest_eligible(self, n_points: int) -> bool:
         """True when the corpus is too big for ONE wave but a bounded
@@ -1046,9 +1051,16 @@ class SparkTileEngine:
         wave_stage_df subtree task, its root classified by the normal
         stop rule in-kernel).  Zero-mass children of internal cells
         are recorded for the driver-side empty back-fill
-        (index.js:151-154 pushes ``tl || []``).  Returns None when any
-        leaf still carries more than _FOREST_STRAGGLER task budgets —
-        the per-zoom loop handles that regime."""
+        (index.js:151-154 pushes ``tl || []``).
+
+        A cell over _FOREST_STRAGGLER task budgets that cannot become
+        internal (no provable split — giant boundary-crossing
+        features give huge candidate mass with zero inside mass — or
+        the static gate's level cap) is returned as a STRAGGLER: its
+        exact stop boundary is then measured by a distributed probe
+        (straggler_probe_stats) and its subtree rendered
+        partition-spread by internal_tree_direct, never funneled into
+        one wave task (the measured 4xN residual of round 4)."""
         opts = self.options
         imz = opts.index_max_zoom
         budget = self._KERNEL_PTS_PER_TASK
@@ -1058,8 +1070,8 @@ class SparkTileEngine:
         leaves: list = []
         internals: list = []
         empties: list = []
+        stragglers: list = []
         stack = [(1, x, y) for y in (0, 1) for x in (0, 1)]
-        feasible = True
         while stack:
             l, x, y = stack.pop(0)
             m, i = cells.get((l, x, y), (0, 0))
@@ -1072,11 +1084,44 @@ class SparkTileEngine:
                 internals.append((l, x, y))
                 stack.extend((l + 1, 2 * x + dx, 2 * y + dy)
                              for dy in (0, 1) for dx in (0, 1))
+            elif work > self._FOREST_STRAGGLER * budget:
+                stragglers.append((l, x, y))
             else:
                 leaves.append((l, x, y))
-                if work > self._FOREST_STRAGGLER * budget:
-                    feasible = False
-        return (leaves, internals, empties) if feasible else None
+        return (leaves, internals, empties, stragglers)
+
+    def _straggler_boundary(self, probe_acks, stragglers) -> tuple:
+        """Place the exact stop boundary under each probed straggler
+        cell from the summed (z, x, y, num_points) partials: a node
+        SPLITS iff num_points > index_max_points and z < index_max_zoom
+        (src/index.js:105-107 on exact post-clip counts).  Split nodes
+        become internal-render cells, non-split nodes are STOP tiles
+        (render + retained source), and a split node's zero-row
+        children join the empty back-fill."""
+        opts = self.options
+        imp, imz = opts.index_max_points, opts.index_max_zoom
+        tot: dict = {}
+        for r in probe_acks:
+            k = (int(r["z"]), int(r["x"]), int(r["y"]))
+            tot[k] = tot.get(k, 0) + int(r["n_points"])
+        internals: list = []
+        stops: list = []
+        empties: list = []
+        stack = [tuple(int(v) for v in c) for c in stragglers]
+        while stack:
+            z, x, y = stack.pop(0)
+            if tot.get((z, x, y), 0) > imp and z < imz:
+                internals.append((z, x, y))
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        c = (z + 1, 2 * x + dx, 2 * y + dy)
+                        if tot.get(c, 0) > 0:
+                            stack.append(c)
+                        else:
+                            empties.append(c)
+            else:
+                stops.append((z, x, y))
+        return internals, stops, empties
 
     def _forest_leaf_wave(self, leaves, routed: DataFrame | None = None
                           ) -> list:
@@ -1146,11 +1191,14 @@ class SparkTileEngine:
         from pyspark.sql import Observation
         opts = self.options
         t0 = time.monotonic()
-        leaves, internals, empties = plan
+        leaves, internals, empties, stragglers = plan
         fr0 = self._read_frontier(0)
         # only LEAF cells go through the grouped wave; internal cells
-        # are rendered by the level-incremental chain below
-        routed = forest_route_df(fr0, opts, {c: 0 for c in leaves})
+        # are rendered by the level-incremental chain below, straggler
+        # cells (over-budget, unprovable split) by the probe + the same
+        # partition-spread render
+        routed = (forest_route_df(fr0, opts, {c: 0 for c in leaves})
+                  if leaves else None)
         obs_r = Observation()
 
         _steps: dict = {}
@@ -1166,7 +1214,8 @@ class SparkTileEngine:
 
         fut_render = pool.submit(render_job)
 
-        int_box: dict = {}
+        int_box: dict = {"acks": [], "stops": [], "extra_empties": [],
+                         "internals": list(internals)}
         for z in sorted({l for l, _, _ in internals}):
             # stale parts from a killed attempt with a different task
             # count must not survive (deterministic per-task names
@@ -1177,15 +1226,48 @@ class SparkTileEngine:
 
         def internal_job():
             self._set_pool("gvt-internal")
+            all_int = list(internals)
+            s_stop: list = []
+            if stragglers:
+                # exact stop boundary first: one slim distributed
+                # probe, then the straggler subtrees render through
+                # the SAME partition-spread walk as internal cells
+                _t = time.monotonic()
+                acks = straggler_probe_stats(
+                    fr0, stragglers, opts).collect()
+                s_int, s_stop, s_emp = self._straggler_boundary(
+                    acks, stragglers)
+                _steps["probe"] = round(time.monotonic() - _t, 2)
+                _steps["n_stragglers"] = len(stragglers)
+                _steps["n_stops"] = len(s_stop)
+                all_int += s_int
+                int_box["stops"] = s_stop
+                int_box["extra_empties"] = s_emp
+                int_box["internals"] = all_int
+                known = {l for l, _, _ in internals}
+                for z in sorted({c[0] for c in s_int + s_stop}
+                                - known):
+                    p = self._p("tilefeat", f"z={z}")
+                    if os.path.isdir(p):
+                        shutil.rmtree(p)
+                for z in sorted({c[0] for c in s_stop}):
+                    p = self._p("sources", f"z={z}")
+                    if os.path.isdir(p):
+                        shutil.rmtree(p)
+            if not (all_int or s_stop):
+                return
             _t = time.monotonic()
             int_box["acks"] = internal_tree_direct(
-                fr0, internals, opts, self._p("tilefeat"))
+                fr0, all_int, opts, self._p("tilefeat"),
+                stops=s_stop, sources_root=self._p("sources"))
             _steps["internal"] = round(time.monotonic() - _t, 2)
 
-        fut_int = pool.submit(internal_job) if internals else None
+        fut_int = (pool.submit(internal_job)
+                   if (internals or stragglers) else None)
 
         _t1 = time.monotonic()
-        leaf_acks = self._forest_leaf_wave(leaves, routed=routed)
+        leaf_acks = (self._forest_leaf_wave(leaves, routed=routed)
+                     if leaves else [])
         wave_sec = time.monotonic() - _t1
         if fut_int is not None:
             fut_int.result()
@@ -1229,12 +1311,20 @@ class SparkTileEngine:
                 cur[6] = max(cur[6], float(r["maxy"]))
         # one tiles/z=N write per level: internal-cell stats rows plus
         # empty-children sentinels (a second _write_local_parquet to
-        # the same level would overwrite the first)
+        # the same level would overwrite the first).  Straggler STOP
+        # cells are leaf tiles: is_split=False, has_source=True; a
+        # stop cell with no ack clipped empty everywhere and joins the
+        # sentinel back-fill.
+        stop_set = {tuple(c) for c in int_box.get("stops", [])}
+        all_empties = (list(empties) + list(int_box.get("extra_empties",
+                                                        []))
+                       + [c for c in stop_set if c not in merged])
         by_level: dict = {}
         for (z, x, y), st in merged.items():
+            is_stop = (z, x, y) in stop_set
             by_level.setdefault(z, []).append(
-                (x, y, st + [True, False]))
-        for z, x, y in empties:
+                (x, y, st + [not is_stop, is_stop]))
+        for z, x, y in all_empties:
             by_level.setdefault(z, []).append(
                 (x, y, [0, 0, 0, 2.0, 1.0, -1.0, 0.0, False, True]))
         for z, rows in sorted(by_level.items()):
@@ -1263,14 +1353,20 @@ class SparkTileEngine:
                 "tile_id": pd.Series([to_id(z, t[0], t[1])
                                       for t in rows], dtype="int64"),
             }), self._p("tiles", f"z={z}"))
-        for z in sorted({l for l, _, _ in internals}):
+        for z in sorted({l for l, _, _ in int_box["internals"]}
+                        | {c[0] for c in stop_set if c in merged}):
             os.makedirs(self._p("tilefeat", f"z={z}"), exist_ok=True)
             open(os.path.join(self._p("tilefeat", f"z={z}"),
+                              "_SUCCESS"), "w").close()
+        for z in sorted({c[0] for c in stop_set if c in merged}):
+            os.makedirs(self._p("sources", f"z={z}"), exist_ok=True)
+            open(os.path.join(self._p("sources", f"z={z}"),
                               "_SUCCESS"), "w").close()
 
         # lineage lands LAST (resume contract: no lineage → clean
         # rebuild from the features checkpoint)
-        max_z = max([l for l, _, _ in leaves] or [1])
+        max_z = max([l for l, _, _ in leaves]
+                    + [c[0] for c in stop_set] or [1])
         self._append_lineage({
             "zoom": 0, "n_tiles": 1, "n_split": 1,
             "n_points": int(r0["num_points"]), "heavy": [],

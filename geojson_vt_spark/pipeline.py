@@ -2078,10 +2078,81 @@ FOREST_ACK_SCHEMA = ("z int, x int, y int, n_feats long, n_points long, "
                      "n_sim long, minx double, miny double, "
                      "maxx double, maxy double")
 
+PROBE_ACK_SCHEMA = "z int, x int, y int, n_points long"
+
+
+def straggler_probe_stats(fr0: DataFrame, probes: list,
+                          options: TileOptions) -> DataFrame:
+    """Exact stop-boundary probe for over-budget forest cut cells whose
+    split the bbox gate cannot prove ('stragglers' — typically giant
+    boundary-crossing polygons: huge candidate mass, zero
+    guaranteed-inside mass).  One narrow mapInArrow job: each task
+    clips ITS partition of the z0 frontier down to each straggler root
+    (clip_table_to_cell, the loop split's exact dispatch) and then
+    descends OPTIMISTICALLY — every non-empty child, one clip level
+    per node, until index_max_zoom — returning slim
+    (z, x, y, num_points) partials.  The driver sums the partials and
+    applies the reference stop rule (src/index.js:105-107:
+    numPoints <= indexMaxPoints or z == indexMaxZoom stops) on the
+    EXACT totals to place the boundary; everything below a stop node
+    is pruned before any render/store work happens.
+
+    100-TB posture: the giant feature set stays spread across the
+    scan partitions (the whole point — a leaf wave task would funnel
+    it into ONE task), per-task work is (partition share of the
+    straggler mass) x levels, and only 4-byte-per-node stats cross
+    back to the driver.  The heavy spine above the boundary is
+    clipped twice (probe + render); the fringe below a stop node
+    carries <= index_max_points vertices per node per level."""
+    import pyarrow as pa
+
+    opts = options
+    imz = opts.index_max_zoom
+    roots = [tuple(int(v) for v in c) for c in probes]
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        parts = [pa.Table.from_batches([rb]) for rb in batches]
+        acc: dict = {}
+        if parts:
+            tbl0 = pa.concat_tables(parts).combine_chunks()
+            for (pz, px, py) in roots:
+                rt = clip_table_to_cell(tbl0, pz, px, py, opts,
+                                        from_zoom=0)
+                stack = [(pz, px, py, rt)]
+                while stack:
+                    z, x, y, tbl = stack.pop()
+                    if not tbl.num_rows:
+                        continue
+                    n = int(pc.sum(pc.divide(pc.list_value_length(
+                        tbl.column("coords")), 3)).as_py() or 0)
+                    acc[(z, x, y)] = acc.get((z, x, y), 0) + n
+                    if z >= imz:
+                        continue
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            stack.append((
+                                z + 1, 2 * x + dx, 2 * y + dy,
+                                clip_table_to_cell(
+                                    tbl, z + 1, 2 * x + dx, 2 * y + dy,
+                                    opts, from_zoom=z)))
+        rows = sorted(acc.items())
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([k[0] for k, _ in rows], pa.int32()),
+             pa.array([k[1] for k, _ in rows], pa.int32()),
+             pa.array([k[2] for k, _ in rows], pa.int32()),
+             pa.array([n for _, n in rows], pa.int64())],
+            names=["z", "x", "y", "n_points"])
+
+    return fr0.mapInArrow(run, PROBE_ACK_SCHEMA)
+
 
 def internal_tree_direct(fr0: DataFrame, internals: list,
                          options: TileOptions,
-                         tilefeat_root: str) -> list:
+                         tilefeat_root: str, stops: list = (),
+                         sources_root: str | None = None) -> list:
     """Single-job render of the forest cut's INTERNAL cells: each
     mapInArrow task materializes its partition of the z0 frontier and
     walks it down the internal-cell tree IN-TASK — clip ONE level from
@@ -2096,12 +2167,21 @@ def internal_tree_direct(fr0: DataFrame, internals: list,
     features stay spread across scan partitions exactly like the z0
     render; tilefeat parts are written task-side (tmp + rename,
     deterministic per-task names) and per-(task, cell) stat partials
-    come back as the job's only output."""
+    come back as the job's only output.
+
+    ``stops``: STOP-boundary cells under probed stragglers (see
+    straggler_probe_stats) — rendered exactly like internal cells but
+    never recursed into, and their retained SOURCE (the clipped
+    feature rows at the node, the loop's row-per-feature sources/z=N
+    layout) is written task-side next to the tilefeat part; readers
+    union the per-task partials and re-order by ord, the same
+    contract the multi-part tilefeat store already has."""
     import pyarrow as pa
 
     kids: dict = {}
-    for z, x, y in internals:
+    for z, x, y in list(internals) + list(stops):
         kids.setdefault((z - 1, x >> 1, y >> 1), []).append((z, x, y))
+    stop_set = {tuple(int(v) for v in c) for c in stops}
     opts = options
 
     def run(batches):
@@ -2113,6 +2193,7 @@ def internal_tree_direct(fr0: DataFrame, internals: list,
         parts = [pa.Table.from_batches([rb]) for rb in batches]
         acc: dict = {}
         rendered: dict = {}
+        sources: dict = {}
         if parts:
             tbl0 = pa.concat_tables(parts).combine_chunks()
             stack = [(0, 0, 0, tbl0)]
@@ -2154,17 +2235,23 @@ def internal_tree_direct(fr0: DataFrame, internals: list,
                         rend.column("n_simplified")).as_py() or 0)
                     rendered.setdefault(cz, []).append(
                         rend.drop_columns(["z"]))
-                    stack.append((cz, cx, cy, clipped))
+                    if (cz, cx, cy) in stop_set:
+                        sources.setdefault(cz, []).append(
+                            clipped.drop_columns(["z"]))
+                    else:
+                        stack.append((cz, cx, cy, clipped))
         pid = TaskContext.get().partitionId()
         codec = os.environ.get("GVT_CODEC", "zstd")
-        for cz, tables in rendered.items():
-            out_dir = os.path.join(tilefeat_root, f"z={cz}")
-            os.makedirs(out_dir, exist_ok=True)
-            final = os.path.join(out_dir, f"part-i{pid:05d}.parquet")
-            pq.write_table(
-                pa.concat_tables(tables).combine_chunks(),
-                final + ".inprogress", compression=codec)
-            os.replace(final + ".inprogress", final)
+        for root, by_z in ((tilefeat_root, rendered),
+                           (sources_root, sources)):
+            for cz, tables in by_z.items():
+                out_dir = os.path.join(root, f"z={cz}")
+                os.makedirs(out_dir, exist_ok=True)
+                final = os.path.join(out_dir, f"part-i{pid:05d}.parquet")
+                pq.write_table(
+                    pa.concat_tables(tables).combine_chunks(),
+                    final + ".inprogress", compression=codec)
+                os.replace(final + ".inprogress", final)
         rows = [(z, x, y, *st) for (z, x, y), st in acc.items()]
         yield pa.RecordBatch.from_arrays(
             [pa.array([r[i] for r in rows],

@@ -462,6 +462,76 @@ def test_forest_wave_line_metrics_parity(spark, tmp_path):
     assert forest.tile_coords() == loop.tile_coords()
 
 
+def test_forest_straggler_matches_loop_layout(spark, tmp_path):
+    """Forest wave with STRAGGLER leaves: a giant boundary-crossing
+    polygon gives cut cells huge candidate mass with zero
+    guaranteed-inside mass, so the subdivision-soundness rule cannot
+    split them.  The probe + partition-spread render path (round-5)
+    must make them bit-identical to the per-zoom loop — tiles, stats,
+    insertion order, and drill-down THROUGH a straggler stop tile's
+    task-written per-feature source parts."""
+    import json as _json
+    import math as _math
+
+    from geojson_vt_spark.pipeline import features_from_json_df
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+
+    opts = TileOptions(index_max_zoom=6, index_max_points=100)
+    pages = synth_pages_df(spark, 2500, seed=11)
+    ring = [(60.0 * _math.cos(2 * _math.pi * i / 2000),
+             60.0 * _math.sin(2 * _math.pi * i / 2000))
+            for i in range(2000)]
+    ring.append(ring[0])
+    giant = _json.dumps({
+        "type": "Feature", "id": 999999,
+        "properties": {"url": "https://example.test/giant"},
+        "geometry": {"type": "Polygon",
+                     "coordinates": [[[round(x, 6), round(y, 6)]
+                                      for x, y in ring]]},
+    }, separators=(",", ":"))
+    ingest = extract_geo_features_df(pages).unionByName(
+        spark.createDataFrame(
+            [(999999, 999999, giant)],
+            "input_ord long, gen_index long, feature_json string"))
+    feats = features_from_json_df(ingest, opts)
+
+    forest = SparkTileEngine(spark, opts, workdir=str(tmp_path / "f"),
+                             one_wave=True)
+    forest._KERNEL_PTS_PER_TASK = 2000
+    forest.build_from_converted(feats, approx_rows=2501)
+    lin = [_json.loads(ln) for ln in open(tmp_path / "f" / "lineage.json")]
+    assert any(r.get("forest") for r in lin), lin
+    st = [r for r in lin if r.get("subtree_batch")][0]["steps"]
+    assert st.get("n_stragglers", 0) >= 1, st
+    assert st.get("n_stops", 0) >= 1, st
+
+    loop = SparkTileEngine(spark, opts, workdir=str(tmp_path / "l"),
+                           one_wave=False)
+    loop.build_from_converted(feats)
+
+    a, b = forest.enumerate_tiles(), loop.enumerate_tiles()
+    assert set(a) == set(b)
+    assert not [k for k in a if a[k] != b[k]]
+    assert forest.tile_coords() == loop.tile_coords()
+    ra = {(r["z"], r["x"], r["y"]): r for r in forest.tiles().collect()}
+    rb = {(r["z"], r["x"], r["y"]): r for r in loop.tiles().collect()}
+    assert ra == rb
+    # drill through the straggler region (stop-tile sources) and beyond
+    stops = sorted(k for k, r in ra.items()
+                   if r["has_source"] and not r["is_split"]
+                   and r["num_points"] > 0)
+    deep = []
+    for z, x, y in stops[:3] + stops[-3:]:
+        deep.append((z + 2, 4 * x + 1, 4 * y + 2))
+        deep.append((z + 3, 8 * x + 3, 8 * y + 5))
+    for zxy in deep + [(0, 0, 0), (9, 255, 255), (12, 2047, 2047)]:
+        ta, tb = forest.get_tile(*zxy), loop.get_tile(*zxy)
+        assert (ta is None) == (tb is None), zxy
+        if ta is not None:
+            assert ta["features"] == tb["features"], zxy
+
+
 def test_forest_kill_resume_into_loop_leaves_no_phantoms(spark, tmp_path):
     """A kill mid-forest-wave leaves partial TASK-side store parts
     (subtree b=1, tilefeat z=N) with no lineage.  If the resume then
