@@ -201,13 +201,20 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, res: int = 6,
                              cell_xy_cols(F.col("lon"), F.col("lat"), res),
                              ("cx", "cy"))]))
 
-    results = None
-    r = 1
+    results_parts: list[DataFrame] = []
+    carried: DataFrame | None = None  # unsettled queries' top-k so far
+    r, prev = 1, -1
     while True:
-        # candidate cells: Chebyshev ring of radius r around the query cell
+        # candidate cells: only the Chebyshev ANNULUS prev < max(|dx|,
+        # |dy|) <= r — cells scanned in earlier rounds are never
+        # re-joined or re-scored; their contribution rides in `carried`
+        # (the provisional top-k dominates every candidate it dropped,
+        # so re-ranking carried ∪ annulus equals ranking the full block)
         qcells = (remaining
                   .withColumn("dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
                   .withColumn("dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+                  .where(F.greatest(F.abs(F.col("dx")),
+                                    F.abs(F.col("dy"))) > F.lit(prev))
                   .withColumn("ncx", F.col("cx") + F.col("dx"))
                   .withColumn("ncy", F.col("cy") + F.col("dy"))
                   .where((F.col("ncx") >= 0) & (F.col("ncx") < n) &
@@ -218,11 +225,22 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, res: int = 6,
         cand = (qcells.join(pxy, ["cx", "cy"])
                 .withColumn("dist", F.sqrt(
                     (F.col("px") - F.col("qx")) ** 2 +
-                    (F.col("py") - F.col("qy")) ** 2)))
+                    (F.col("py") - F.col("qy")) ** 2))
+                .select("query_id", "point_id", "dist"))
+        if carried is not None:
+            # a point lives in exactly one cell, so carried rows and
+            # annulus candidates never duplicate
+            cand = cand.unionByName(
+                carried.select("query_id", "point_id", "dist"))
         w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("point_id"))
+        # ONE checkpoint per round: everything downstream (settled,
+        # carried, remaining) derives from this materialized top-k, so
+        # the plan depth stays O(1) across rounds and the ranking job
+        # runs once instead of once per consumer
         topk = (cand.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
-                .select("query_id", "point_id", "dist", "rank"))
+                .select("query_id", "point_id", "dist", "rank")
+                .localCheckpoint())
 
         # a query is settled if it has k hits and the kth is inside the
         # guaranteed-complete radius (or the ring already spans the
@@ -237,16 +255,21 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, res: int = 6,
                                    (F.col("dist") < guarantee))
                         .select("query_id"))
 
-        settled = topk.join(done_ids, "query_id")
-        results = settled if results is None else results.unionByName(settled)
+        results_parts.append(topk.join(done_ids, "query_id"))
 
-        # cut lineage before the next round (iterative-plan blowup trap)
-        remaining = remaining.join(done_ids, "query_id", "left_anti").localCheckpoint()
+        # remaining/carried derive from the round's CHECKPOINTED top-k,
+        # so their lineage stays shallow (one slim anti-join per round,
+        # bounded by log2(max_ring) rounds) without a second eager job
+        remaining = remaining.join(done_ids, "query_id", "left_anti")
         if r >= max_ring or remaining.isEmpty():
             break
-        r *= 2
+        carried = topk.join(done_ids, "query_id", "left_anti")
+        prev, r = r, r * 2
 
-    return results
+    out = results_parts[0]
+    for part in results_parts[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def bbox_overlap_join(boxes_a: DataFrame, boxes_b: DataFrame | None = None,

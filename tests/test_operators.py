@@ -114,6 +114,35 @@ def test_knn_join_matches_brute_force(spark, points):
     assert a == b
 
 
+def test_knn_join_multi_round_sparse(spark):
+    """Adversarially sparse points at a fine grid force several ring
+    doublings: the annulus rewrite (scan only new cells per round,
+    carry the provisional top-k forward, one localCheckpoint per
+    round) must still match brute force exactly through many rounds."""
+    pts = spark.range(40).select(
+        F.col("id").cast("int").alias("point_id"),
+        (-170.0 + F.col("id") * 8.7).alias("lon"),
+        ((F.col("id") * 37 % 120) - 60.0).cast("double").alias("lat"))
+    qs = spark.createDataFrame(
+        [(0, -179.0, -80.0), (1, 10.0, 84.0), (2, 100.0, 0.0)],
+        "query_id int, lon double, lat double")
+    got = knn_join(pts, qs, k=7, res=8)
+
+    px = project_x_col(F.col("lon"))
+    py = project_y_col(F.col("lat"))
+    p2 = pts.select("point_id", px.alias("px"), py.alias("py"))
+    q2 = qs.select("query_id", px.alias("qx"), py.alias("qy"))
+    brute = (q2.crossJoin(p2)
+             .withColumn("dist", F.sqrt((F.col("px") - F.col("qx")) ** 2 +
+                                        (F.col("py") - F.col("qy")) ** 2))
+             .withColumn("rank", F.row_number().over(
+                 Window.partitionBy("query_id").orderBy("dist", "point_id")))
+             .where(F.col("rank") <= 7))
+    a = sorted((r.query_id, r.point_id, r.rank) for r in got.collect())
+    b = sorted((r.query_id, r.point_id, r.rank) for r in brute.collect())
+    assert a == b
+
+
 def test_raster_vector_overlay(spark, rects):
     raster = spark.range(64).select(
         (F.col("id") % 8).cast("int").alias("x"),
