@@ -27,6 +27,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -319,18 +320,23 @@ def decontaminate_df(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     shares any word ``n``-gram with the benchmark (eval) set — the
     standard n-gram-overlap rule used before pre-training runs.
 
-    The benchmark n-gram set is tiny (eval suites, not the crawl), so
-    both paths broadcast it and the corpus side never shuffles.  The
-    default ``arrow`` path collects the benchmark grams once (one
-    small job — eval suites are thousands of rows, not a crawl), ships
-    them to the Python workers as a ``SparkContext.broadcast`` set,
-    and probes per document inside the SAME Arrow pass that emits the
-    grams — no 100-row-per-doc explode, no ``distinct``, no join
-    (measured 31 s → single digits on the 4.8M-doc standalone stage).
-    The ``arrow=False`` SPEC keeps the pure-plan shape (explode +
-    JVM broadcast semi-join) for the DuckDB oracle; parity pinned by
-    ``tests/test_operators.py::test_decontaminate_arrow_matches_
-    column``.  Returns the surviving ``(doc_id, n_chars)`` rows."""
+    The benchmark n-gram set is broadcast and the corpus side never
+    shuffles.  The default ``arrow`` path collects the benchmark grams
+    once (one small job), interns every gram token to an int id, and
+    ships three numpy-flat structures — sorted rolling-hash array,
+    16 MB low-bit bitmap, sorted void-view id-tuple keys (~40 B/gram
+    total, ~4x leaner than a python string set, so a full-crawl-scale
+    decontamination union still broadcasts).  Workers tokenize ONCE
+    per batch in Arrow C kernels (regex split + ``index_in`` against
+    the vocab), then probe a flat rolling polynomial hash over token
+    ids — no per-window string assembly, no per-token python — with
+    bitmap prefilter, binary-search confirm, and exact id-tuple verify
+    (id interning makes tuple equality string equality, so the result
+    is exact, not probabilistic).  The ``arrow=False`` SPEC keeps the
+    pure-plan shape (explode + JVM broadcast semi-join) for the DuckDB
+    oracle; parity pinned by ``tests/test_operators.py::
+    test_decontaminate_arrow_matches_column``.  Returns the surviving
+    ``(doc_id, n_chars)`` rows."""
     if arrow:
         from pyspark.sql.functions import pandas_udf
 
@@ -339,24 +345,111 @@ def decontaminate_df(docs: DataFrame, benchmark: DataFrame, n: int = 8,
             .select(F.explode_outer(word_ngrams_col(F.col(text_col), n))
                     .alias("g"))
             .where(F.col("g").isNotNull()).distinct().collect())
+        # tokenize-once probing: intern every benchmark-gram token to an
+        # int id; a document window can only match if ALL its tokens are
+        # in the benchmark vocabulary, so docs probe an int64 rolling
+        # hash over token IDS (vectorized, no per-window string
+        # assembly) and verify the rare hash hits by exact id-tuple —
+        # " ".join over ws.split tokens is injective, so tuple equality
+        # IS string equality and the output stays exact
+        vocab: dict = {}
+        gram_ids = []
+        P = np.uint64(1099511628211)
+        for g in bench_set:
+            gram_ids.append([vocab.setdefault(t, len(vocab))
+                             for t in g.split(" ")])
+        # exact gram keys as a SORTED void-view over an int32 matrix:
+        # ~32 bytes/gram, no per-gram python objects — the broadcast
+        # stays numpy-flat however large the decontamination set gets
+        # (a python set of gram strings costs ~4x more and dies first
+        # on a full-crawl benchmark union)
+        mat = (np.array(gram_ids, dtype=np.int32)
+               if gram_ids else np.empty((0, n), dtype=np.int32))
+        exact_keys = np.sort(
+            np.ascontiguousarray(mat).view(f"V{4 * n}").ravel())
+        weights = P ** np.arange(n - 1, -1, -1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            bench_h = np.unique(
+                ((mat + 1).astype(np.uint64) * weights)
+                .sum(axis=1, dtype=np.uint64)) \
+                if gram_ids else np.empty(0, dtype=np.uint64)
+        # 16 MB bitmap over the hash low bits: candidate windows are
+        # confirmed by one O(1) load; only the rare survivors pay the
+        # cache-missing binary search into the full sorted hash array
+        _MB = np.uint64((1 << 24) - 1)
+        bitmap = np.zeros(1 << 24, dtype=bool)
+        if bench_h.size:
+            bitmap[(bench_h & _MB).astype(np.int64)] = True
+        # id order == insertion order, so index_in positions ARE the ids
+        vocab_tokens = list(vocab)
         sc = docs.sparkSession.sparkContext
-        bc = sc.broadcast(bench_set)
+        bc = sc.broadcast((vocab_tokens, bench_h, bitmap, exact_keys))
 
         @pandas_udf("boolean")
         def dirty_udf(texts: pd.Series) -> pd.Series:
-            import re
-            ws = re.compile(r"[ \t\n\x0b\f\r]+")
-            bench = bc.value
-            out = []
-            for t in texts:
-                if t is None:
-                    out.append(False)
-                    continue
-                toks = ws.split(t.strip(" "))
-                out.append(any(
-                    " ".join(toks[i:i + n]) in bench
-                    for i in range(len(toks) - n + 1)))
-            return pd.Series(out)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            from numpy.lib.stride_tricks import sliding_window_view
+            vocab_tokens, bench_h, bitmap, exact_keys = bc.value
+            nd = len(texts)
+            if not bench_h.size or nd == 0:
+                return pd.Series(np.zeros(nd, dtype=bool))
+            # tokenize ONCE, entirely in Arrow C kernels (regex split +
+            # value-set lookup) — str.join/set-probe per window and
+            # python dict gets per token were both measured slower —
+            # then one flat numpy flow over the whole batch: windows
+            # crossing a doc boundary or touching an unknown token are
+            # masked, survivors probe a rolling polynomial hash and the
+            # rare hash hits verify by exact id-tuple (id order makes
+            # tuple equality string equality, so the output is exact)
+            ta = pc.cast(pa.Array.from_pandas(texts), pa.large_string())
+            toks = pc.split_pattern_regex(
+                pc.utf8_trim(ta, " "), pattern=r"[ \t\n\x0b\f\r]+")
+            lens = pc.fill_null(pc.list_value_length(toks), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            total = int(lens.sum())
+            dirty = np.zeros(nd, dtype=bool)
+            if total >= n:
+                idx = pc.index_in(pc.list_flatten(toks),
+                                  value_set=pa.array(
+                                      vocab_tokens, pa.large_string()))
+                ids = pc.fill_null(idx, -2).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                docpos = np.repeat(np.arange(nd), lens)
+                m = total - n + 1
+                # flat shifted adds, not an (m, n) window matrix — the
+                # 2D copy was the measured hot spot; unknown-token
+                # sentinels poison the hash but valid masks them out
+                ids1 = (ids + 1).astype(np.uint64)
+                h = np.zeros(m, dtype=np.uint64)
+                for j in range(n):
+                    h += ids1[j:j + m] * weights[j]
+                badcum = np.zeros(total + 1, dtype=np.int64)
+                np.cumsum(ids < 0, out=badcum[1:])
+                valid = ((docpos[:m] == docpos[n - 1:])
+                         & (badcum[n:] == badcum[:m]))
+                # bitmap prefilter, then exact membership on the rare
+                # survivors (bench_h is pre-sorted by np.unique;
+                # np.isin would re-sort it per batch)
+                mb = np.uint64((1 << 24) - 1)
+                cand = np.nonzero(
+                    valid & bitmap[(h & mb).astype(np.int64)])[0]
+                if cand.size:
+                    hc = h[cand]
+                    pos = np.searchsorted(bench_h, hc)
+                    pos[pos == bench_h.size] = 0
+                    cand = cand[bench_h[pos] == hc]
+                if cand.size:
+                    # exact verify, vectorized: the candidate windows'
+                    # id rows against the sorted void-view gram keys
+                    win = sliding_window_view(ids, n)
+                    wk = (np.ascontiguousarray(win[cand])
+                          .astype(np.int32).view(f"V{4 * n}").ravel())
+                    pos = np.searchsorted(exact_keys, wk)
+                    pos[pos == exact_keys.size] = 0
+                    hit = cand[exact_keys[pos] == wk]
+                    dirty[np.unique(docpos[hit])] = True
+            return pd.Series(dirty)
 
         return (docs.where(~dirty_udf(F.col(text_col)))
                 .select(id_col, F.length(F.col(text_col)).alias("n_chars")))
