@@ -31,12 +31,46 @@ ASSET_SCHEMA = T.StructType([
 FEATURE_DIM = 16
 
 
-def real_decode(payload: bytes, kind: str):
-    """Real decode would go through PIL / libav — not present in this
-    container.  Kept as the integration point."""
+def real_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Real-bytes decode for codec-free formats.
+
+    PIL/libav are absent in this container, so the one format decoded
+    from REAL bytes is uncompressed 24/32-bit BI_RGB BMP: pure numpy
+    header parse + strided pixel gather (4-byte row padding, bottom-up
+    row order when height > 0).  Output is the integer-luminance
+    grayscale matrix (H×W uint8; BT.601 integer weights with floor
+    division, so it is deterministic on every platform — for gray
+    pixels r==g==b the luminance IS the channel value).  The stacked
+    operators (ahash/resize/features) expect the 8×16 grid the fake
+    decoder produces; feed them 16×8 BMPs or pool externally.
+    Anything else still raises — honesty over silent fakes."""
+    if kind == "image" and len(payload) >= 54 and payload[:2] == b"BM":
+        off = int.from_bytes(payload[10:14], "little")
+        dib = int.from_bytes(payload[14:18], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if dib >= 40 and comp == 0 and bpp in (24, 32) and w > 0 and h:
+            habs = abs(h)
+            bypp = bpp // 8
+            stride = (w * bypp + 3) & ~3
+            if len(payload) >= off + stride * habs:
+                rows = np.frombuffer(payload, np.uint8,
+                                     stride * habs, off)
+                px = rows.reshape(habs, stride)[:, :w * bypp] \
+                    .reshape(habs, w, bypp)
+                if h > 0:  # bottom-up storage
+                    px = px[::-1]
+                b = px[..., 0].astype(np.uint32)
+                g = px[..., 1].astype(np.uint32)
+                r = px[..., 2].astype(np.uint32)
+                return ((299 * r + 587 * g + 114 * b) // 1000) \
+                    .astype(np.uint8)
     raise NotImplementedError(
         "media codecs (PIL/libav) are not available in this environment; "
-        "use fake=True for the deterministic stand-in decoder")
+        "only uncompressed 24/32-bit BI_RGB BMP images decode from real "
+        "bytes — use fake=True for the deterministic stand-in decoder")
 
 
 def _fake_decode(payload: bytes, kind: str) -> np.ndarray:

@@ -388,6 +388,73 @@ def test_multimodal_plumbing(spark):
         real_decode(b"x", "image")
 
 
+def _bmp24(pixels):
+    """Hand-rolled uncompressed 24-bit BI_RGB BMP bytes (bottom-up
+    row order, 4-byte row padding) from an H×W×3 RGB uint8 array."""
+    import struct
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    img = bytearray()
+    for row in pixels[::-1]:
+        line = bytearray()
+        for (r, g, b) in row:
+            line += bytes((int(b), int(g), int(r)))
+        line += b"\x00" * (stride - len(line))
+        img += line
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(img), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img),
+                      2835, 2835, 0, 0)
+    return bytes(hdr + dib + img)
+
+
+def test_real_bmp_decode_through_resize_and_ahash(spark):
+    """Real-bytes image path (round-5): a hand-built uncompressed BMP
+    decodes to known pixels through resize_df, ahash_df, and
+    extract_features_df with fake=False; the sha256 fake stays the
+    oracle path and non-BMP media still raise."""
+    import numpy as np
+
+    from geojson_vt_spark.operators.multimodal import (ASSET_SCHEMA,
+                                                       ahash_df,
+                                                       extract_features_df,
+                                                       real_decode,
+                                                       resize_df)
+
+    # 8 rows × 16 cols; left half black, right half white (gray pixels,
+    # so integer luminance == channel value exactly)
+    px = np.zeros((8, 16, 3), np.uint8)
+    px[:, 8:, :] = 255
+    payload = _bmp24(px)
+    want = np.zeros((8, 16), np.uint8)
+    want[:, 8:] = 255
+    assert (real_decode(payload, "image") == want).all()
+
+    # bottom-up flip: distinct corners must come back top-down
+    corners = np.array([[[10, 10, 10], [20, 20, 20]],
+                        [[30, 30, 30], [40, 40, 40]]], np.uint8)
+    assert (real_decode(_bmp24(corners), "image")
+            == [[10, 20], [30, 40]]).all()
+
+    # honesty: only BMP images decode from real bytes
+    with pytest.raises(NotImplementedError):
+        real_decode(payload, "video")
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x89PNG\r\n\x1a\n" + payload[8:], "image")
+
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(payload), 16, 8, None, "image/bmp")],
+        schema=ASSET_SCHEMA)
+    rs = {(r.ry, r.rx): r.value
+          for r in resize_df(assets, fake=False).collect()}
+    assert rs == {(ry, rx): (0.0 if rx < 4 else 1.0)
+                  for ry in range(4) for rx in range(8)}
+    ah = ahash_df(assets, fake=False).collect()[0]
+    assert ah.ahash == "00ff" * 8
+    assert ah.b0 == ah.b1 == ah.b2 == ah.b3 == 0x00FF00FF
+    feats = extract_features_df(assets, fake=False).collect()[0].features
+    assert feats == [0.0] * 8 + [1.0] * 8
+
+
 def test_minhash_bucket_cap_stops_quadratic_blowup(spark):
     """A planted mega-cluster (one text duplicated 800×) must not turn
     the band join quadratic: with pre-collapse the cluster contributes
