@@ -119,7 +119,10 @@ def bench_pyramid(spark) -> tuple[float, dict]:
         t0 = time.monotonic()
         feats = features_from_json_df(rows, opts)
         eng_i.build_from_converted(feats, approx_rows=N_PAGES)
-        n_tiles = eng_i.tiles().count()
+        # exact count from store metadata (tile_count) — the
+        # reference's timed span ends with tileCoords.length, an
+        # in-memory array length, not a re-scan of every tile
+        n_tiles = eng_i.tile_count()
         dt_i = time.monotonic() - t0
         dt = dt_i if dt is None else min(dt, dt_i)
         if wd_i is not None:

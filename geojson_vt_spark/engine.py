@@ -2065,6 +2065,42 @@ class SparkTileEngine:
                 sub.where(F.col("kind") == "tile").select(*TILE_COLUMNS))
         return base
 
+    def tile_count(self) -> int:
+        """Exact generated-tile count without a Spark job: parquet
+        footers for the stats stores plus one slim driver-side 'kind'
+        column read over the subtree parts.  The reference's
+        equivalent is ``tileCoords.length`` — an in-memory array
+        length — so serving the count from store metadata is the
+        parity-faithful shape; pinned equal to ``tiles().count()`` by
+        tests on every build path."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        total = 0
+        troot = self._p("tiles")
+        if os.path.isdir(troot):
+            for zdir in os.listdir(troot):
+                zp = os.path.join(troot, zdir)
+                if not (zdir.startswith("z=") and os.path.isdir(zp)):
+                    continue
+                for f in os.listdir(zp):
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(zp, f)).metadata.num_rows
+        sroot = self._p("subtree")
+        if os.path.isdir(sroot):
+            for bdir in os.listdir(sroot):
+                bp = os.path.join(sroot, bdir)
+                if not (bdir.startswith("b=") and os.path.isdir(bp)):
+                    continue
+                for f in os.listdir(bp):
+                    if f.endswith(".parquet"):
+                        kinds = pq.read_table(
+                            os.path.join(bp, f),
+                            columns=["kind"]).column("kind")
+                        total += int(pc.sum(pc.equal(
+                            kinds, "tile").cast("int64")).as_py() or 0)
+        return total
+
     _TILEFEAT_COLS = ["ord_path", "gtype", "coords", "rlens",
                       "tags_json", "fid_json"]
     _PACK_COLS = ["ftypes", "fnrings", "frlens", "fcoords",

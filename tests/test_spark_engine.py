@@ -462,6 +462,34 @@ def test_forest_wave_line_metrics_parity(spark, tmp_path):
     assert forest.tile_coords() == loop.tile_coords()
 
 
+def test_tile_count_matches_tiles_count(spark, tmp_path):
+    """tile_count() (parquet-footer metadata, no Spark job) must equal
+    tiles().count() on every build layout: loop, one-wave, forest."""
+    from geojson_vt_spark.pipeline import features_from_json_df
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+
+    opts = TileOptions(index_max_zoom=6, index_max_points=100)
+    pages = synth_pages_df(spark, 2500, seed=11)
+    feats = features_from_json_df(extract_geo_features_df(pages), opts)
+
+    wave = SparkTileEngine(spark, opts, workdir=str(tmp_path / "w"),
+                           one_wave=True)
+    wave.build_from_converted(feats, approx_rows=2500)
+    assert wave.tile_count() == wave.tiles().count()
+
+    loop = SparkTileEngine(spark, opts, workdir=str(tmp_path / "l"),
+                           one_wave=False)
+    loop.build_from_converted(feats)
+    assert loop.tile_count() == loop.tiles().count()
+
+    forest = SparkTileEngine(spark, opts, workdir=str(tmp_path / "f"),
+                             one_wave=True)
+    forest._KERNEL_PTS_PER_TASK = 2000
+    forest.build_from_converted(feats, approx_rows=2500)
+    assert forest.tile_count() == forest.tiles().count()
+
+
 def test_forest_straggler_matches_loop_layout(spark, tmp_path):
     """Forest wave with STRAGGLER leaves: a giant boundary-crossing
     polygon gives cut cells huge candidate mass with zero
