@@ -1025,8 +1025,10 @@ class SparkTileEngine:
     # leaves above this many task budgets of estimated work are probed
     # and rendered partition-spread instead of becoming one wave task;
     # 2x keeps every wave task within ~2x the median budget-sized task
-    # (round-4 residual: 19/119 over-budget leaves, one 13 s straggler)
-    _FOREST_STRAGGLER = 2
+    # (round-4 residual: 19/119 over-budget leaves, one 13 s straggler).
+    # Env-tunable for same-boot A/B (the sandbox VM drifts 2-3x
+    # boot-to-boot, so cross-boot comparisons of this knob are noise).
+    _FOREST_STRAGGLER = int(os.environ.get("GVT_FOREST_STRAGGLER", "2"))
 
     def _forest_eligible(self, n_points: int) -> bool:
         """True when the corpus is too big for ONE wave but a bounded
@@ -1040,54 +1042,99 @@ class SparkTileEngine:
                 <= (4 ** self._FOREST_MAX_LEVEL)
                 * self._KERNEL_PTS_PER_TASK)
 
-    def _forest_cut(self, gate_rows) -> tuple | None:
+    def _forest_cut(self, gate_rows, fr0=None) -> tuple | None:
         """Quadtree cut from the gate masses: walk from the 4 z1 cells;
         a cell subdivides (INTERNAL — distributed narrow render of its
-        own tile) while it is guaranteed-split (inside mass
-        > index_max_points — an exact lower bound on post-clip
-        num_points, so the stop rule provably splits it), still above
-        the leaf budget, and above neither the index_max_zoom ceiling
-        nor _FOREST_MAX_LEVEL; otherwise it becomes a LEAF (one
+        own tile) while it is guaranteed-split, still above the leaf
+        budget, and above neither the index_max_zoom ceiling nor
+        _FOREST_MAX_LEVEL; otherwise it becomes a LEAF (one
         wave_stage_df subtree task, its root classified by the normal
         stop rule in-kernel).  Zero-mass children of internal cells
         are recorded for the driver-side empty back-fill
         (index.js:151-154 pushes ``tl || []``).
 
-        A cell over _FOREST_STRAGGLER task budgets that cannot become
-        internal (no provable split — giant boundary-crossing
-        features give huge candidate mass with zero inside mass — or
-        the static gate's level cap) is returned as a STRAGGLER: its
-        exact stop boundary is then measured by a distributed probe
+        Guaranteed-split has TWO provers, both exact lower bounds on
+        the cell tile's post-clip num_points (> index_max_points ⇒
+        src/index.js:105-107 splits):
+        - the gate's fully-inside bbox mass ``i`` (free, rides the
+          gate job) — blind on dense clusters straddling a cell edge;
+        - the vertex-survival count ``v`` (pipeline.
+          forest_vertex_probe_df) — one cheap second job, run only
+          when the walk meets over-budget cells ``i`` cannot prove
+          (the measured forest skew: twin boundary cells with
+          identical duplicated candidate mass, i == 0, 15 s of
+          serial kernel each).  Internal cells are eligible up to
+          l == _FOREST_MAX_LEVEL; their children beyond the gate's
+          deepest level join the cut as BLIND leaves (no mass info —
+          routed by bbox like any leaf, zero-row ones back-filled
+          from missing acks).
+
+        A cell over _FOREST_STRAGGLER task budgets that NEITHER
+        prover can split (e.g. a giant ring enclosing the cell with
+        every vertex outside) is returned as a STRAGGLER: its exact
+        stop boundary is then measured by the full clip-descent probe
         (straggler_probe_stats) and its subtree rendered
         partition-spread by internal_tree_direct, never funneled into
-        one wave task (the measured 4xN residual of round 4)."""
+        one wave task."""
         opts = self.options
         imz = opts.index_max_zoom
+        imp = opts.index_max_points
         budget = self._KERNEL_PTS_PER_TASK
+        max_lvl = self._FOREST_MAX_LEVEL
         cells = {(int(r["lvl"]), int(r["x"]), int(r["y"])):
                  (int(r["m"] or 0), int(r["i"] or 0))
                  for r in gate_rows}
-        leaves: list = []
-        internals: list = []
-        empties: list = []
-        stragglers: list = []
-        stack = [(1, x, y) for y in (0, 1) for x in (0, 1)]
-        while stack:
-            l, x, y = stack.pop(0)
-            m, i = cells.get((l, x, y), (0, 0))
-            if m == 0:
-                empties.append((l, x, y))
-                continue
-            work = m * max(imz - l, 1)
-            if (l < imz and l < self._FOREST_MAX_LEVEL
-                    and i > opts.index_max_points and work > budget):
-                internals.append((l, x, y))
-                stack.extend((l + 1, 2 * x + dx, 2 * y + dy)
-                             for dy in (0, 1) for dx in (0, 1))
-            elif work > self._FOREST_STRAGGLER * budget:
-                stragglers.append((l, x, y))
-            else:
-                leaves.append((l, x, y))
+
+        def walk(vcells):
+            leaves: list = []
+            internals: list = []
+            empties: list = []
+            stragglers: list = []
+            opaque: list = []
+            stack = [(1, x, y) for y in (0, 1) for x in (0, 1)]
+            while stack:
+                l, x, y = stack.pop(0)
+                m, i = cells.get((l, x, y), (0, 0))
+                if m == 0:
+                    empties.append((l, x, y))
+                    continue
+                work = m * max(imz - l, 1)
+                eligible = l < imz and l <= max_lvl and work > budget
+                proven = i > imp or (vcells is not None
+                                     and vcells.get((l, x, y), 0) > imp)
+                if eligible and proven:
+                    internals.append((l, x, y))
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            c = (l + 1, 2 * x + dx, 2 * y + dy)
+                            if l + 1 > max_lvl:
+                                leaves.append(c)   # blind: no gate row
+                            else:
+                                stack.append(c)
+                elif eligible and vcells is None:
+                    opaque.append((l, x, y))
+                elif work > self._FOREST_STRAGGLER * budget:
+                    stragglers.append((l, x, y))
+                else:
+                    leaves.append((l, x, y))
+            return leaves, internals, empties, stragglers, opaque
+
+        leaves, internals, empties, stragglers, opaque = walk(None)
+        if opaque and fr0 is not None:
+            from .pipeline import forest_vertex_probe_df
+            lmin = min(l for l, _, _ in opaque)
+            levels = list(range(lmin, min(max_lvl, imz - 1) + 1))
+            _t = time.monotonic()
+            v_rows = forest_vertex_probe_df(fr0, opts, opaque,
+                                            levels).collect()
+            self._forest_vprobe_sec = round(time.monotonic() - _t, 2)
+            vcells = {(int(r["lvl"]), int(r["x"]), int(r["y"])):
+                      int(r["v"] or 0) for r in v_rows}
+            leaves, internals, empties, stragglers, _ = walk(vcells)
+        elif opaque:
+            # no frontier handle (unit-test path): unprovable cells
+            # fall through exactly as pre-probe semantics
+            leaves, internals, empties, stragglers, _ = walk({})
         return (leaves, internals, empties, stragglers)
 
     def _straggler_boundary(self, probe_acks, stragglers) -> tuple:
@@ -1316,9 +1363,17 @@ class SparkTileEngine:
         # stop cell with no ack clipped empty everywhere and joins the
         # sentinel back-fill.
         stop_set = {tuple(c) for c in int_box.get("stops", [])}
+        # BLIND leaves (children of a _FOREST_MAX_LEVEL internal, no
+        # gate mass info) that received no candidate rows produce no
+        # wave group and no subtree part: back-fill their sentinel
+        # rows from the missing acks, same as gate-proven empties
+        acked = {(int(r["z"]), int(r["x"]), int(r["y"]))
+                 for r in leaf_acks}
         all_empties = (list(empties) + list(int_box.get("extra_empties",
                                                         []))
-                       + [c for c in stop_set if c not in merged])
+                       + [c for c in stop_set if c not in merged]
+                       + [tuple(c) for c in leaves
+                          if tuple(c) not in acked])
         by_level: dict = {}
         for (z, x, y), st in merged.items():
             is_stop = (z, x, y) in stop_set
@@ -1381,6 +1436,7 @@ class SparkTileEngine:
                 "n_leaves": len(leaves), "n_internal": len(internals),
                 "n_empty": len(empties),
                 "gate": getattr(self, "_forest_gate_sec", None),
+                "vprobe": getattr(self, "_forest_vprobe_sec", None),
                 **_steps,
                 "task_secs_sum": round(sum(
                     r["secs"] for r in leaf_acks), 2),
@@ -1493,9 +1549,10 @@ class SparkTileEngine:
             # gate job decides for real: bounded-cut or fall through
             # to the per-zoom loop
             _tg = time.monotonic()
+            _fr0 = self._read_frontier(0)
             plan = self._forest_cut(forest_gate_df(
-                self._read_frontier(0), opts,
-                self._FOREST_MAX_LEVEL).collect())
+                _fr0, opts, self._FOREST_MAX_LEVEL).collect(),
+                fr0=_fr0)
             self._forest_gate_sec = round(time.monotonic() - _tg, 2)
             if plan is not None:
                 try:

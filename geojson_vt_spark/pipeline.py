@@ -1925,13 +1925,34 @@ def _cell_window_cols(lvl_col, c_col, k1c: float, k2c: float,
     return lo, hi
 
 
+def _cand_range_cols(lo_col, hi_col, u, cmax, b):
+    """Tight arithmetic candidate-cell range for the buffered windows:
+    cell c's exact window is [(c-b)/2^l, (c+1+b)/2^l] up to the ≤2-ulp
+    rounding of the (parent + const)/z2l float sequence, so the cells
+    a bbox [lo,hi] is not trivially rejected from lie in
+    floor(lo·u - b - eps) .. floor(hi·u + b + eps) — eps absorbs the
+    window rounding (|err| ≤ ulp((c+1+b))·u ≈ 1e-14 for l ≤ 7).  The
+    former whole-cell slack (±(1+b)·cell per side) tripled the explode
+    volume per axis for point-sized inputs; downstream the exact float
+    window filter keeps the emitted row set identical.  Degenerate
+    clamped ranges (multi-world copies far outside [0,1]) collapse to
+    ONE bogus candidate via greatest() — branch-free, and the exact
+    filter drops it — instead of a descending sequence() blow-up."""
+    eps = 1e-9
+    lo = F.greatest(F.lit(0).cast("long"),
+                    F.floor(lo_col * u - F.lit(b + eps)).cast("long"))
+    hi = F.least(cmax,
+                 F.floor(hi_col * u + F.lit(b + eps)).cast("long"))
+    return F.sequence(lo, F.greatest(lo, hi))
+
+
 def forest_gate_df(frontier0: DataFrame, options: TileOptions,
                    max_level: int) -> DataFrame:
     """Per-cell candidate + guaranteed-inside vertex masses for EVERY
     quadtree cell at zooms 1..max_level, in one slim job: arithmetic
-    candidate rectangles (a ±1-cell superset from bbox × 2^lvl) are
-    explode()d, then filtered with the cell's EXACT window floats, and
-    a partial-agg groupBy collapses to ≤4^lvl rows per level before
+    candidate rectangles (tight bbox × 2^lvl ranges, _cand_range_cols)
+    are explode()d, then filtered with the cell's EXACT window floats,
+    and a partial-agg groupBy collapses to ≤4^lvl rows per level before
     the exchange.  Output: (lvl, x, y, m, i) — m is the mass the cell's
     wave task would receive (bbox-overlap superset, the same row set
     forest_route_df emits), i is the mass of features whose bbox lies
@@ -1946,22 +1967,15 @@ def forest_gate_df(frontier0: DataFrame, options: TileOptions,
     u = F.pow(F.lit(2.0), lvl.cast("double"))
     cmax = F.pow(F.lit(2.0), lvl.cast("double")).cast("long") - 1
 
-    def _rng(lo_col, hi_col):
-        lo = F.greatest(F.lit(0).cast("long"),
-                        F.floor(lo_col * u - F.lit(1 + b)).cast("long"))
-        hi = F.least(cmax,
-                     F.floor(hi_col * u + F.lit(b)).cast("long") + 1)
-        return F.sequence(lo, hi)
-
     df = (frontier0
           .select(F.col("minx"), F.col("miny"), F.col("maxx"),
                   F.col("maxy"), nv.alias("_nv"))
           .withColumn("_lvl", F.explode(F.array(
               *[F.lit(z) for z in range(1, max_level + 1)])))
-          .withColumn("_cx", F.explode(_rng(F.col("minx"),
-                                            F.col("maxx"))))
-          .withColumn("_cy", F.explode(_rng(F.col("miny"),
-                                            F.col("maxy")))))
+          .withColumn("_cx", F.explode(_cand_range_cols(
+              F.col("minx"), F.col("maxx"), u, cmax, b)))
+          .withColumn("_cy", F.explode(_cand_range_cols(
+              F.col("miny"), F.col("maxy"), u, cmax, b))))
     xlo, xhi = _cell_window_cols(lvl, F.col("_cx"), k1c, k2c, k3c, k4c)
     ylo, yhi = _cell_window_cols(lvl, F.col("_cy"), k1c, k2c, k3c, k4c)
     rej = ((F.col("maxx") < xlo) | (F.col("minx") >= xhi) |
@@ -1974,6 +1988,92 @@ def forest_gate_df(frontier0: DataFrame, options: TileOptions,
             .agg(F.sum("_nv").alias("m"),
                  F.sum(F.when(inside, F.col("_nv"))
                        .otherwise(F.lit(0).cast("long"))).alias("i")))
+
+
+def _cell_window(lvl: int, c: int, k1c: float, k2c: float,
+                 k3c: float, k4c: float) -> tuple[float, float]:
+    """Scalar twin of _cell_window_cols: the exact (parent + const) /
+    2^(lvl-1) float pair the kernel clips cell ``c`` at zoom ``lvl``
+    against."""
+    z2l = float(1 << (lvl - 1))
+    par = float(c >> 1)
+    if c & 1:
+        return (par + k2c) / z2l, (par + k4c) / z2l
+    return (par - k1c) / z2l, (par + k3c) / z2l
+
+
+def forest_vertex_probe_df(frontier0: DataFrame, options: TileOptions,
+                           roots: list, levels: list) -> DataFrame:
+    """Vertex-survival masses for the forest cut where the bbox
+    gate's fully-inside proof goes blind: for every quadtree cell at
+    the given ``levels``, count the frontier VERTICES strictly inside
+    the cell's buffered clip window, over only the features whose
+    bbox overlaps one of the ``roots``' windows.
+
+    A vertex strictly inside the window survives the axis-aligned
+    clip for every geometry type (points are kept inclusively,
+    /root/reference/src/clip.js:88-96; line/ring slicing keeps
+    interior vertices and only replaces boundary crossings with
+    intersection points, clip.js:110-164), and the reference's stop
+    rule counts every stored vertex of the clipped tile
+    (src/tile.js numPoints, including rings later dropped by the
+    tolerance filter) — so the strict-inside count is an exact lower
+    bound on the cell tile's post-clip num_points, and
+    count > index_max_points PROVES the stop rule splits the cell
+    (src/index.js:105-107).  The bbox gate's ``i`` (fully-inside
+    bboxes, forest_gate_df) proves nothing for a dense cluster
+    STRADDLING a cell edge — every bbox crosses the boundary, i == 0,
+    yet millions of vertices sit inside; this probe closes exactly
+    that gap (the measured round-4/5 forest skew: twin over-budget
+    boundary cells with identical duplicated candidate mass).
+
+    Child windows are contained in their parents' (the forest-wave
+    routing invariant), so restricting to bbox-overlap of the ROOT
+    windows loses no vertex of any descendant cell: the returned
+    (lvl, x, y, v) counts are exact for every cell under a root.
+
+    100-TB posture: one narrow job — Column bbox prefilter at the
+    scan, JVM-side vertex explode (no Python), arithmetic candidate
+    cells per vertex, exact strict window filter, partial-agg groupBy
+    collapsing to ≤4^lvl rows per level before the only exchange."""
+    k1c = 0.5 * options.buffer / options.extent
+    k2c, k3c, k4c = 0.5 - k1c, 0.5 + k1c, 1 + k1c
+    b = 2 * k1c
+
+    overlap = F.lit(False)
+    for (rl, rx, ry) in roots:
+        xlo, xhi = _cell_window(rl, rx, k1c, k2c, k3c, k4c)
+        ylo, yhi = _cell_window(rl, ry, k1c, k2c, k3c, k4c)
+        overlap = overlap | ~((F.col("maxx") < xlo)
+                              | (F.col("minx") >= xhi)
+                              | (F.col("maxy") < ylo)
+                              | (F.col("miny") >= yhi))
+
+    verts = F.expr(
+        "transform(sequence(0, cast(size(coords)/3 as int) - 1), "
+        "k -> struct(coords[3*k] AS vx, coords[3*k+1] AS vy))")
+    lvl = F.col("_lvl")
+    u = F.pow(F.lit(2.0), lvl.cast("double"))
+    cmax = F.pow(F.lit(2.0), lvl.cast("double")).cast("long") - 1
+
+    df = (frontier0
+          .where(overlap)
+          .select(F.explode(verts).alias("_v"))
+          .select(F.col("_v.vx").alias("vx"), F.col("_v.vy").alias("vy"))
+          .withColumn("_lvl", F.explode(F.array(
+              *[F.lit(int(z)) for z in sorted(levels)])))
+          .withColumn("_cx", F.explode(_cand_range_cols(
+              F.col("vx"), F.col("vx"), u, cmax, b)))
+          .withColumn("_cy", F.explode(_cand_range_cols(
+              F.col("vy"), F.col("vy"), u, cmax, b))))
+    xlo, xhi = _cell_window_cols(lvl, F.col("_cx"), k1c, k2c, k3c, k4c)
+    ylo, yhi = _cell_window_cols(lvl, F.col("_cy"), k1c, k2c, k3c, k4c)
+    inside = ((F.col("vx") > xlo) & (F.col("vx") < xhi) &
+              (F.col("vy") > ylo) & (F.col("vy") < yhi))
+    return (df.where(inside)
+            .groupBy(F.col("_lvl").alias("lvl"),
+                     F.col("_cx").alias("x"), F.col("_cy").alias("y"))
+            .agg(F.count(F.lit(1)).alias("v")))
 
 
 def forest_route_df(frontier0: DataFrame, options: TileOptions,
@@ -1999,20 +2099,13 @@ def forest_route_df(frontier0: DataFrame, options: TileOptions,
     u = F.pow(F.lit(2.0), lvl.cast("double"))
     cmax = F.pow(F.lit(2.0), lvl.cast("double")).cast("long") - 1
 
-    def _rng(lo_col, hi_col):
-        lo = F.greatest(F.lit(0).cast("long"),
-                        F.floor(lo_col * u - F.lit(1 + b)).cast("long"))
-        hi = F.least(cmax,
-                     F.floor(hi_col * u + F.lit(b)).cast("long") + 1)
-        return F.sequence(lo, hi)
-
     df = (frontier0
           .withColumn("_lvl", F.explode(F.array(
               *[F.lit(z) for z in levels])))
-          .withColumn("_cx", F.explode(_rng(F.col("minx"),
-                                            F.col("maxx"))))
-          .withColumn("_cy", F.explode(_rng(F.col("miny"),
-                                            F.col("maxy")))))
+          .withColumn("_cx", F.explode(_cand_range_cols(
+              F.col("minx"), F.col("maxx"), u, cmax, b)))
+          .withColumn("_cy", F.explode(_cand_range_cols(
+              F.col("miny"), F.col("maxy"), u, cmax, b))))
     xlo, xhi = _cell_window_cols(lvl, F.col("_cx"), k1c, k2c, k3c, k4c)
     ylo, yhi = _cell_window_cols(lvl, F.col("_cy"), k1c, k2c, k3c, k4c)
     rej = ((F.col("maxx") < xlo) | (F.col("minx") >= xhi) |

@@ -674,3 +674,105 @@ def test_full_kill_resume_reenters_forest_path(spark, tmp_path):
     got = resumed.enumerate_tiles()
     assert set(got) == set(want)
     assert not [k for k in got if got[k] != want[k]]
+
+
+def test_vertex_probe_proves_boundary_cluster_split(spark, tmp_path):
+    """A dense cluster STRADDLING a cell edge defeats the bbox gate's
+    fully-inside proof (every bbox crosses the boundary, i == 0) but
+    not the vertex-survival prover: strictly-inside vertices survive
+    the clip, so their per-cell count is an exact lower bound on
+    post-clip num_points.  The cut must subdivide the boundary cells
+    (internal, no funneled mega-task), the probe counts must equal a
+    driver-side recount with the same window floats, and the forest
+    output must stay loop-identical."""
+    import json as _json
+    import math
+
+    from geojson_vt_spark.pipeline import (features_from_json_df,
+                                           forest_vertex_probe_df)
+
+    # 300 hexagons crossing the x=0.5 meridian line, each wider than
+    # 2x the buffer margin so NO z1 buffered window fully contains it
+    rows = []
+    for i in range(300):
+        cx_lon = (0.47 + (i % 60) * 0.001 - 0.5 + 0.03) * 360.0
+        cy_lat = (i % 7 - 3) * 2.0
+        ring = []
+        for k in range(6):
+            a = 2 * math.pi * k / 6
+            ring.append([round(cx_lon + 11.0 * math.cos(a), 5),
+                         round(cy_lat + 5.0 * math.sin(a), 5)])
+        ring.append(ring[0])
+        fj = ('{"type":"Feature","properties":{},"geometry":'
+              '{"type":"Polygon","coordinates":[' +
+              _json.dumps(ring) + ']}}')
+        rows.append((i, None, fj))
+    src = spark.createDataFrame(
+        rows, "input_ord long, gen_index long, feature_json string")
+
+    opts = TileOptions(index_max_zoom=5, index_max_points=100)
+    feats = features_from_json_df(src, opts)
+
+    eng = SparkTileEngine(spark, opts, workdir=str(tmp_path / "f"),
+                          one_wave=True)
+    eng._KERNEL_PTS_PER_TASK = 500
+    fr0 = eng._frontier0_view(feats)
+
+    # exact-count check: probe == driver-side recount on the same
+    # strict window floats
+    roots = [(1, 0, 0), (1, 1, 0), (1, 0, 1), (1, 1, 1)]
+    got = {(r["lvl"], r["x"], r["y"]): r["v"]
+           for r in forest_vertex_probe_df(fr0, opts, roots,
+                                           [1, 2]).collect()}
+    k1c = 0.5 * opts.buffer / opts.extent
+    k2c, k3c, k4c = 0.5 - k1c, 0.5 + k1c, 1 + k1c
+
+    def window(lvl, c):
+        z2l = float(1 << (lvl - 1))
+        par = float(c >> 1)
+        if c & 1:
+            return (par + k2c) / z2l, (par + k4c) / z2l
+        return (par - k1c) / z2l, (par + k3c) / z2l
+
+    want = {}
+    for row in fr0.select("coords").collect():
+        cs = row["coords"]
+        for j in range(0, len(cs), 3):
+            vx, vy = cs[j], cs[j + 1]
+            for lvl in (1, 2):
+                for cx in range(1 << lvl):
+                    xlo, xhi = window(lvl, cx)
+                    if not (xlo < vx < xhi):
+                        continue
+                    for cy in range(1 << lvl):
+                        ylo, yhi = window(lvl, cy)
+                        if ylo < vy < yhi:
+                            k = (lvl, cx, cy)
+                            want[k] = want.get(k, 0) + 1
+    assert got == want
+
+    # the bbox gate alone cannot prove the straddling cells split
+    from geojson_vt_spark.pipeline import forest_gate_df
+    gate = forest_gate_df(fr0, opts, eng._FOREST_MAX_LEVEL).collect()
+    z1 = {(r["lvl"], r["x"], r["y"]): (r["m"], r["i"])
+          for r in gate if r["lvl"] == 1}
+    budget = eng._KERNEL_PTS_PER_TASK
+    imz = opts.index_max_zoom
+    blind = [k for k, (m, i) in z1.items()
+             if m * (imz - 1) > budget and i <= opts.index_max_points]
+    assert blind, z1  # the scenario really is i-blind
+
+    # full build: the cut must subdivide (vprobe ran, internals exist)
+    eng.build_from_converted(feats, approx_rows=300)
+    lin = [_json.loads(ln) for ln in open(tmp_path / "f" / "lineage.json")]
+    st = [r for r in lin if r.get("subtree_batch")][0]["steps"]
+    assert st.get("vprobe") is not None, st
+    assert st["n_internal"] >= 1, st
+
+    loop = SparkTileEngine(spark, opts, workdir=str(tmp_path / "l"),
+                           one_wave=False)
+    loop.build_from_converted(feats)
+    a, b = eng.enumerate_tiles(), loop.enumerate_tiles()
+    assert set(a) == set(b)
+    assert not [k for k in a if a[k] != b[k]]
+    assert eng.tile_coords() == loop.tile_coords()
