@@ -1081,6 +1081,7 @@ class SparkTileEngine:
         imp = opts.index_max_points
         budget = self._KERNEL_PTS_PER_TASK
         max_lvl = self._FOREST_MAX_LEVEL
+        self._forest_vprobe_sec = None
         cells = {(int(r["lvl"]), int(r["x"]), int(r["y"])):
                  (int(r["m"] or 0), int(r["i"] or 0))
                  for r in gate_rows}
@@ -1208,7 +1209,8 @@ class SparkTileEngine:
             for k, v in restore.items():
                 self.spark.conf.set(k, v)
 
-    def _build_forest(self, r0: dict, pool, futures, plan) -> None:
+    def _build_forest(self, r0: dict, pool, futures, plan,
+                      render=None) -> None:
         """Forest wave: the whole pyramid in ONE shuffle + two narrow
         maps, replacing the per-zoom distributed loop for corpora too
         big for the one-wave but coverable by a bounded quadtree cut.
@@ -1246,20 +1248,27 @@ class SparkTileEngine:
         # partition-spread render
         routed = (forest_route_df(fr0, opts, {c: 0 for c in leaves})
                   if leaves else None)
-        obs_r = Observation()
 
         _steps: dict = {}
 
-        def render_job():
-            self._set_pool("gvt-render")
-            _t = time.monotonic()
-            (rendered_features_df(fr0, opts).drop("z")
-             .observe(obs_r, F.sum("n_simplified").alias("ns"))
-             .write.mode("overwrite")
-             .parquet(self._p("tilefeat", "z=0")))
-            _steps["render0"] = round(time.monotonic() - _t, 2)
+        if render is not None:
+            # caller pre-started the z0 render before the gate/probe
+            # jobs (build() forest branch) — adopt its future
+            fut_render, obs_r, _rsteps = render
+        else:
+            obs_r = Observation()
+            _rsteps = _steps
 
-        fut_render = pool.submit(render_job)
+            def render_job():
+                self._set_pool("gvt-render")
+                _t = time.monotonic()
+                (rendered_features_df(fr0, opts).drop("z")
+                 .observe(obs_r, F.sum("n_simplified").alias("ns"))
+                 .write.mode("overwrite")
+                 .parquet(self._p("tilefeat", "z=0")))
+                _rsteps["render0"] = round(time.monotonic() - _t, 2)
+
+            fut_render = pool.submit(render_job)
 
         int_box: dict = {"acks": [], "stops": [], "extra_empties": [],
                          "internals": list(internals)}
@@ -1321,6 +1330,8 @@ class SparkTileEngine:
         _t2 = time.monotonic()
         fut_render.result()
         render_wait = time.monotonic() - _t2
+        if _rsteps is not _steps:
+            _steps.update(_rsteps)
         ns0 = int(obs_r.get["ns"] or 0)
 
         # driver-side rows: z0, internal-cell stats, empty children
@@ -1550,14 +1561,39 @@ class SparkTileEngine:
             # to the per-zoom loop
             _tg = time.monotonic()
             _fr0 = self._read_frontier(0)
+            # the z0 render depends only on the frontier, not the cut:
+            # start it BEFORE the gate + vertex-probe jobs so their
+            # serial prefix (the only driver-side decision point the
+            # forest has) overlaps the heaviest single render — FAIR
+            # pools share the fleet between them
+            from pyspark.sql import Observation
+            _obs_r = Observation()
+            _rsteps: dict = {}
+
+            def _z0_render_job():
+                self._set_pool("gvt-render")
+                _t = time.monotonic()
+                (rendered_features_df(_fr0, opts).drop("z")
+                 .observe(_obs_r, F.sum("n_simplified").alias("ns"))
+                 .write.mode("overwrite")
+                 .parquet(self._p("tilefeat", "z=0")))
+                _rsteps["render0"] = round(time.monotonic() - _t, 2)
+
+            _fut_render = pool.submit(_z0_render_job)
             plan = self._forest_cut(forest_gate_df(
                 _fr0, opts, self._FOREST_MAX_LEVEL).collect(),
                 fr0=_fr0)
             self._forest_gate_sec = round(time.monotonic() - _tg, 2)
+            if plan is None:
+                # defensive: the cut always returns a plan today, but a
+                # fall-through to the loop must not race the already-
+                # started z0 render
+                _fut_render.result()
             if plan is not None:
                 try:
                     self._build_forest(z0_stats[0], pool, futures,
-                                       plan)
+                                       plan, render=(_fut_render,
+                                                     _obs_r, _rsteps))
                 finally:
                     for f in futures:
                         f.result()
