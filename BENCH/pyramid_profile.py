@@ -33,8 +33,14 @@ def main() -> None:
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     builder = (SparkSession.builder.appName("gvt-pyramid-profile")
-               .config("spark.executor.cores", "8")
-               .config("spark.executor.memory", "20g")
+               # GVT_EXEC_CORES: small-executor topology probe (e.g. 2
+               # -> cores.max=2 vs 8 is a true 1-executor vs
+               # 4-executor comparison inside the sandbox host's
+               # productive-thread envelope)
+               .config("spark.executor.cores",
+                       os.environ.get("GVT_EXEC_CORES", "8"))
+               .config("spark.executor.memory",
+                       os.environ.get("GVT_EXEC_MEM", "20g"))
                .config("spark.sql.adaptive.enabled", "true")
                .config("spark.sql.adaptive.coalescePartitions.enabled",
                        "true")

@@ -1085,6 +1085,10 @@ class SparkTileEngine:
         cells = {(int(r["lvl"]), int(r["x"]), int(r["y"])):
                  (int(r["m"] or 0), int(r["i"] or 0))
                  for r in gate_rows}
+        # per-leaf estimated work, consumed by the slot wave's LPT
+        # bin-packing (blind leaves have no gate row and default to 1)
+        leaf_work: dict = {}
+        self._forest_leaf_work = leaf_work
 
         def walk(vcells):
             leaves: list = []
@@ -1092,6 +1096,7 @@ class SparkTileEngine:
             empties: list = []
             stragglers: list = []
             opaque: list = []
+            leaf_work.clear()
             stack = [(1, x, y) for y in (0, 1) for x in (0, 1)]
             while stack:
                 l, x, y = stack.pop(0)
@@ -1118,6 +1123,7 @@ class SparkTileEngine:
                     stragglers.append((l, x, y))
                 else:
                     leaves.append((l, x, y))
+                    leaf_work[(l, x, y)] = work
             return leaves, internals, empties, stragglers, opaque
 
         leaves, internals, empties, stragglers, opaque = walk(None)
@@ -1171,27 +1177,85 @@ class SparkTileEngine:
                 stops.append((z, x, y))
         return internals, stops, empties
 
+    def _slot_values(self, g: int) -> list:
+        """Ints v_0..v_{g-1} whose Spark murmur3 shuffle bucket
+        (pmod(hash(int v), g)) is a bijection onto 0..g-1 — computed BY
+        Spark in one tiny job, so the driver's bin assignment and the
+        wave's HashPartitioning agree exactly (no reimplemented hash
+        to drift)."""
+        vals: list = [None] * g
+        lo, missing = 0, g
+        while missing:
+            rows = (self.spark.range(lo, lo + 32 * g)
+                    .select(F.col("id").cast("int").alias("v"),
+                            F.pmod(F.hash(F.col("id").cast("int")),
+                                   F.lit(g)).alias("b")).collect())
+            for r in rows:
+                if vals[r["b"]] is None:
+                    vals[r["b"]] = int(r["v"])
+                    missing -= 1
+            lo += 32 * g
+        return vals
+
     def _forest_leaf_wave(self, leaves, routed: DataFrame | None = None
                           ) -> list:
         """The forest wave's LEAF-subtree job: route the z0 frontier to
         the leaf cut cells and clip each whole descendant subtree
-        in-task into subtree b=1.  Factored out of _build_forest so the
-        resume path (_ensure_subtrees) can re-create a lost subtree
-        store from the cut keys recorded in the forest lineage row —
-        the z0 frontier it reads is the features-checkpoint view,
-        still on disk for any resumable workdir."""
+        in-task into subtree b=1.
+
+        Default shape: DRIVER-PACKED slots — the cut's per-leaf work
+        estimates are LPT-packed into ceil(total/budget) bins (never
+        fewer than the fleet's slots), each bin becomes exactly one
+        task via driver-chosen slot ints (see _slot_values), and the
+        task slices its rows per cell through the shared per-cell
+        kernel (pipeline.forest_slot_wave_df).  groupBy(z,x,y) places
+        groups by hash instead, where two hot cells colliding into one
+        task double the wave wall and no bin-packing is possible; with
+        ~2 cells/partition such collisions are the common case, and
+        wave wall = max task IS the term a cluster pays.
+        GVT_NO_SLOTPACK=1 restores the group-keyed wave for A/B.
+
+        Factored out of _build_forest so the resume path
+        (_ensure_subtrees) can re-create a lost subtree store from the
+        cut keys recorded in the forest lineage row — the z0 frontier
+        it reads is the features-checkpoint view, still on disk for
+        any resumable workdir (estimates are absent there: the pack
+        falls back to uniform weights, same disk layout either way)."""
+        import heapq
         import shutil
         opts = self.options
         if routed is None:
             routed = forest_route_df(self._read_frontier(0), opts,
                                      {tuple(c): 0 for c in leaves})
+        slotpack = (os.environ.get("GVT_NO_SLOTPACK", "0") != "1"
+                    and len(leaves) > 0)
+        slot_map: dict = {}
+        n_bins = 0
+        if slotpack:
+            est = getattr(self, "_forest_leaf_work", None) or {}
+            werk = sorted(((est.get(tuple(c), 1), tuple(c))
+                           for c in leaves), reverse=True)
+            total = sum(w for w, _ in werk)
+            par = self.spark.sparkContext.defaultParallelism
+            n_bins = max(1, min(len(leaves),
+                                max(par, -(-total
+                                           // max(self._KERNEL_PTS_PER_TASK,
+                                                  1)))))
+            slot_vals = self._slot_values(n_bins)
+            self._forest_slot_bins = n_bins
+            heap = [(0, b) for b in range(n_bins)]
+            heapq.heapify(heap)
+            for w, c in werk:
+                load, b = heapq.heappop(heap)
+                slot_map[c] = slot_vals[b]
+                heapq.heappush(heap, (load + w, b))
         restore: dict = {}
         conf = self.spark.conf
         for k, v in (
                 ("spark.sql.adaptive.coalescePartitions.enabled",
                  "false"),
                 ("spark.sql.shuffle.partitions",
-                 str(max(64, 2 * len(leaves))))):
+                 str(n_bins if slotpack else max(64, 2 * len(leaves))))):
             restore[k] = conf.get(k)
             conf.set(k, v)
         try:
@@ -1199,9 +1263,23 @@ class SparkTileEngine:
             out = self._p("subtree", "b=1")
             if os.path.isdir(out):
                 shutil.rmtree(out)
-            acks = one_wave_stage_df(
-                routed.where(F.col("role") == 0), opts, out_dir=out,
-                from_zoom=0).collect()
+            cand = routed.where(F.col("role") == 0)
+            if slotpack:
+                from .pipeline import forest_slot_wave_df
+                key = ((F.col("z").cast("long") * F.lit(1 << 50))
+                       + (F.col("x").cast("long") * F.lit(1 << 25))
+                       + F.col("y").cast("long"))
+                pairs: list = []
+                for (z, x, y), v in slot_map.items():
+                    pairs.append(F.lit((z << 50) | (x << 25) | y))
+                    pairs.append(F.lit(v))
+                cand = cand.withColumn(
+                    "slot", F.create_map(*pairs)[key].cast("int"))
+                acks = forest_slot_wave_df(cand, opts, out_dir=out,
+                                           from_zoom=0).collect()
+            else:
+                acks = one_wave_stage_df(cand, opts, out_dir=out,
+                                         from_zoom=0).collect()
             os.makedirs(out, exist_ok=True)
             open(os.path.join(out, "_SUCCESS"), "w").close()
             return acks
@@ -1446,6 +1524,7 @@ class SparkTileEngine:
             "steps": {
                 "n_leaves": len(leaves), "n_internal": len(internals),
                 "n_empty": len(empties),
+                "n_slots": getattr(self, "_forest_slot_bins", None),
                 "gate": getattr(self, "_forest_gate_sec", None),
                 "vprobe": getattr(self, "_forest_vprobe_sec", None),
                 **_steps,

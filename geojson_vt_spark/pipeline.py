@@ -1803,6 +1803,69 @@ def _arrow_state(tbl, sort=True, strings=True):
             _np("tags_json") if strings else None)
 
 
+def _wave_cell_kernel(tbl, cz: int, cx: int, cy: int, root_only: bool,
+                      options: TileOptions, out_dir: str | None,
+                      from_zoom: int | None):
+    """The per-CELL wave task body, shared verbatim by the group-keyed
+    wave (wave_stage_df) and the driver-packed slot wave
+    (forest_slot_wave_df): clip the candidate rows from their origin
+    zoom down to the cell, one x-then-y level at a time with the exact
+    (parent + const)/z2 float sequence, then build the whole
+    descendant pyramid in-task and write the cell's subtree part.
+    Returns (n_rows_written, subtree_table_or_None)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .kernel.vec import batch_clip
+
+    fz = cz - 1 if from_zoom is None else from_zoom
+    (rags, gcodes, mnx, mny, mxx, mxy,
+     fids, tagss) = _arrow_state(tbl)
+    k1c = 0.5 * options.buffer / options.extent
+    k2c, k3c, k4c = 0.5 - k1c, 0.5 + k1c, 1 + k1c
+    lm = options.line_metrics
+    # clip the candidates down from their origin zoom to the cell, one
+    # x-then-y level at a time — for level l the windows use the cell's
+    # zoom-l ancestor coordinates with EXACTLY the (parent + const)/z2
+    # float sequence of the single-level case, so a multi-level wave
+    # clip is bit-identical to the in-task recursion's clip-of-clip
+    # (routing is a superset by original bbox; trivially-rejected
+    # features emit nothing)
+    for lvl in range(fz + 1, cz + 1):
+        z2l = 1 << (lvl - 1)
+        axl, ayl = cx >> (cz - lvl), cy >> (cz - lvl)
+        pxl, pyl = axl >> 1, ayl >> 1
+        n = rags.n_feats
+        xk1 = np.full(n, (pxl + (k2c if axl & 1 else -k1c)) / z2l)
+        xk2 = np.full(n, (pxl + (k4c if axl & 1 else k3c)) / z2l)
+        side = batch_clip(rags, gcodes, mnx, mny, mxx, mxy,
+                          xk1, xk2, 0, lm)
+        fid_s = fids[side.src]
+        tag_s = tagss[side.src]
+        m = side.n_feats
+        yk1 = np.full(m, (pyl + (k2c if ayl & 1 else -k1c)) / z2l)
+        yk2 = np.full(m, (pyl + (k4c if ayl & 1 else k3c)) / z2l)
+        q = batch_clip(side.rags, side.gcodes, side.minx, side.miny,
+                       side.maxx, side.maxy, yk1, yk2, 1, lm)
+        rags, gcodes = q.rags, q.gcodes
+        mnx, mny, mxx, mxy = q.minx, q.miny, q.maxx, q.maxy
+        fids, tagss = fid_s[q.src], tag_s[q.src]
+    state = (rags, gcodes, mnx, mny, mxx, mxy,
+             fids.tolist(), tagss.tolist(), None)
+    tile_rows, sources = batch_split_subtree(
+        None, cz, cx, cy, options, state=state,
+        root_forced_split=False, stop_after_root=root_only)
+    out = _subtree_out_pdf(tile_rows, sources)
+    if out_dir is None:
+        return len(out), pa.Table.from_pandas(
+            out, schema=to_arrow_schema(SUBTREE_SCHEMA),
+            preserve_index=False)
+    _write_subtree_part(out, out_dir, cz, cx, cy)
+    return len(out), None
+
+
 def wave_stage_df(candidates: DataFrame, options: TileOptions,
                   out_dir: str | None = None,
                   from_zoom: int | None = None) -> DataFrame:
@@ -1824,64 +1887,21 @@ def wave_stage_df(candidates: DataFrame, options: TileOptions,
     concurrent tasks — the shape that keeps a 4N-executor fleet busy
     on the tail batches (grid-measured; see BENCH/SCALING.md round 4)."""
     def run(key, tbl):
-        import numpy as np
         import pyarrow as pa
 
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        from .kernel.vec import batch_clip
         t0 = time.monotonic()
         cz, cx, cy = (int(key[0].as_py()), int(key[1].as_py()),
                       int(key[2].as_py()))
         root_only = len(key) > 3 and int(key[3].as_py()) == 1
-        fz = cz - 1 if from_zoom is None else from_zoom
-        (rags, gcodes, mnx, mny, mxx, mxy,
-         fids, tagss) = _arrow_state(tbl)
-        k1c = 0.5 * options.buffer / options.extent
-        k2c, k3c, k4c = 0.5 - k1c, 0.5 + k1c, 1 + k1c
-        lm = options.line_metrics
-        # clip the candidates down from their origin zoom to the group
-        # key, one x-then-y level at a time — for level l the windows
-        # use the key's zoom-l ancestor coordinates with EXACTLY the
-        # (parent + const) / z2 float sequence of the single-level
-        # case, so a two-level deep-wave clip is bit-identical to the
-        # in-task recursion's clip-of-clip (routing is a superset by
-        # original bbox; trivially-rejected features emit nothing)
-        for lvl in range(fz + 1, cz + 1):
-            z2l = 1 << (lvl - 1)
-            axl, ayl = cx >> (cz - lvl), cy >> (cz - lvl)
-            pxl, pyl = axl >> 1, ayl >> 1
-            n = rags.n_feats
-            xk1 = np.full(n, (pxl + (k2c if axl & 1 else -k1c)) / z2l)
-            xk2 = np.full(n, (pxl + (k4c if axl & 1 else k3c)) / z2l)
-            side = batch_clip(rags, gcodes, mnx, mny, mxx, mxy,
-                              xk1, xk2, 0, lm)
-            fid_s = fids[side.src]
-            tag_s = tagss[side.src]
-            m = side.n_feats
-            yk1 = np.full(m, (pyl + (k2c if ayl & 1 else -k1c)) / z2l)
-            yk2 = np.full(m, (pyl + (k4c if ayl & 1 else k3c)) / z2l)
-            q = batch_clip(side.rags, side.gcodes, side.minx, side.miny,
-                           side.maxx, side.maxy, yk1, yk2, 1, lm)
-            rags, gcodes = q.rags, q.gcodes
-            mnx, mny, mxx, mxy = q.minx, q.miny, q.maxx, q.maxy
-            fids, tagss = fid_s[q.src], tag_s[q.src]
-        state = (rags, gcodes, mnx, mny, mxx, mxy,
-                 fids.tolist(), tagss.tolist(), None)
-        # post-clip-empty children still flow through: the kernel emits
-        # the empty leaf tile row (a split tile's children all exist,
-        # index.js:151-154), with sentinel bbox and no source pack
-        tile_rows, sources = batch_split_subtree(
-            None, cz, cx, cy, options, state=state,
-            root_forced_split=False, stop_after_root=root_only)
-        out = _subtree_out_pdf(tile_rows, sources)
+        # clip-to-cell + descendant pyramid + part write: shared
+        # per-cell body (post-clip-empty children still flow through —
+        # the kernel emits the empty leaf tile row, index.js:151-154)
+        n_out, packed = _wave_cell_kernel(tbl, cz, cx, cy, root_only,
+                                          options, out_dir, from_zoom)
         if out_dir is None:
-            return pa.Table.from_pandas(
-                out, schema=to_arrow_schema(SUBTREE_SCHEMA),
-                preserve_index=False)
-        _write_subtree_part(out, out_dir, cz, cx, cy)
+            return packed
         return pa.table(
-            {"z": [cz], "x": [cx], "y": [cy], "n": [len(out)],
+            {"z": [cz], "x": [cx], "y": [cy], "n": [n_out],
              "n_cand": [tbl.num_rows],
              "secs": [time.monotonic() - t0]},
             schema=pa.schema([("z", pa.int32()), ("x", pa.int32()),
@@ -1905,6 +1925,70 @@ def one_wave_stage_df(candidates: DataFrame, options: TileOptions,
     loop takes over, handing off via the same wave shape per batch."""
     return wave_stage_df(candidates, options, out_dir=out_dir,
                          from_zoom=from_zoom)
+
+
+def forest_slot_wave_df(candidates: DataFrame, options: TileOptions,
+                        out_dir: str, from_zoom: int = 0) -> DataFrame:
+    """Driver-packed leaf wave: candidates carry a ``slot`` column (an
+    int whose Spark murmur3 bucket the DRIVER chose — see
+    SparkTileEngine._slot_values — so hash-partitioning places each
+    slot in its own task).  One task = one LPT-packed bin of cut
+    cells; inside the task the rows are sliced per cell and each cell
+    runs the SAME per-cell kernel as the group-keyed wave
+    (_wave_cell_kernel: clip-from-z0 chain, descendant pyramid,
+    per-cell part write), emitting one ack row per cell.
+
+    Why not groupBy(z,x,y): group→task placement is then
+    hash-partitioned, so (a) two hot cells can collide into one task
+    (birthday collisions at ~2 cells/partition are common) and (b) the
+    driver cannot bin-pack — wave wall = max task is THE term the
+    cluster pays, and with per-cell work estimates from the gate the
+    driver can pack bins to the kernel budget (LPT), which no hash can
+    do.  The on-disk layout (per-CELL deterministic part names) and
+    the ack schema are unchanged, so resume and every reader are
+    oblivious to which wave shape ran."""
+    def run(key, tbl):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        acks = {"z": [], "x": [], "y": [], "n": [], "n_cand": [],
+                "secs": []}
+        if tbl.num_rows:
+            order = pc.sort_indices(
+                tbl, sort_keys=[("z", "ascending"), ("x", "ascending"),
+                                ("y", "ascending")])
+            tbl = tbl.take(order).combine_chunks()
+            zs = tbl.column("z").to_numpy(zero_copy_only=False)
+            xs = tbl.column("x").to_numpy(zero_copy_only=False)
+            ys = tbl.column("y").to_numpy(zero_copy_only=False)
+            packed = ((zs.astype(np.int64) << 50)
+                      | (xs.astype(np.int64) << 25) | ys.astype(np.int64))
+            bounds = np.flatnonzero(np.diff(packed)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(packed)]))
+            for s, e in zip(starts, ends):
+                t0 = time.monotonic()
+                cz, cx, cy = int(zs[s]), int(xs[s]), int(ys[s])
+                sub = tbl.slice(s, e - s)
+                n_out, _ = _wave_cell_kernel(sub, cz, cx, cy, False,
+                                             options, out_dir,
+                                             from_zoom)
+                acks["z"].append(cz)
+                acks["x"].append(cx)
+                acks["y"].append(cy)
+                acks["n"].append(n_out)
+                acks["n_cand"].append(e - s)
+                acks["secs"].append(time.monotonic() - t0)
+        return pa.table(
+            acks,
+            schema=pa.schema([("z", pa.int32()), ("x", pa.int32()),
+                              ("y", pa.int32()), ("n", pa.int64()),
+                              ("n_cand", pa.int64()),
+                              ("secs", pa.float64())]))
+
+    return candidates.groupBy("slot").applyInArrow(
+        run, SUBTREE_ACK_SCHEMA)
 
 
 # ---------------------------------------------------------------- forest wave

@@ -776,3 +776,43 @@ def test_vertex_probe_proves_boundary_cluster_split(spark, tmp_path):
     assert set(a) == set(b)
     assert not [k for k in a if a[k] != b[k]]
     assert eng.tile_coords() == loop.tile_coords()
+
+
+def test_slot_wave_matches_group_wave(spark, tmp_path, monkeypatch):
+    """The driver-packed slot wave (LPT bins, driver-chosen slot ints)
+    and the group-keyed wave must write identical stores: per-cell
+    part names, tiles, stats, insertion order.  Also pins
+    _slot_values: the driver's chosen ints must hash onto distinct
+    shuffle buckets (the whole point of the trick)."""
+    from geojson_vt_spark.pipeline import features_from_json_df
+    from geojson_vt_spark.sources.corpus import (extract_geo_features_df,
+                                                 synth_pages_df)
+
+    opts = TileOptions(index_max_zoom=6, index_max_points=100)
+    pages = synth_pages_df(spark, 2500, seed=11)
+    feats = features_from_json_df(extract_geo_features_df(pages), opts)
+
+    a = SparkTileEngine(spark, opts, workdir=str(tmp_path / "slot"),
+                        one_wave=True)
+    a._KERNEL_PTS_PER_TASK = 2000
+    vals = a._slot_values(13)
+    from pyspark.sql import functions as F
+    got = (spark.createDataFrame([(v,) for v in vals], "v int")
+           .select(F.pmod(F.hash("v"), F.lit(13)).alias("b")).collect())
+    assert sorted(r["b"] for r in got) == list(range(13))
+    a.build_from_converted(feats, approx_rows=2500)
+
+    monkeypatch.setenv("GVT_NO_SLOTPACK", "1")
+    b = SparkTileEngine(spark, opts, workdir=str(tmp_path / "grp"),
+                        one_wave=True)
+    b._KERNEL_PTS_PER_TASK = 2000
+    b.build_from_converted(feats, approx_rows=2500)
+
+    ta, tb = a.enumerate_tiles(), b.enumerate_tiles()
+    assert set(ta) == set(tb)
+    assert not [k for k in ta if ta[k] != tb[k]]
+    assert a.tile_coords() == b.tile_coords()
+    import os as _os
+    pa_ = sorted(_os.listdir(tmp_path / "slot" / "subtree" / "b=1"))
+    pb_ = sorted(_os.listdir(tmp_path / "grp" / "subtree" / "b=1"))
+    assert pa_ == pb_  # per-cell deterministic names, wave-shape oblivious
